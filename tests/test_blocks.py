@@ -1,0 +1,101 @@
+"""Block codec (delta-of-delta + Gorilla XOR) round-trip and size tests."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from tmframe_spark.codec import blocks as bk
+
+
+def roundtrip(ts, v0=None, v1=None):
+    buf = bk.encode_block(ts, v0, v1)
+    return buf, bk.decode_block(buf)
+
+
+def test_single_point():
+    buf, (ts, v0, v1) = roundtrip([123456789], [3.14], [42])
+    assert ts.tolist() == [123456789]
+    assert v0.tolist() == [3.14]
+    assert v1.tolist() == [42]
+
+
+def test_regular_cadence_compresses_hard():
+    # perfectly regular 1-minute cadence, constant value: dod==0 / xor==0
+    n = 10_000
+    ts = np.arange(n, dtype=np.int64) * 60_000_000_000 + 1_700_000_000_000_000_000
+    v0 = np.full(n, 7.5)
+    v1 = np.arange(n, dtype=np.int64)  # constant delta => dod 0 after first
+    buf, (ts2, v02, v12) = roundtrip(ts, v0, v1)
+    np.testing.assert_array_equal(ts, ts2)
+    np.testing.assert_array_equal(v0, v02)
+    np.testing.assert_array_equal(v1, v12)
+    # ~3 streams * (64 raw + ~1 bit/point) + header << raw 24B/point
+    assert len(buf) < n  # under 1 byte per 24-byte-raw point
+    raw = 24 * n
+    assert len(buf) * 20 < raw  # >20x compression on the regular path
+
+
+def test_irregular_jittered_points():
+    rng = np.random.default_rng(42)
+    n = 5000
+    ts = np.cumsum(rng.integers(0, 10**10, n)).astype(np.int64)
+    v0 = rng.normal(100, 25, n)
+    v1 = rng.integers(-(2**40), 2**40, n).astype(np.int64)
+    buf, (ts2, v02, v12) = roundtrip(ts, v0, v1)
+    np.testing.assert_array_equal(ts, ts2)
+    # bit-for-bit float equality, not approx
+    np.testing.assert_array_equal(v0.view(np.uint64), v02.view(np.uint64))
+    np.testing.assert_array_equal(v1, v12)
+
+
+def test_ties_and_zero_deltas():
+    ts = np.array([8, 8, 8, 16, 16, 24], dtype=np.int64)
+    buf, (ts2, _, _) = roundtrip(ts)
+    np.testing.assert_array_equal(ts, ts2)
+
+
+def test_special_floats_bit_exact():
+    v0 = np.array(
+        [0.0, -0.0, np.nan, np.inf, -np.inf, np.finfo(np.float64).tiny, 1e308]
+    )
+    ts = np.arange(7, dtype=np.int64)
+    _, (ts2, v02, _) = roundtrip(ts, v0)
+    np.testing.assert_array_equal(v0.view(np.uint64), v02.view(np.uint64))
+
+
+def test_optional_streams():
+    ts = np.array([1, 2, 3], dtype=np.int64)
+    _, (t, a, b) = roundtrip(ts)
+    assert a is None and b is None
+    _, (t, a, b) = roundtrip(ts, None, np.array([9, 9, 9], dtype=np.int64))
+    assert a is None and b.tolist() == [9, 9, 9]
+
+
+def test_empty_block_rejected():
+    with pytest.raises(ValueError):
+        bk.encode_block([])
+
+
+def test_bad_magic_rejected():
+    with pytest.raises(ValueError):
+        bk.decode_block(b"XX" + b"\x00" * 16)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**61), min_size=1, max_size=200),
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        min_size=1,
+        max_size=200,
+    ),
+)
+def test_property_roundtrip(ts_raw, v0_raw):
+    n = min(len(ts_raw), len(v0_raw))
+    ts = np.sort(np.asarray(ts_raw[:n], dtype=np.int64))
+    v0 = np.asarray(v0_raw[:n], dtype=np.float64)
+    v1 = (ts // 7 - 2**40).astype(np.int64)
+    _, (ts2, v02, v12) = roundtrip(ts, v0, v1)
+    np.testing.assert_array_equal(ts, ts2)
+    np.testing.assert_array_equal(v0.view(np.uint64), v02.view(np.uint64))
+    np.testing.assert_array_equal(v1, v12)

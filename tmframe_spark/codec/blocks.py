@@ -1,0 +1,299 @@
+"""Packed block codec: delta-of-delta timestamps + Gorilla-XOR float values.
+
+TMFRAME's compression is structural (61-bit ts + 3-bit tag, 0-word payloads
+for null-likes — /root/reference/README.md, frame.go:185-212). This module
+adds the north-star compression on top: inside each packed block per
+(conv_id, bucket) we apply delta-of-delta encoding to the 8ns-truncated
+timestamps and Gorilla XOR encoding to float64 values (Pelkonen et al.,
+"Gorilla: A Fast, Scalable, In-Memory Time Series Database", VLDB 2015 —
+public knowledge), plus the same delta-of-delta scheme for int64 counts.
+
+A block is later framed as a single EvUDE record with the user evtnum
+EV_BLOCK (the reference's user-defined-evtnum extension pattern,
+/root/reference/frame.go:341-353, README "UDE").
+
+Block layout (all little-endian, this engine's own format, version 1):
+
+    magic   2B  b"TB"
+    version 1B  (=1)
+    flags   1B  bit0 = has v0 stream, bit1 = has v1 stream
+    count   4B  uint32 number of points
+    -- single contiguous bitstream, MSB-first within each write --
+    ts stream:  ts[0] raw 64 bits, then count-1 delta-of-delta records
+    v0 stream:  (if flags&1) v0[0] raw 64 bits, then count-1 XOR records
+    v1 stream:  (if flags&2) v1[0] raw 64 bits, then count-1 dod records
+
+delta-of-delta record (dod = d_i - d_{i-1}, d_0 = 0), prefix classes sized
+for nanosecond-resolution transcript data:
+
+    '0'                          dod == 0
+    '10'    + 7  bits            dod in [-64, 63]
+    '110'   + 12 bits            dod in [-2048, 2047]
+    '1110'  + 18 bits            dod in [-131072, 131071]
+    '11110' + 32 bits            dod in [-2^31, 2^31-1]
+    '11111' + 64 bits            raw two's complement
+
+XOR record (x = bits(v_i) ^ bits(v_{i-1})):
+
+    '0'                          x == 0
+    '10'  + meaningful bits      x fits the previous (lz, tz) window
+    '11'  + 6b lz + 6b (mlen-1) + mlen bits   new window
+
+Encode is numpy-vectorized for the per-point analysis (dods, xors,
+leading/trailing zero counts) with a tight bit-packing loop; decode is a
+sequential bit reader (framing is data-dependent). Both ends are pure
+Python/numpy so the same code runs in the driver oracle and inside Spark
+pandas UDFs on executors.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+BLOCK_MAGIC = b"TB"
+BLOCK_VERSION = 1
+_U64 = np.uint64
+_I64 = np.int64
+
+# (prefix_bits, prefix_len, payload_bits) for dod classes; tried in order.
+_DOD_CLASSES = (
+    (0b10, 2, 7),
+    (0b110, 3, 12),
+    (0b1110, 4, 18),
+    (0b11110, 5, 32),
+    (0b11111, 5, 64),
+)
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    __slots__ = ("buf", "pos", "acc", "nbits")
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, nbits: int) -> int:
+        while self.nbits < nbits:
+            self.acc = (self.acc << 8) | self.buf[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= nbits
+        v = (self.acc >> self.nbits) & ((1 << nbits) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros over uint64; clz(0) = 64."""
+    x = x.astype(_U64, copy=True)
+    n = np.zeros(x.shape, dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = x < (_U64(1) << _U64(64 - shift))
+        n[m] += shift
+        x[m] = x[m] << _U64(shift)
+    n[np.asarray(x) == 0] = 64  # inputs that were zero never gained an MSB
+    return n
+
+
+def _ctz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-trailing-zeros over uint64; ctz(0) = 64."""
+    x = x.astype(_U64)
+    low = x & (~x + _U64(1))  # isolate lowest set bit (two's complement)
+    out = np.full(x.shape, 64, dtype=np.int64)
+    nz = x != 0
+    out[nz] = 63 - _clz64(low[nz])
+    return out
+
+
+def _dod_class(dod: np.ndarray):
+    """Per-point (prefix, prefix_len, payload_bits) selection, vectorized."""
+    a = np.abs(dod.astype(np.float64))  # |dod| compare; exact below 2^53,
+    # and anything >= 2^31 falls into the raw-64 class anyway.
+    payload = np.select(
+        [dod == 0, a <= 63, a <= 2047, a <= 131071, a <= 2**31 - 1],
+        [0, 7, 12, 18, 32],
+        default=64,
+    )
+    return payload
+
+
+def _encode_dod_stream(w: _BitWriter, vals: np.ndarray) -> None:
+    """First value raw 64 bits, then delta-of-delta records."""
+    v = vals.astype(_I64)
+    w.write(int(v[0]), 64)  # _BitWriter masks to two's complement
+    if len(v) == 1:
+        return
+    deltas = np.diff(v)
+    dods = np.empty_like(deltas)
+    dods[0] = deltas[0]
+    dods[1:] = deltas[1:] - deltas[:-1]
+    payload_bits = _dod_class(dods)
+    dods_py = dods.tolist()
+    pb_py = payload_bits.tolist()
+    write = w.write
+    for dod, pb in zip(dods_py, pb_py):
+        if pb == 0:
+            write(0, 1)
+        elif pb == 7:
+            write(0b10, 2)
+            write(dod, 7)
+        elif pb == 12:
+            write(0b110, 3)
+            write(dod, 12)
+        elif pb == 18:
+            write(0b1110, 4)
+            write(dod, 18)
+        elif pb == 32:
+            write(0b11110, 5)
+            write(dod, 32)
+        else:
+            write(0b11111, 5)
+            write(dod, 64)
+
+
+def _sign_extend(v: int, nbits: int) -> int:
+    if v & (1 << (nbits - 1)):
+        v -= 1 << nbits
+    return v
+
+
+def _decode_dod_stream(r: _BitReader, count: int) -> np.ndarray:
+    out = np.empty(count, dtype=_I64)
+    first = r.read(64)
+    out[0] = np.uint64(first).astype(_I64)
+    prev = int(out[0])
+    delta = 0
+    read = r.read
+    for i in range(1, count):
+        if read(1) == 0:
+            dod = 0
+        elif read(1) == 0:
+            dod = _sign_extend(read(7), 7)
+        elif read(1) == 0:
+            dod = _sign_extend(read(12), 12)
+        elif read(1) == 0:
+            dod = _sign_extend(read(18), 18)
+        elif read(1) == 0:
+            dod = _sign_extend(read(32), 32)
+        else:
+            dod = _sign_extend(read(64), 64)
+        delta += dod
+        prev += delta
+        out[i] = prev
+    return out
+
+
+def _encode_xor_stream(w: _BitWriter, vals: np.ndarray) -> None:
+    """Gorilla XOR float64 stream: first raw, then windowed XOR records."""
+    bits = vals.astype(np.float64).view(_U64)
+    w.write(int(bits[0]), 64)
+    if len(bits) == 1:
+        return
+    xors = bits[1:] ^ bits[:-1]
+    lzs = np.minimum(_clz64(xors), 63)  # 6-bit field
+    tzs = _ctz64(xors)
+    xors_py = xors.tolist()
+    lz_py = lzs.tolist()
+    tz_py = tzs.tolist()
+    prev_lz = -1
+    prev_tz = -1
+    write = w.write
+    for x, lz, tz in zip(xors_py, lz_py, tz_py):
+        if x == 0:
+            write(0, 1)
+            continue
+        if prev_lz >= 0 and lz >= prev_lz and tz >= prev_tz:
+            write(0b10, 2)
+            write(x >> prev_tz, 64 - prev_lz - prev_tz)
+        else:
+            mlen = 64 - lz - tz
+            write(0b11, 2)
+            write(lz, 6)
+            write(mlen - 1, 6)
+            write(x >> tz, mlen)
+            prev_lz, prev_tz = lz, tz
+
+
+def _decode_xor_stream(r: _BitReader, count: int) -> np.ndarray:
+    out = np.empty(count, dtype=_U64)
+    prev = r.read(64)
+    out[0] = prev
+    prev_lz = -1
+    prev_tz = -1
+    read = r.read
+    for i in range(1, count):
+        if read(1) == 0:
+            out[i] = prev
+            continue
+        if read(1) == 0:
+            mlen = 64 - prev_lz - prev_tz
+            x = read(mlen) << prev_tz
+        else:
+            lz = read(6)
+            mlen = read(6) + 1
+            tz = 64 - lz - mlen
+            x = read(mlen) << tz
+            prev_lz, prev_tz = lz, tz
+        prev ^= x
+        out[i] = prev
+    return out.view(np.float64)
+
+
+def encode_block(ts_ns, v0=None, v1=None) -> bytes:
+    """Encode parallel arrays (ts_ns int64 [, v0 float64] [, v1 int64]) into
+    one compressed block. ts_ns must be sorted ascending (ties allowed) —
+    block contents come from a stable total order (conv_id, ts_ns, seq)."""
+    ts = np.asarray(ts_ns, dtype=_I64)
+    if len(ts) == 0:
+        raise ValueError("empty block")
+    flags = (1 if v0 is not None else 0) | (2 if v1 is not None else 0)
+    w = _BitWriter()
+    _encode_dod_stream(w, ts)
+    if v0 is not None:
+        _encode_xor_stream(w, np.asarray(v0, dtype=np.float64))
+    if v1 is not None:
+        _encode_dod_stream(w, np.asarray(v1, dtype=_I64))
+    header = BLOCK_MAGIC + struct.pack("<BBI", BLOCK_VERSION, flags, len(ts))
+    return header + w.finish()
+
+
+def decode_block(buf: bytes):
+    """Decode a block; returns (ts_ns, v0 | None, v1 | None)."""
+    if buf[:2] != BLOCK_MAGIC:
+        raise ValueError("bad block magic")
+    version, flags, count = struct.unpack("<BBI", buf[2:8])
+    if version != BLOCK_VERSION:
+        raise ValueError(f"unsupported block version {version}")
+    r = _BitReader(buf[8:])
+    ts = _decode_dod_stream(r, count)
+    v0 = _decode_xor_stream(r, count) if flags & 1 else None
+    v1 = _decode_dod_stream(r, count) if flags & 2 else None
+    return ts, v0, v1
