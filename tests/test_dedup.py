@@ -1,0 +1,61 @@
+"""Dedup semantics tests — incl. the reference's masked-duplicate scenario
+(dedup.go:75-88) and the amplified-stream golden test (dedup_test.go:10-65,
+but seeded/deterministic where the reference used crypto randomness)."""
+
+import numpy as np
+import pandas as pd
+
+from tmframe_spark.ops.dedup import count_window_dedup, dup_counts, hash_dedup
+
+
+def _df(spark, values, conv="c0"):
+    rows = [(conv, i, "user", str(v), None, i * 1000) for i, v in enumerate(values)]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts long"
+    )
+
+
+def run_window_dedup(spark, values, window):
+    out = count_window_dedup(
+        _df(spark, values), window_size=window, by=["conv_id"],
+        order_cols=["ts", "turn_idx"], hash_cols=["text"],
+    )
+    return [int(r["text"]) for r in out.orderBy("turn_idx").collect()]
+
+
+def test_masked_duplicate_scenario(spark):
+    # dedup.go:79-88: values [1 2 1 3 1], window 3. Without refcounting the
+    # dup at index 4 would be missed when index 0 rolls out. All three 1s
+    # collapse to one.
+    assert run_window_dedup(spark, [1, 2, 1, 3, 1], 3) == [1, 2, 3]
+
+
+def test_window_expiry_allows_reappearance(spark):
+    # window 2: the second 1 at index 3 is OUTSIDE the window of the first
+    # (entries rolled off), so it is kept again
+    assert run_window_dedup(spark, [1, 2, 3, 1], 2) == [1, 2, 3, 1]
+
+
+def test_adjacent_dups_drop(spark):
+    assert run_window_dedup(spark, [7, 7, 7, 8, 8, 9], 10) == [7, 8, 9]
+
+
+def test_amplified_stream_recovers_original(spark):
+    # dedup_test.go analog: amplify a stream 4x with duplicates; dedup with a
+    # full-size window recovers the original exactly (golden diff)
+    rng = np.random.default_rng(42)
+    orig = list(rng.integers(0, 10**9, 200))
+    amplified = []
+    for v in orig:
+        amplified.extend([v] * int(rng.integers(1, 5)))
+    assert run_window_dedup(spark, amplified, len(amplified)) == orig
+
+
+def test_hash_dedup_and_counts(spark):
+    df = _df(spark, [5, 6, 5, 7, 6, 5])
+    kept = hash_dedup(df, ["text"], ["ts", "turn_idx"])
+    assert sorted(int(r["text"]) for r in kept.collect()) == [5, 6, 7]
+    # first occurrence wins
+    assert sorted(r["turn_idx"] for r in kept.collect()) == [0, 1, 3]
+    dc = {r["text"]: r["occurrences"] for r in dup_counts(df, ["text"]).collect()}
+    assert dc == {"5": 3, "6": 2}

@@ -1,0 +1,134 @@
+"""Flagship pipeline bit-exactness: the FramesEqual analog at engine scale.
+
+Verifies that the DISTRIBUTED path (Spark rollup -> gap-fill -> pack_blocks
+applyInPandas) produces byte-for-byte identical block frames to a fully
+single-node pandas+numpy reference computed straight from the parquet file —
+including after arbitrary repartitioning (block bytes must be a function of
+the data, never the partitioning; SURVEY §7 'hard parts').
+
+Also: per-turn text equality under stable (conv_id, turn_idx) ordering
+(BASELINE.json input_hint invariant) and the per-turn frame encode/decode
+round-trip.
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tmframe_spark.codec import blocks as bk
+from tmframe_spark.codec import frames as fc
+from tmframe_spark.codec.udfs import frame_turns, pack_blocks, unpack_blocks
+from tmframe_spark.data.transcripts import load_transcripts
+from tmframe_spark.ops.rollup import gap_fill, rollup, with_ts_ns
+
+
+def pandas_transcripts() -> pd.DataFrame:
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ev["turn_idx"] = ev.groupby("user_id").cumcount().astype("int32")
+    role_map = {"signup": "system", "view": "user", "click": "user", "purchase": "assistant"}
+    out = pd.DataFrame(
+        {
+            "conv_id": "conv-" + ev["user_id"].astype(str),
+            "turn_idx": ev["turn_idx"],
+            "role": ev["event_type"].map(lambda e: role_map.get(e, "tool")),
+            "text": ev["event_type"] + " " + ev["props"],
+            "tool": ev["event_type"].where(ev["event_type"].isin(["click", "purchase"])),
+            "ts": ev["ts"],
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+def pandas_block_oracle(t: pd.DataFrame) -> dict:
+    """Single-node reference: 1m rollup + gap-fill + block encode per
+    (conv_id, day). Returns {(conv_id, day): frame_bytes}."""
+    t = t.copy()
+    t["bucket"] = t["ts"].dt.floor("min")
+    g = (
+        t.groupby(["conv_id", "bucket"])
+        .agg(turns=("ts", "size"), token_volume=("text", lambda s: s.str.len().sum()))
+        .reset_index()
+    )
+    out = {}
+    for conv, sub in g.groupby("conv_id"):
+        spine = pd.date_range(sub["bucket"].min(), sub["bucket"].max(), freq="min")
+        filled = (
+            sub.set_index("bucket").reindex(spine).fillna({"turns": 0, "token_volume": 0})
+        )
+        filled["ts_ns"] = filled.index.astype("int64")  # ns since epoch
+        filled["day"] = filled.index.floor("D")
+        for day, db in filled.groupby("day"):
+            ts = db["ts_ns"].to_numpy(np.int64)
+            v0 = db["token_volume"].to_numpy(np.float64)
+            v1 = db["turns"].to_numpy(np.int64)
+            block = bk.encode_block(ts, v0, v1)
+            fr = fc.make_frames([int(ts[0])], [fc.EV_BLOCK], data=[block])
+            out[(conv, day.to_pydatetime().replace(tzinfo=None))] = fc.marshal_frames(fr)
+    return out
+
+
+def test_distributed_blocks_bit_exact_vs_single_node(spark):
+    t = with_ts_ns(load_transcripts(spark, SF_DIR))
+    m = gap_fill(rollup(t, "1m"), "1m")
+    pts = m.select(
+        "conv_id",
+        F.date_trunc("day", "bucket").alias("day"),
+        F.expr("(unix_micros(cast(bucket as timestamp)) * 1000) & -8").alias("ts_ns"),
+        F.col("token_volume").cast("double").alias("v0"),
+        F.col("turns").cast("long").alias("v1"),
+    ).repartition(17)  # deliberately weird partitioning: must not matter
+    blocks = {
+        (r["conv_id"], r["day"]): bytes(r["frame"])
+        for r in pack_blocks(pts, ["conv_id", "day"], v0="v0", v1="v1").collect()
+    }
+    oracle = pandas_block_oracle(pandas_transcripts())
+    assert set(blocks.keys()) == set(oracle.keys())
+    mismatches = [k for k in oracle if blocks[k] != oracle[k]]
+    assert not mismatches, f"{len(mismatches)} non-bit-exact blocks, e.g. {mismatches[:3]}"
+
+
+def test_per_turn_text_equality_stable_order(spark):
+    s = (
+        load_transcripts(spark, SF_DIR)
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "text")
+        .toPandas()
+    )
+    p = pandas_transcripts().sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    assert (s["text"].to_numpy() == p["text"].to_numpy()).all()
+    assert (s["conv_id"].to_numpy() == p["conv_id"].to_numpy()).all()
+
+
+def test_frame_turns_roundtrip(spark):
+    t = with_ts_ns(load_transcripts(spark, SF_DIR)).limit(500)
+    fr = frame_turns(t)
+    rows = fr.select("conv_id", "turn_idx", "role", "tool", "text", "ts_ns", "frame").collect()
+    for r in rows:
+        dec = fc.unmarshal_frames(bytes(r["frame"]))
+        assert int(fc.get_evtnum(dec.prim, dec.ude)[0]) == fc.EV_TURN
+        assert int(fc.tm_ns(dec.prim)[0]) == r["ts_ns"] & ~7
+        role, tool, text = dec.data[0].decode("utf-8").split("\x1f")
+        assert role == r["role"] and text == r["text"]
+        assert tool == (r["tool"] or "")
+
+
+def test_unpack_inverts_pack_after_shuffle(spark):
+    t = with_ts_ns(load_transcripts(spark, SF_DIR))
+    m = gap_fill(rollup(t, "1m"), "1m")
+    pts = m.select(
+        "conv_id",
+        F.date_trunc("day", "bucket").alias("day"),
+        F.expr("(unix_micros(cast(bucket as timestamp)) * 1000) & -8").alias("ts_ns"),
+        F.col("token_volume").cast("double").alias("v0"),
+        F.col("turns").cast("long").alias("v1"),
+    )
+    blocks = pack_blocks(pts, ["conv_id", "day"], v0="v0", v1="v1").repartition(7)
+    dec = unpack_blocks(blocks, ["conv_id", "day"], v0="v0", v1="v1")
+    a = pts.select("conv_id", "ts_ns", "v0", "v1").orderBy("conv_id", "ts_ns").toPandas()
+    b = dec.select("conv_id", "ts_ns", "v0", "v1").orderBy("conv_id", "ts_ns").toPandas()
+    assert len(a) == len(b)
+    assert (a["ts_ns"].values == b["ts_ns"].values).all()
+    assert (a["v0"].to_numpy().view(np.uint64) == b["v0"].to_numpy().view(np.uint64)).all()
+    assert (a["v1"].values == b["v1"].values).all()

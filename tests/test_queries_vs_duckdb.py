@@ -1,0 +1,54 @@
+"""Mirror of the driver's correctness gate: run every registry query on
+Spark AND its DuckDB oracle on the same parquet tables (sf0.001 for speed;
+the driver uses sf0.01), compare row count, column names, and
+order-insensitive values."""
+
+import math
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+from tmframe_spark import queries as Q
+
+ORACLES = Q.oracle_sql()
+ALL = list(Q.queries().items())
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name,fn", ALL, ids=[n for n, _ in ALL])
+def test_query_matches_oracle(name, fn, spark, duck):
+    sdf = fn(spark, SF_DIR).toPandas()
+    if name not in ORACLES:
+        assert len(sdf) >= 0  # rows-only contract for non-SQL ops
+        return
+    odf = duck.execute(ORACLES[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{name}: columns {sorted(sdf.columns)} vs oracle {sorted(odf.columns)}"
+    )
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} vs oracle {len(odf)}"
+    a, b = normalize(sdf), normalize(odf)
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]):
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            same = (av == bv) | (pd.isna(av) & pd.isna(bv))
+            assert same.all(), f"{name}.{c}: float mismatch (bit-compare)"
+        else:
+            mism = (a[c].astype(object) != b[c].astype(object)) & ~(
+                a[c].isna() & b[c].isna()
+            )
+            assert not mism.any(), (
+                f"{name}.{c}: {int(mism.sum())} mismatches, e.g.\n"
+                f"{a.loc[mism].head(3)}\nvs\n{b.loc[mism].head(3)}"
+            )

@@ -1,0 +1,76 @@
+"""Filters / projections: tffilter, tfgrep, tfsum analogs.
+
+Reference: tffilter regex-filters stringified frames — AND of all regexes by
+default, OR with -any, inverted with -x, passing raw frame bytes through on
+match (cmd/tffilter/tffilter.go:85-189, cfg.go:145-167). tfgrep extracts a
+named JSON field from (escaped-)JSON payloads (cmd/tfgrep/tfgrep.go:32-77).
+tfsum replaces each frame's payload with a checksum frame: same tm,
+EvOneInt64, V1 = first 8 bytes of the BLAKE2b hash little-endian
+(cmd/tfsum/tfsum.go:56-71).
+
+We filter against *typed columns* instead of a rendered string (tffilter
+matches the display string, tffilter.go:95) — declarative predicates that
+Catalyst pushes into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def regex_filter(
+    df: DataFrame,
+    col: str,
+    patterns: list[str],
+    mode: str = "and",
+    invert: bool = False,
+) -> DataFrame:
+    """tffilter: AND (default) / OR (-any) of regexes, optional -x invert."""
+    preds = [F.regexp_like(F.col(col), F.lit(p)) for p in patterns]
+    combine = (lambda a, b: a & b) if mode == "and" else (lambda a, b: a | b)
+    pred: Column = reduce(combine, preds)
+    return df.where(~pred if invert else pred)
+
+
+def regex_extract(df: DataFrame, col: str, pattern: str, group: int = 1) -> DataFrame:
+    """tffilter -sub: keep only the regex submatch (tffilter.go:166-181)."""
+    return df.withColumn("submatch", F.regexp_extract(F.col(col), pattern, group))
+
+
+def json_field(df: DataFrame, col: str, field: str, out: str = "field_value") -> DataFrame:
+    """tfgrep: extract a JSON field from the payload column."""
+    return df.withColumn(out, F.get_json_object(F.col(col), f"$.{field}"))
+
+
+def checksum_projection(df: DataFrame, payload_cols: list[str], ts_ns: str = "ts_ns") -> DataFrame:
+    """tfsum: project each record to (tm, EvOneInt64, v1=first 8 bytes of
+    BLAKE2b(canonical payload) as little-endian int64).
+
+    Arrow-batched pandas UDF (hashlib.blake2b is bit-compatible with the
+    reference's vendored blake2b). Payload canonicalization: unit-separator
+    join of the payload columns, UTF-8.
+    """
+    import hashlib
+
+    @F.pandas_udf("long")
+    def blake2b64(*cols: pd.Series) -> pd.Series:
+        joined = cols[0].fillna("").astype(str)
+        for c in cols[1:]:
+            joined = joined + "\x1f" + c.fillna("").astype(str)
+        out = np.empty(len(joined), dtype=np.int64)
+        for i, s in enumerate(joined):
+            d = hashlib.blake2b(s.encode("utf-8"), digest_size=64).digest()
+            out[i] = np.frombuffer(d[:8], dtype="<i8")[0]
+        return pd.Series(out)
+
+    return df.select(
+        F.col(ts_ns),
+        F.lit(1).alias("evtnum"),  # EvOneInt64
+        blake2b64(*[F.col(c) for c in payload_cols]).alias("v1"),
+    )

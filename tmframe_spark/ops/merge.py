@@ -1,0 +1,80 @@
+"""Time-ordered sort / k-way merge / stable global enumeration.
+
+Reference semantics: tfsort does a *stable* sort by Tm() (sort.go:7-18,
+cmd/tfsort/tfsort.go:55 uses sort.Stable, preserving arrival order of ties);
+tfmerge k-way merges already-sorted streams (merge.go:39-90). Spark sorts are
+not stable, so stability is recovered by threading explicit tiebreaker
+columns (stream ordinal + per-stream sequence) through the sort — the SURVEY
+§2.6 mapping.
+
+``with_stable_pos`` provides the scalable global position (the reference's
+byte offsets / frame ordinals): range-partition on the order key, sort
+within partitions, then add per-partition start offsets computed from
+partition counts (one tiny collect of #partitions rows). No single-partition
+global window — this is the enumeration pattern that holds at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def merge_streams(dfs: list[DataFrame], order_cols: list[str]) -> DataFrame:
+    """k-way merge of (possibly unsorted) streams into one time-ordered
+    stream (tfmerge / FrameWriter.Merge, merge.go:39-90).
+
+    Tie order across streams = input position in ``dfs`` (the reference's
+    tie order across streams at equal Tm is unspecified — merge.go:74 uses
+    an unstable sort of the k heads; we pin it to stream ordinal).
+    Adds ``stream_ord``. The merge itself is Catalyst's range-partitioned
+    sort (SMJ-style), which externalizes/spills — the distributed analog of
+    tfsort's temp-file external sort (cmd/tfsort/tfsort.go:43-68).
+    """
+    tagged = [df.withColumn("stream_ord", F.lit(i)) for i, df in enumerate(dfs)]
+    u = reduce(lambda a, b: a.unionByName(b), tagged)
+    return u.orderBy(*order_cols, "stream_ord")
+
+
+def with_stable_pos(
+    df: DataFrame, order_cols: list[str], pos_col: str = "pos", partitions: int | None = None
+) -> DataFrame:
+    """Add a 0-based global position under a stable total order.
+
+    Scalable two-pass enumeration: repartitionByRange(order) +
+    sortWithinPartitions, count rows per partition (small collect:
+    one row per partition), then pos = partition_offset + local row_number.
+    """
+    n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    part = (
+        df.repartitionByRange(int(n), *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    part = part.persist()
+    counts = {r["_pid"]: r["count"] for r in part.groupBy("_pid").count().collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+    else:
+        mapping = F.create_map()
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = part.withColumn(
+        pos_col,
+        (F.element_at(mapping, F.col("_pid")) + F.row_number().over(w) - 1).cast("long"),
+    ).drop("_pid")
+    return out
+
+
+def offset_limit(df: DataFrame, order_cols: list[str], skip: int, take: int) -> DataFrame:
+    """tfcat -rawskip/-raw: copy N frames after skipping M under stable
+    order (cmd/tfcat/tfcat.go:185-231) — Spark offset+limit."""
+    return df.orderBy(*order_cols).offset(skip).limit(take)

@@ -1,0 +1,40 @@
+"""Retention tiers: keep 1m for D days, 1h for W weeks, 1d forever.
+
+The reference's retention story is the day-partitioned archive
+(archiver/filemgr.go:94-104) — old days age out by partition. Here retention
+is expressed as partition-level predicates over the tier tables so the
+delete/compact is a metadata operation on a date-partitioned layout
+(Iceberg `days(ts)` transform; parquet `partitionBy(date)` fallback) —
+never a row scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: default policy: minutes for 7 days, hours for 90 days, days forever
+DEFAULT_POLICY = {"1m": 7, "1h": 90, "1d": None}
+
+
+def retained(tier_df: DataFrame, tier: str, as_of, policy=None) -> DataFrame:
+    """Rows of ``tier_df`` that the policy keeps as of ``as_of``.
+
+    ``as_of``: a Column/literal timestamp (normally max(ts) of the dataset
+    or now()). The predicate compares whole days so it aligns with the
+    day-partitioned physical layout (partition pruning, no row scan).
+    """
+    days = (policy or DEFAULT_POLICY)[tier]
+    if days is None:
+        return tier_df
+    cutoff = F.date_sub(F.to_date(as_of), days)
+    return tier_df.where(F.to_date(F.col("bucket")) >= cutoff)
+
+
+def expired(tier_df: DataFrame, tier: str, as_of, policy=None) -> DataFrame:
+    """Complement of ``retained`` — the partitions a vacuum job would drop."""
+    days = (policy or DEFAULT_POLICY)[tier]
+    if days is None:
+        return tier_df.limit(0)
+    cutoff = F.date_sub(F.to_date(as_of), days)
+    return tier_df.where(F.to_date(F.col("bucket")) < cutoff)

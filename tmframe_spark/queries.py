@@ -1,0 +1,813 @@
+"""Query registry: every operator exposed as (spark callable, DuckDB oracle).
+
+This backs ``__spark_entry__.queries()`` / ``oracle_sql()``. Each Spark
+callable takes (spark, sf_dir) and returns a DataFrame built with the
+engine's library operators (DataFrame API); each oracle is an independent
+ANSI-SQL restatement runnable by DuckDB over the same parquet tables.
+
+Cross-engine determinism rules used throughout:
+- aggregates that feed the value-hash are integers (counts / int sums) or
+  single IEEE divisions of exact integers — never order-dependent float sums
+  and never round() (tie-mode differs between engines);
+- DuckDB SUM(int) returns HUGEINT → always CAST ... AS BIGINT in oracles;
+- every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tmframe_spark.data.transcripts import (
+    TRANSCRIPTS_FROM_EVENTS_SQL,
+    load_transcripts,
+    register_tables,
+)
+from tmframe_spark.ops.rollup import (
+    cascade_up,
+    gap_fill,
+    role_mix,
+    rollup,
+    tool_rates,
+    with_ts_ns,
+)
+
+# conversations used where full-population gap-fill would be needlessly huge
+SUBSET = ("conv-0", "conv-1", "conv-2")
+_SUBSET_SQL = "('conv-0', 'conv-1', 'conv-2')"
+
+_T_CTE = "transcripts AS (" + TRANSCRIPTS_FROM_EVENTS_SQL.format(events="events") + ")"
+
+_AGGS = """
+       count(*) AS turns,
+       CAST(sum(length(text)) AS BIGINT) AS token_volume,
+       count(tool) AS tool_calls,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS user_turns,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS assistant_turns
+"""
+
+_COALESCED = """
+       CAST(coalesce(m.turns, 0) AS BIGINT) AS turns,
+       CAST(coalesce(m.token_volume, 0) AS BIGINT) AS token_volume,
+       CAST(coalesce(m.tool_calls, 0) AS BIGINT) AS tool_calls,
+       CAST(coalesce(m.user_turns, 0) AS BIGINT) AS user_turns,
+       CAST(coalesce(m.assistant_turns, 0) AS BIGINT) AS assistant_turns
+"""
+
+
+def _gapfill_rollup_sql(unit: str, where: str = "TRUE") -> str:
+    return f"""
+WITH {_T_CTE},
+t AS (SELECT * FROM transcripts WHERE {where}),
+m AS (
+  SELECT conv_id, date_trunc('{unit}', ts) AS bucket, {_AGGS}
+  FROM t GROUP BY conv_id, date_trunc('{unit}', ts)
+),
+b AS (SELECT conv_id, min(bucket) AS mn, max(bucket) AS mx FROM m GROUP BY conv_id),
+s AS (SELECT conv_id, unnest(generate_series(mn, mx, interval 1 {unit})) AS bucket FROM b)
+SELECT s.conv_id AS conv_id, s.bucket AS bucket, {_COALESCED}
+FROM s LEFT JOIN m ON s.conv_id = m.conv_id AND s.bucket = m.bucket
+"""
+
+
+def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_transcripts(spark, sf_dir)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.table("events")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.table("documents")
+
+
+# --------------------------------------------------------------------------
+# rollup tiers (A1 + cascade; SURVEY §2.5)
+# --------------------------------------------------------------------------
+
+def q_rollup_1m_gapfill(spark, sf_dir):
+    t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
+    return gap_fill(rollup(t, "1m"), "1m")
+
+
+def q_rollup_1h_gapfill(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return cascade_up(gap_fill(rollup(t, "1m"), "1m"), "1h")
+
+
+def q_rollup_1d(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    m = gap_fill(rollup(t, "1m"), "1m")
+    return cascade_up(cascade_up(m, "1h"), "1d")
+
+
+def q_rollup_1m_salted(spark, sf_dir):
+    """Same result as q_rollup_1m_gapfill via the explicit two-phase salted
+    aggregation (skew path) — the oracle equality IS the salting proof."""
+    t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
+    return gap_fill(rollup(t, "1m", salt=8), "1m")
+
+
+def q_role_mix_1h(spark, sf_dir):
+    return role_mix(_t(spark, sf_dir), "1h")
+
+
+def q_tool_rates_1d(spark, sf_dir):
+    return tool_rates(_t(spark, sf_dir), "1d")
+
+
+# --------------------------------------------------------------------------
+# as-of joins (J1-J4; series.go:58-244)
+# --------------------------------------------------------------------------
+
+def _asof(spark, sf_dir, tie: str, strict: bool):
+    from tmframe_spark.ops.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    probe = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("probe_id"), "ts"
+    )
+    build = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("b_seq"), F.col("value").alias("b_value")
+    )
+    out = asof_join(
+        probe,
+        build,
+        on="ts",
+        by=["user_id"],
+        seq="b_seq",
+        value_cols=["b_value"],
+        tie=tie,
+        strict=strict,
+        prefix="m_",
+    )
+    return out.select(
+        "user_id",
+        "probe_id",
+        F.col("m_b_seq").alias("b_seq"),
+        F.col("m_b_value").alias("b_value"),
+        "status",
+    )
+
+
+def q_asof_last_at_or_before(spark, sf_dir):
+    return _asof(spark, sf_dir, "last", False)
+
+
+def q_asof_first_at_or_before(spark, sf_dir):
+    return _asof(spark, sf_dir, "first", False)
+
+
+def q_asof_last_in_force_before(spark, sf_dir):
+    return _asof(spark, sf_dir, "last", True)
+
+
+def q_asof_first_in_force_before(spark, sf_dir):
+    return _asof(spark, sf_dir, "first", True)
+
+
+def _asof_sql(tie: str, strict: bool) -> str:
+    op = "<" if strict else "<="
+    seq_dir = "ASC" if tie == "first" else "DESC"
+    return f"""
+WITH probe AS (
+  SELECT user_id, event_id AS probe_id, ts AS probe_ts FROM events
+  WHERE event_type = 'click'
+),
+build AS (
+  SELECT user_id, event_id AS b_seq, ts AS b_ts, value AS b_value FROM events
+  WHERE event_type = 'purchase'
+),
+mx AS (SELECT user_id, max(b_ts) AS max_bts FROM build GROUP BY user_id),
+ranked AS (
+  SELECT p.user_id, p.probe_id, b.b_seq, b.b_value,
+         ROW_NUMBER() OVER (PARTITION BY p.user_id, p.probe_id
+                            ORDER BY b.b_ts DESC, b.b_seq {seq_dir}) AS rn
+  FROM probe p JOIN build b
+    ON b.user_id = p.user_id AND b.b_ts {op} p.probe_ts
+)
+SELECT p.user_id AS user_id, p.probe_id AS probe_id, r.b_seq AS b_seq,
+       r.b_value AS b_value,
+       CASE WHEN r.b_seq IS NULL THEN 'InPast'
+            WHEN p.probe_ts > m.max_bts THEN 'InFuture'
+            ELSE 'Avail' END AS status
+FROM probe p
+LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+  ON r.user_id = p.user_id AND r.probe_id = p.probe_id
+LEFT JOIN mx m ON m.user_id = p.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# sort / merge / offset-limit (O1-O4, S9)
+# --------------------------------------------------------------------------
+
+def q_merge_rank(spark, sf_dir):
+    from tmframe_spark.ops.merge import merge_streams, with_stable_pos
+
+    ev = _events(spark, sf_dir).select("event_id", "ts")
+    s0 = ev.where(F.col("event_id") % 2 == 0)
+    s1 = ev.where(F.col("event_id") % 2 == 1)
+    merged = merge_streams([s0, s1], ["ts"])
+    return with_stable_pos(merged, ["ts", "stream_ord", "event_id"]).select(
+        "event_id", "pos"
+    )
+
+
+def q_offset_limit(spark, sf_dir):
+    from tmframe_spark.ops.merge import offset_limit
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "event_type")
+    return offset_limit(ev, ["ts", "event_id"], skip=1000, take=500)
+
+
+# --------------------------------------------------------------------------
+# dedup (A3/A4)
+# --------------------------------------------------------------------------
+
+def q_hash_dedup(spark, sf_dir):
+    from tmframe_spark.ops.dedup import hash_dedup
+
+    t = _t(spark, sf_dir)
+    return hash_dedup(
+        t, ["role", "text"], ["ts", "conv_id", "turn_idx"]
+    ).select("conv_id", "turn_idx", "role", "text")
+
+
+def q_dup_counts(spark, sf_dir):
+    from tmframe_spark.ops.dedup import dup_counts
+
+    return dup_counts(_t(spark, sf_dir), ["role", "text"])
+
+
+def q_count_window_dedup(spark, sf_dir):
+    """Exact reference count-window semantics (dedup.go ring+refcount) —
+    per-conversation ordered state; rows-only check (not SQL-expressible)."""
+    from tmframe_spark.ops.dedup import count_window_dedup
+
+    t = _t(spark, sf_dir)
+    return count_window_dedup(
+        t, window_size=50, by=["conv_id"], order_cols=["ts", "turn_idx"],
+        hash_cols=["role", "text"],
+    ).select("conv_id", "turn_idx", "role", "text")
+
+
+# --------------------------------------------------------------------------
+# filters / projections (F1-F4)
+# --------------------------------------------------------------------------
+
+def q_regex_filter_and(spark, sf_dir):
+    from tmframe_spark.ops.filters import regex_filter
+
+    t = _t(spark, sf_dir)
+    return regex_filter(t, "text", ["purchase", "[0-9][0-9]"], mode="and").select(
+        "conv_id", "turn_idx", "text"
+    )
+
+
+def q_regex_filter_or_invert(spark, sf_dir):
+    from tmframe_spark.ops.filters import regex_filter
+
+    t = _t(spark, sf_dir)
+    return regex_filter(
+        t, "text", ["error", "signup"], mode="or", invert=True
+    ).select("conv_id", "turn_idx", "text")
+
+
+def q_regex_submatch(spark, sf_dir):
+    from tmframe_spark.ops.filters import regex_extract
+
+    t = _t(spark, sf_dir)
+    return (
+        regex_extract(t, "text", '"k": ([0-9]+)', 1)
+        .where(F.col("submatch") != "")
+        .select("conv_id", "turn_idx", "submatch")
+    )
+
+
+def q_json_field(spark, sf_dir):
+    from tmframe_spark.ops.filters import json_field
+
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    return json_field(ev, "props", "k", out="k_value").select("event_id", "k_value")
+
+
+def q_checksum_projection(spark, sf_dir):
+    """tfsum analog with a portable md5 checksum (the engine's blake2b
+    variant is pytest-verified against the numpy oracle)."""
+    t = _t(spark, sf_dir)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.md5(
+            F.concat_ws(
+                "\x1f", F.col("role"), F.coalesce("tool", F.lit("")), F.col("text")
+            )
+        ).alias("checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# index / tfgroup (S11, A1, A2)
+# --------------------------------------------------------------------------
+
+_NBYTES = "19 + length(role) + length(coalesce(tool, '')) + length(text)"
+
+
+def q_frame_sizes(spark, sf_dir):
+    """Per-turn TMFRAME wire size: 16B header+UDE + payload + terminator,
+    payload = role|US|tool|US|text (frame.go:185-212 cost model). Computed by
+    the real encode UDF; oracle recomputes it arithmetically."""
+    from tmframe_spark.codec.udfs import frame_turns
+
+    t = with_ts_ns(_t(spark, sf_dir))
+    return frame_turns(t).select("conv_id", "turn_idx", "frame_nbytes")
+
+
+def q_minute_index(spark, sf_dir):
+    from tmframe_spark.ops.index import minute_index
+
+    t = _t(spark, sf_dir).withColumn("nb", F.expr(_NBYTES))
+    return minute_index(
+        t, "nb", ["ts", "turn_idx"], ts_col="ts", by=["conv_id"]
+    )
+
+
+def q_tfgroup_minute_counts(spark, sf_dir):
+    """tfgroup exactly: global count per tumbling minute INCLUDING zero rows
+    (cmd/tfgroup/tfgroup.go:55-78), bounded to the stream's [min,max]."""
+    t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
+    m = t.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = m.agg(F.min("minute").alias("mn"), F.max("minute").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 minute"))).alias("minute")
+    )
+    return spine.join(m, "minute", "left").select(
+        "minute", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# sessionization + retention
+# --------------------------------------------------------------------------
+
+def q_sessionize(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # microsecond-exact gap comparison (cast-to-long would truncate to
+    # seconds and disagree with the interval oracle at sub-second gaps)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    brk = F.when(us - F.lag(us).over(w) > 30 * 60 * 1_000_000, 1).otherwise(0)
+    sess = t.withColumn("session_id", F.sum(brk).over(w_run).cast("long"))
+    return sess.groupBy("conv_id", "session_id").agg(
+        F.count(F.lit(1)).alias("turns"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+    )
+
+
+def q_retention_1m(spark, sf_dir):
+    from tmframe_spark.ops.retention import retained
+
+    t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
+    m = rollup(t, "1m")
+    mx = t.agg(F.max("ts")).collect()[0][0]
+    kept = retained(m, "1m", F.lit(mx), policy={"1m": 7})
+    return kept.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("kept_buckets"),
+        F.sum("turns").cast("long").alias("kept_turns"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis / dedup / similarity (training-data ops)
+# --------------------------------------------------------------------------
+
+def q_token_stats_by_lang(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(toks).cast("long").alias("tokens"),
+        F.sum(F.length("text")).cast("long").alias("chars"),
+    )
+
+
+def q_doc_quality(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    pad = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    toks = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    stops = (
+        F.length(pad) - F.length(F.replace(pad, F.lit(" the "), F.lit(" ")))
+    ) / 4  # each ' the ' replaced by ' ' removes 4 chars
+    return d.select(
+        "doc_id",
+        toks.cast("long").alias("n_tokens"),
+        stops.cast("long").alias("stop_hits"),
+        (stops.cast("long") / toks).alias("stop_ratio"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Marker-word language ID; ties broken en > de > fr > es > und."""
+    d = _docs(spark, sf_dir)
+    pad = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+
+    def hits(word):
+        pat = f" {word} "
+        return (
+            F.length(pad) - F.length(F.replace(pad, F.lit(pat), F.lit(" ")))
+        ) / (len(pat) - 1)
+
+    s = {L: hits(w).cast("long") for L, w in
+         [("en", "the"), ("de", "der"), ("fr", "le"), ("es", "el")]}
+    pred = (
+        F.when(
+            (s["en"] > 0) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]),
+            F.lit("en"),
+        )
+        .when((s["de"] > 0) & (s["de"] >= s["fr"]) & (s["de"] >= s["es"]), F.lit("de"))
+        .when((s["fr"] > 0) & (s["fr"] >= s["es"]), F.lit("fr"))
+        .when(s["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+    return d.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from tmframe_spark.text.analysis import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+def q_exact_dedup_docs(spark, sf_dir):
+    from tmframe_spark.text.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir), "doc_id").select("doc_id")
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from tmframe_spark.text.dedup import jaccard_pairs
+
+    return jaccard_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.5)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from tmframe_spark.text.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", k=64, bands=16, threshold=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    from tmframe_spark.text.dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir), "doc_id")
+
+
+def q_ann_topk(spark, sf_dir):
+    from tmframe_spark.vec.similarity import cosine_topk
+
+    register_tables(spark, sf_dir)
+    return cosine_topk(spark.table("embeddings"), query_id=0, k=10)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from tmframe_spark.vec.similarity import lsh_ann_topk
+
+    register_tables(spark, sf_dir)
+    return lsh_ann_topk(spark.table("embeddings"), query_id=0, k=10)
+
+
+def q_multimodal_features(spark, sf_dir):
+    from tmframe_spark.vec.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, 256)).select(
+        "media_id", "kind", "width", "height", "n_frames"
+    )
+
+
+# --------------------------------------------------------------------------
+# codec round-trip (flagship; rows-only — binary blocks aren't SQL)
+# --------------------------------------------------------------------------
+
+def q_block_roundtrip(spark, sf_dir):
+    from tmframe_spark.codec.udfs import pack_blocks, unpack_blocks
+
+    t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
+    m = gap_fill(rollup(t, "1m"), "1m")
+    pts = m.select(
+        "conv_id",
+        F.date_trunc("day", "bucket").alias("day"),
+        F.expr("(unix_micros(cast(bucket as timestamp)) * 1000) & -8").alias("ts_ns"),
+        F.col("token_volume").cast("double").alias("v0"),
+        F.col("turns").cast("long").alias("v1"),
+    )
+    blocks = pack_blocks(pts, ["conv_id", "day"], v0="v0", v1="v1")
+    return unpack_blocks(blocks, ["conv_id", "day"], v0="v0", v1="v1")
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "rollup_1m_gapfill": q_rollup_1m_gapfill,
+        "rollup_1m_salted": q_rollup_1m_salted,
+        "rollup_1h_gapfill": q_rollup_1h_gapfill,
+        "rollup_1d": q_rollup_1d,
+        "role_mix_1h": q_role_mix_1h,
+        "tool_rates_1d": q_tool_rates_1d,
+        "asof_last_at_or_before": q_asof_last_at_or_before,
+        "asof_first_at_or_before": q_asof_first_at_or_before,
+        "asof_last_in_force_before": q_asof_last_in_force_before,
+        "asof_first_in_force_before": q_asof_first_in_force_before,
+        "merge_rank": q_merge_rank,
+        "offset_limit": q_offset_limit,
+        "hash_dedup": q_hash_dedup,
+        "dup_counts": q_dup_counts,
+        "count_window_dedup": q_count_window_dedup,
+        "regex_filter_and": q_regex_filter_and,
+        "regex_filter_or_invert": q_regex_filter_or_invert,
+        "regex_submatch": q_regex_submatch,
+        "json_field": q_json_field,
+        "checksum_projection": q_checksum_projection,
+        "frame_sizes": q_frame_sizes,
+        "minute_index": q_minute_index,
+        "tfgroup_minute_counts": q_tfgroup_minute_counts,
+        "sessionize": q_sessionize,
+        "retention_1m": q_retention_1m,
+        "token_stats_by_lang": q_token_stats_by_lang,
+        "doc_quality": q_doc_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_features": q_multimodal_features,
+        "block_roundtrip": q_block_roundtrip,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    o["rollup_1m_gapfill"] = _gapfill_rollup_sql("minute", f"conv_id IN {_SUBSET_SQL}")
+    o["rollup_1m_salted"] = o["rollup_1m_gapfill"]
+    o["rollup_1h_gapfill"] = _gapfill_rollup_sql("hour")
+    o["rollup_1d"] = _gapfill_rollup_sql("day")
+
+    o["role_mix_1h"] = f"""
+WITH {_T_CTE}
+SELECT conv_id, date_trunc('hour', ts) AS bucket, role,
+       count(*) AS turns,
+       CAST(sum(length(text)) AS BIGINT) AS token_volume
+FROM transcripts GROUP BY conv_id, date_trunc('hour', ts), role
+"""
+
+    o["tool_rates_1d"] = f"""
+WITH {_T_CTE}
+SELECT tool, date_trunc('day', ts) AS bucket,
+       count(*) AS calls, count(DISTINCT conv_id) AS convs
+FROM transcripts WHERE tool IS NOT NULL
+GROUP BY tool, date_trunc('day', ts)
+"""
+
+    o["asof_last_at_or_before"] = _asof_sql("last", False)
+    o["asof_first_at_or_before"] = _asof_sql("first", False)
+    o["asof_last_in_force_before"] = _asof_sql("last", True)
+    o["asof_first_in_force_before"] = _asof_sql("first", True)
+
+    o["merge_rank"] = """
+SELECT event_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id % 2, event_id) AS BIGINT) - 1 AS pos
+FROM events
+"""
+
+    o["offset_limit"] = """
+SELECT event_id, ts, event_type FROM events
+ORDER BY ts, event_id LIMIT 500 OFFSET 1000
+"""
+
+    o["hash_dedup"] = f"""
+WITH {_T_CTE},
+r AS (
+  SELECT conv_id, turn_idx, role, text,
+         ROW_NUMBER() OVER (PARTITION BY role, text
+                            ORDER BY ts, conv_id, turn_idx) AS rn
+  FROM transcripts
+)
+SELECT conv_id, turn_idx, role, text FROM r WHERE rn = 1
+"""
+
+    o["dup_counts"] = f"""
+WITH {_T_CTE}
+SELECT role, text, count(*) AS occurrences
+FROM transcripts GROUP BY role, text HAVING count(*) > 1
+"""
+
+    o["regex_filter_and"] = f"""
+WITH {_T_CTE}
+SELECT conv_id, turn_idx, text FROM transcripts
+WHERE regexp_matches(text, 'purchase') AND regexp_matches(text, '[0-9][0-9]')
+"""
+
+    o["regex_filter_or_invert"] = f"""
+WITH {_T_CTE}
+SELECT conv_id, turn_idx, text FROM transcripts
+WHERE NOT (regexp_matches(text, 'error') OR regexp_matches(text, 'signup'))
+"""
+
+    o["regex_submatch"] = f"""
+WITH {_T_CTE}
+SELECT conv_id, turn_idx, regexp_extract(text, '"k": ([0-9]+)', 1) AS submatch
+FROM transcripts WHERE regexp_extract(text, '"k": ([0-9]+)', 1) <> ''
+"""
+
+    o["json_field"] = """
+SELECT event_id, json_extract_string(props, '$.k') AS k_value
+FROM events WHERE event_type = 'purchase'
+"""
+
+    o["checksum_projection"] = f"""
+WITH {_T_CTE}
+SELECT conv_id, turn_idx,
+       md5(concat_ws(chr(31), role, coalesce(tool, ''), text)) AS checksum
+FROM transcripts
+"""
+
+    o["frame_sizes"] = f"""
+WITH {_T_CTE}
+SELECT conv_id, turn_idx, CAST({_NBYTES} AS BIGINT) AS frame_nbytes
+FROM transcripts
+"""
+
+    o["minute_index"] = f"""
+WITH {_T_CTE},
+f AS (
+  SELECT conv_id, ts, turn_idx, {_NBYTES} AS nb,
+         CAST(coalesce(sum({_NBYTES}) OVER (
+           PARTITION BY conv_id ORDER BY ts, turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS byte_offset
+  FROM transcripts
+)
+SELECT conv_id, date_trunc('minute', ts) AS minute,
+       min(byte_offset) AS byte_offset, count(*) AS frames,
+       CAST(sum(nb) AS BIGINT) AS nbytes
+FROM f GROUP BY conv_id, date_trunc('minute', ts)
+"""
+
+    o["tfgroup_minute_counts"] = f"""
+WITH {_T_CTE},
+t AS (SELECT * FROM transcripts WHERE conv_id IN {_SUBSET_SQL}),
+m AS (SELECT date_trunc('minute', ts) AS minute, count(*) AS n FROM t GROUP BY 1),
+b AS (SELECT min(minute) AS mn, max(minute) AS mx FROM m),
+s AS (SELECT unnest(generate_series(mn, mx, interval 1 minute)) AS minute FROM b)
+SELECT s.minute AS minute, CAST(coalesce(m.n, 0) AS BIGINT) AS n
+FROM s LEFT JOIN m ON s.minute = m.minute
+"""
+
+    o["sessionize"] = f"""
+WITH {_T_CTE},
+x AS (
+  SELECT conv_id, ts, turn_idx,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM transcripts
+),
+y AS (
+  SELECT conv_id, ts,
+         CAST(sum(brk) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM x
+)
+SELECT conv_id, session_id, count(*) AS turns,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM y GROUP BY conv_id, session_id
+"""
+
+    o["retention_1m"] = f"""
+WITH {_T_CTE},
+t AS (SELECT * FROM transcripts WHERE conv_id IN {_SUBSET_SQL}),
+m AS (
+  SELECT conv_id, date_trunc('minute', ts) AS bucket, count(*) AS turns
+  FROM t GROUP BY 1, 2
+),
+mx AS (SELECT max(ts) AS mts FROM transcripts)
+SELECT conv_id, count(*) AS kept_buckets, CAST(sum(turns) AS BIGINT) AS kept_turns
+FROM m, mx
+WHERE CAST(bucket AS DATE) >= CAST(mts AS DATE) - 7
+GROUP BY conv_id
+"""
+
+    o["token_stats_by_lang"] = """
+SELECT lang, count(*) AS docs,
+       CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS tokens,
+       CAST(sum(length(text)) AS BIGINT) AS chars
+FROM documents GROUP BY lang
+"""
+
+    o["doc_quality"] = """
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+       CAST((length(' ' || text || ' ')
+             - length(replace(' ' || text || ' ', ' the ', ' '))) / 4 AS BIGINT)
+         AS stop_hits,
+       CAST((length(' ' || text || ' ')
+             - length(replace(' ' || text || ' ', ' the ', ' '))) / 4 AS BIGINT)
+         / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+         AS stop_ratio
+FROM documents
+"""
+
+    hits = {
+        L: f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', ' '))) / {len(w) + 1} AS BIGINT)"
+        for L, w in [("en", "the"), ("de", "der"), ("fr", "le"), ("es", "el")]
+    }
+    o["lang_id"] = f"""
+SELECT doc_id, lang,
+  CASE
+    WHEN {hits['en']} > 0
+         AND {hits['en']} >= {hits['de']}
+         AND {hits['en']} >= {hits['fr']}
+         AND {hits['en']} >= {hits['es']} THEN 'en'
+    WHEN {hits['de']} > 0
+         AND {hits['de']} >= {hits['fr']}
+         AND {hits['de']} >= {hits['es']} THEN 'de'
+    WHEN {hits['fr']} > 0
+         AND {hits['fr']} >= {hits['es']} THEN 'fr'
+    WHEN {hits['es']} > 0 THEN 'es'
+    ELSE 'und'
+  END AS pred_lang
+FROM documents
+"""
+
+    o["doc_fingerprint"] = """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+    o["exact_dedup_docs"] = """
+SELECT doc_id FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (
+    PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+    o["jaccard_pairs"] = """
+WITH tok AS (
+  SELECT DISTINCT doc_id AS id, unnest(string_split(lower(trim(text)), ' ')) AS w
+  FROM documents
+),
+sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT inter.id_a AS id_a, inter.id_b AS id_b,
+       CAST(i AS BIGINT) / CAST(sa.n + sb.n - i AS BIGINT) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = inter.id_a
+JOIN sizes sb ON sb.id = inter.id_b
+WHERE CAST(i AS BIGINT) / CAST(sa.n + sb.n - i AS BIGINT) >= 0.5
+"""
+
+    o["ann_topk"] = """
+WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    CAST(list_sum(list_transform(list_zip(embedding, q),
+      x -> CAST(floor(CAST(x[1] AS DOUBLE) * 1048576) AS BIGINT)
+         * CAST(floor(CAST(x[2] AS DOUBLE) * 1048576) AS BIGINT))) AS BIGINT) AS dot,
+    CAST(list_sum(list_transform(list_zip(embedding, embedding),
+      x -> CAST(floor(CAST(x[1] AS DOUBLE) * 1048576) AS BIGINT)
+         * CAST(floor(CAST(x[2] AS DOUBLE) * 1048576) AS BIGINT))) AS BIGINT) AS vn,
+    CAST(list_sum(list_transform(list_zip(q, q),
+      x -> CAST(floor(CAST(x[1] AS DOUBLE) * 1048576) AS BIGINT)
+         * CAST(floor(CAST(x[2] AS DOUBLE) * 1048576) AS BIGINT))) AS BIGINT) AS qn
+  FROM embeddings, qv WHERE vec_id <> 0
+)
+SELECT vec_id, dot / sqrt(CAST(qn AS DOUBLE) * CAST(vn AS DOUBLE)) AS cosine
+FROM scored
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+    return o

@@ -1,0 +1,50 @@
+"""SparkSession builder tuned for the rollup engine.
+
+Scale posture (targets a 1000-executor cluster at ~100 TB; tested on
+local[N]): AQE on with skew-join handling (hot conversations), Arrow-batched
+Python UDFs only (no per-row Python anywhere in this engine), UTC session
+timezone so bucket boundaries are deterministic and match the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    cores: int | None = None,
+    app_name: str = "tmframe_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession.
+
+    cores=None uses local[*]. shuffle_partitions defaults to 2x cores on
+    local mode — at cluster scale this would come from AQE's coalescing with
+    a much higher initial partition count.
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        cores = int(env) if env else None
+    master = f"local[{cores}]" if cores else "local[*]"
+    ncores = cores or (os.cpu_count() or 8)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * ncores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # local mode: keep the driver honest about memory-bounded shuffles
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

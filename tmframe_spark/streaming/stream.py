@@ -1,0 +1,77 @@
+"""Structured Streaming tier: incremental rollup + watermarked dedup.
+
+The reference's streaming story is fsnotify file-tailing (tfcat -f,
+cmd/tfcat/tfcat.go:119-162) and a NATS-fed archiver (archiver/filemgr.go);
+out-of-order data is fixed offline by tfsort, not by watermarks. The Spark
+analog is the file/parquet streaming source with event-time watermarks:
+
+- stream_rollup: readStream -> window(ts, tier) aggregate with a watermark
+  (late turns beyond the watermark are dropped, matching a bounded-lateness
+  contract the reference never had).
+- stream_dedup: dropDuplicatesWithinWatermark on the frame content hash —
+  the streaming analog of the count-window dedup (state is bounded by the
+  watermark horizon instead of a frame count).
+
+Batch tests drive these with trigger(availableNow=True) against a temp
+directory — the same code would run against a live landing zone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TIER_WINDOW = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, schema, max_files: int = 64
+) -> DataFrame:
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def stream_rollup(
+    stream: DataFrame, tier: str = "1m", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Incremental per-conversation rollup with event-time watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col("conv_id"), F.window("ts", TIER_WINDOW[tier]).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("turns"),
+            F.sum(F.length("text")).alias("token_volume"),
+            F.count("tool").alias("tool_calls"),
+        )
+        .select(
+            "conv_id", F.col("w.start").alias("bucket"), "turns", "token_volume", "tool_calls"
+        )
+    )
+
+
+def stream_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked streaming dedup keyed by content (conv_id, role, text,
+    tool) — state bounded by the watermark horizon."""
+    keyed = stream.withColumn(
+        "content_key",
+        F.xxhash64("conv_id", "role", "text", F.coalesce("tool", F.lit(""))),
+    )
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_key"]
+    )
+
+
+def run_available_now(stream_df: DataFrame, checkpoint: str, out_path: str) -> None:
+    """Drain everything currently available (batch-style streaming run)."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint)
+        .option("path", out_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,98 @@
+"""Text analysis for training-data pipelines: tokens, quality, lang-id,
+fingerprints. All JVM-side built-ins (whole-stage codegen) — no Python UDFs
+in any of these hot paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword markers for the n-gram/lexicon heuristic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "la", "et"],
+    "es": ["el", "los", "que"],
+}
+
+
+def token_count(col) -> "F.Column":
+    """Whitespace tokenization count, codegen-friendly:
+    0 for blank text, else #whitespace-runs + 1."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col) -> "F.Column":
+    """A BPE-ish proxy: split on word boundaries/punctuation so punctuation
+    and camel-case fragments count separately (regex, still JVM-side)."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.filter(F.split(t, r"[\s]+|(?=[^\w\s])|(?<=[^\w\s])"), lambda x: F.length(x) > 0))
+    )
+
+
+def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """Adds n_tokens, n_chars, punct_chars, stopword_hits, quality_score."""
+    c = F.col(col)
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    stop = F.size(
+        F.filter(F.split(F.lower(c), r"\s+"), lambda w: w.isin("the", "a", "and", "of"))
+    )
+    n_tok = token_count(c)
+    # quality: bounded composite of length, punctuation restraint, stopword
+    # presence — the classic cheap pre-filter for web-scale corpora
+    quality = F.round(
+        F.least(F.lit(1.0), n_tok / F.lit(64.0)) * 0.5
+        + F.when(n_tok > 0, F.least(F.lit(1.0), stop * F.lit(8.0) / n_tok) * 0.3).otherwise(0.0)
+        + F.when(F.length(c) > 0, (F.lit(1.0) - F.least(F.lit(1.0), punct * F.lit(4.0) / F.length(c))) * 0.2).otherwise(0.0),
+        6,
+    )
+    return (
+        df.withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn("n_chars_calc", F.length(c).cast("long"))
+        .withColumn("punct_chars", punct.cast("long"))
+        .withColumn("stopword_hits", stop.cast("long"))
+        .withColumn("quality_score", quality)
+    )
+
+
+def lang_id(df: DataFrame, col: str = "text", out: str = "pred_lang") -> DataFrame:
+    """Marker-lexicon language ID: count per-language stopword hits over the
+    token array, argmax with deterministic tie order (en<de<fr<es<und)."""
+    words = F.split(F.lower(F.col(col)), r"\s+")
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        s = F.size(F.filter(words, lambda w: w.isin(*markers)))
+        scores.append((lang, s))
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang, s in reversed(scores):
+        best = F.when(s > best_score, F.lit(lang)).otherwise(best)
+        best_score = F.greatest(s, best_score)
+    # reversed() + strict > gives first-listed language priority on ties
+    return df.withColumn(out, best)
+
+
+def fingerprint(df: DataFrame, col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (lowercased,
+    whitespace-collapsed). A content-identity key for exact dedup that is
+    robust to whitespace/case jitter."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+    return df.withColumn(out, F.md5(norm))
+
+
+def rolling_fingerprints(df: DataFrame, col: str = "text", k: int = 5) -> DataFrame:
+    """Winnowing-style shingle fingerprints: xxhash64 of each k-word shingle
+    (JVM-side: split -> transform over index range -> concat_ws -> xxhash64).
+    Explodes to one row per shingle."""
+    words = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, k)))
+    )
+    return df.withColumn("shingle_hash", F.explode(shingles))

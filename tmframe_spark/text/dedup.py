@@ -1,0 +1,164 @@
+"""Near-duplicate detection for document corpora at 100 TB scale.
+
+- exact_dedup: hash-groupBy first-occurrence (one shuffle).
+- jaccard_pairs: EXACT token-set Jaccard over candidate pairs that share at
+  least one token (the verification oracle; SQL-expressible).
+- minhash_lsh_pairs: MinHash + banded LSH — the scale path. Shingle ->
+  K min-hashes via K seeded xxhash64 (all JVM-side) -> B bands of R rows ->
+  bucket-join on (band, band-signature) -> exact-verify candidates. Only
+  near-duplicates ever meet in a shuffle; the full O(n^2) pair space is
+  never materialized.
+- simhash64: 64-bit SimHash over token hashes via bit-vote aggregation
+  (JVM-side bit arithmetic; hamming-distance buckets give another
+  near-dup family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(col, distinct: bool = True):
+    t = F.split(F.lower(F.trim(col)), r"\s+")
+    return F.array_distinct(t) if distinct else t
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id row per exact (normalized) text."""
+    from pyspark.sql.window import Window
+
+    norm = F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+    w = Window.partitionBy(norm).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """Exact token-set Jaccard for every pair sharing >= 1 token.
+
+    Output: id_a, id_b (a<b), jaccard (rounded to 6dp). The intersection
+    count comes from a self-join on exploded distinct tokens — at corpus
+    scale the hot tokens must be stop-word-filtered or df-capped first; this
+    exact form is the small-scale verification oracle for the LSH path.
+    """
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w"))
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    j = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            # one IEEE division of exact integers — bit-identical across
+            # engines/partitionings (no round(), which differs in tie mode)
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return j.select("id_a", "id_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 64
+) -> DataFrame:
+    """K-permutation MinHash signature per doc, entirely JVM-side:
+    min over the token array of xxhash64(token, seed_i) for each i."""
+    tok = tokens(F.col(text_col))
+    sig = F.array(
+        *[F.array_min(F.transform(tok, lambda w: F.xxhash64(w, F.lit(i)))) for i in range(k)]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH candidate generation + exact MinHash-estimate filter.
+
+    bands of r = k/bands rows: a pair becomes a candidate iff some band's
+    signature slice matches exactly (bucket join on the band hash — the only
+    shuffle is by bucket, never all-pairs). Output: id_a, id_b,
+    est_jaccard (= matching minhash fraction).
+    """
+    r = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, k).persist()
+    band_rows = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("sig", bi * r + j + 1).cast("string") for j in range(r)])
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    ) / F.lit(float(k))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: per-bit majority vote over token xxhash64 values.
+
+    All JVM-side: explode tokens -> for each bit, sum(+-1 by bit value) ->
+    reassemble the sign vector into an int64.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("id", sim.alias("simhash"))
