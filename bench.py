@@ -1,0 +1,118 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+ "sf": ..., plus points/sec detail for the flagship rollup+encode}.
+
+Scaling evidence (BASELINE.md protocol) is produced by scripts/scaling.py,
+which runs the flagship at two parallelism levels in fresh JVMs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def flagship_points(spark, sf_dir: str) -> int:
+    """Full rollup cascade: gap-filled 1m + 1h + 1d tiers, every tier packed
+    into delta-of-delta/Gorilla TMFRAME blocks, plus a decode-verify sample.
+    Returns total rolled-up points materialized+encoded."""
+    from tmframe_spark.codec.udfs import pack_rollup_blocks, unpack_blocks
+    from tmframe_spark.data.transcripts import load_transcripts
+    from tmframe_spark.ops.rollup import cascade_up, rollup, with_ts_ns
+
+    t = with_ts_ns(load_transcripts(spark, sf_dir))
+    # persist the data-sized 1m rollup: it feeds all three tiers (without it
+    # the scan + derivation runs 3x). Gap-filled spine rows never exist as
+    # rows at all — pack_rollup_blocks synthesizes them inside the UDF
+    # (byte-identical to gap_fill->pack_blocks; tests/test_pack_fused.py).
+    m_data = rollup(t, "1m").persist()
+    h_data = cascade_up(m_data, "1h")
+    tiers = {
+        ("1m", "day"): m_data,
+        ("1h", "month"): h_data,
+        ("1d", "year"): cascade_up(h_data, "1d"),
+    }
+    all_blocks = None
+    sample_blocks = None
+    for (tier, unit), df in tiers.items():
+        blocks = pack_rollup_blocks(df, tier, unit).withColumn("tier", F.lit(tier))
+        all_blocks = blocks if all_blocks is None else all_blocks.unionByName(blocks)
+        if tier == "1d":
+            sample_blocks = blocks
+    # one action for all three tiers (fewer driver round-trips)
+    total = int(all_blocks.agg(F.sum("n_points")).collect()[0][0] or 0)
+    # decode-verify sample: smallest tier decoded end-to-end
+    decoded = unpack_blocks(sample_blocks, ["conv_id", "grp"], v0="v0", v1="v1").count()
+    assert decoded > 0
+    m_data.unpersist()
+    return total
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Representative operator set beyond the flagship."""
+    from tmframe_spark import queries as Q
+
+    names = [
+        "asof_last_at_or_before",
+        "hash_dedup",
+        "merge_rank",
+        "tfgroup_minute_counts",
+        "minhash_lsh_pairs",
+        "simhash",
+        "ann_topk",
+        "token_stats_by_lang",
+        "sessionize",
+    ]
+    out = {}
+    reg = Q.queries()
+    for name in names:
+        t0 = time.time()
+        reg[name](spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from tmframe_spark.session import get_spark
+
+    spark = get_spark(cores=cpus, shuffle_partitions=2 * cpus, app_name="tmframe-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = -1.0
+
+    t0 = time.time()
+    points = flagship_points(spark, sf_dir)
+    flagship_sec = round(time.time() - t0, 3)
+
+    queries = {"flagship_rollup_pack_3tiers": flagship_sec}
+    queries.update(bench_queries(spark, sf_dir))
+    total = round(sum(queries.values()), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "rolled-up points/sec (encode+aggregate) across 1m/1h/1d tiers",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cpus": cpus,
+                "rolled_points": points,
+                "points_per_sec": round(points / flagship_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

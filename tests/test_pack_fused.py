@@ -1,0 +1,43 @@
+"""pack_rollup_blocks (fused in-UDF gap-fill) must produce byte-identical
+blocks to the compositional gap_fill() -> pack_blocks() path, for every tier
+and group unit used by the flagship."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tmframe_spark.codec.udfs import pack_blocks, pack_rollup_blocks
+from tmframe_spark.data.transcripts import load_transcripts
+from tmframe_spark.ops.rollup import cascade_up, gap_fill, rollup, with_ts_ns
+
+
+def blocks_dict(df, grp_col):
+    return {
+        (r["conv_id"], r[grp_col]): (bytes(r["frame"]), r["n_points"])
+        for r in df.collect()
+    }
+
+
+def compositional(tier_df, tier, unit):
+    g = gap_fill(tier_df, tier)
+    pts = g.select(
+        "conv_id",
+        F.date_trunc(unit, "bucket").alias("grp"),
+        F.expr("(unix_micros(cast(bucket as timestamp)) * 1000) & -8").alias("ts_ns"),
+        F.col("token_volume").cast("double").alias("v0"),
+        F.col("turns").cast("long").alias("v1"),
+    )
+    return pack_blocks(pts, ["conv_id", "grp"], v0="v0", v1="v1")
+
+
+def test_fused_equals_compositional_all_tiers(spark):
+    t = with_ts_ns(load_transcripts(spark, SF_DIR))
+    m = rollup(t, "1m").persist()
+    h = cascade_up(m, "1h")
+    d = cascade_up(h, "1d")
+    for tier_df, tier, unit in [(m, "1m", "day"), (h, "1h", "month"), (d, "1d", "year")]:
+        fused = blocks_dict(pack_rollup_blocks(tier_df, tier, unit), "grp")
+        comp = blocks_dict(compositional(tier_df, tier, unit), "grp")
+        assert set(fused) == set(comp), f"{tier}: group keys differ"
+        bad = [k for k in comp if fused[k] != comp[k]]
+        assert not bad, f"{tier}: {len(bad)} blocks differ, e.g. {bad[:3]}"
+    m.unpersist()

@@ -1,0 +1,87 @@
+"""MinHash-LSH vs exact shingle Jaccard: recall + estimate sanity, and
+SimHash similarity properties, on data with planted near-duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tmframe_spark.text.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash64,
+)
+
+WORDS = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima".split()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # 30 base docs of 40 words; each gets a near-dup (one word changed) and
+    # an exact dup; plus unrelated docs
+    rows = []
+    did = 0
+    for b in range(30):
+        # lead with a unique marker so base docs never collide across groups
+        base = [f"doc{b}"] + [WORDS[(b * 7 + i * 3) % len(WORDS)] for i in range(40)]
+        rows.append((did, " ".join(base))); did += 1
+        near = list(base); near[5] = "zulu"
+        rows.append((did, " ".join(near))); did += 1
+        rows.append((did, " ".join(base))); did += 1  # exact dup
+    return spark.createDataFrame(rows, "doc_id long, text string").persist()
+
+
+def test_lsh_recall_vs_exact(docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, "doc_id", threshold=0.7, shingle_k=3).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", threshold=0.5, shingle_k=3).collect()
+    }
+    assert exact, "planted near-dups must produce exact pairs"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9"
+
+
+def test_minhash_estimate_close_to_exact(docs):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, "doc_id", threshold=0.05, shingle_k=3).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, "doc_id", threshold=0.3, shingle_k=3).collect()
+    }
+    both = set(exact) & set(est)
+    assert both
+    for k in both:
+        assert abs(exact[k] - est[k]) < 0.25, f"{k}: exact {exact[k]} vs est {est[k]}"
+
+
+def test_exact_dup_pairs_have_jaccard_1(docs):
+    ones = [
+        r
+        for r in jaccard_pairs(docs, "doc_id", threshold=0.999, shingle_k=3).collect()
+    ]
+    assert len(ones) >= 30  # each base/exact-dup pair
+
+
+def test_simhash_near_dups_have_small_hamming(docs, spark):
+    sh = {r["id"]: r["simhash"] for r in simhash64(docs, "doc_id").collect()}
+    # exact dup -> identical simhash; near dup -> small hamming distance
+    for b in range(30):
+        base_id, near_id, dup_id = 3 * b, 3 * b + 1, 3 * b + 2
+        assert sh[base_id] == sh[dup_id]
+        ham = bin((sh[base_id] ^ sh[near_id]) & ((1 << 64) - 1)).count("1")
+        # ~13 distinct tokens vote per bit, so margins are tiny and one
+        # changed word can flip a fair number of bits; << 32 (random) is
+        # the meaningful property
+        assert ham <= 24, f"near-dup hamming {ham} too large"
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    kept = {r["doc_id"] for r in exact_dedup(docs, "doc_id").collect()}
+    for b in range(30):
+        assert 3 * b in kept and 3 * b + 2 not in kept  # dup dropped
+        assert 3 * b + 1 in kept  # near-dup kept (not exact)

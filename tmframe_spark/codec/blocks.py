@@ -83,6 +83,24 @@ class _BitWriter:
             self.out.append((self.acc >> self.nbits) & 0xFF)
         self.acc &= (1 << self.nbits) - 1
 
+    def write_zero_bits(self, n: int) -> None:
+        """Append n '0' bits in O(n/8) — the fast path for the runs of
+        dod==0 / xor==0 records that dominate gap-filled rollup blocks."""
+        if self.nbits:
+            fill = 8 - self.nbits
+            if n < fill:
+                self.acc <<= n
+                self.nbits += n
+                return
+            self.out.append((self.acc << fill) & 0xFF)
+            n -= fill
+            self.acc = 0
+            self.nbits = 0
+        nfull, rem = n >> 3, n & 7
+        if nfull:
+            self.out.extend(b"\x00" * nfull)
+        self.nbits = rem
+
     def finish(self) -> bytes:
         if self.nbits:
             self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
@@ -109,6 +127,25 @@ class _BitReader:
         v = (self.acc >> self.nbits) & ((1 << nbits) - 1)
         self.acc &= (1 << self.nbits) - 1
         return v
+
+    def zero_run(self, max_n: int):
+        """Consume up to max_n consecutive '0' bits. Returns (n, hit_one):
+        hit_one means a terminating '1' bit was ALSO consumed. Whole zero
+        bytes are skipped in O(1) each — decode twin of write_zero_bits."""
+        n = 0
+        buf, ln = self.buf, len(self.buf)
+        while n < max_n:
+            if self.nbits == 0:
+                while n + 8 <= max_n and self.pos < ln and buf[self.pos] == 0:
+                    self.pos += 1
+                    n += 8
+                if n >= max_n:
+                    return n, False
+            if self.read(1) == 0:
+                n += 1
+            else:
+                return n, True
+        return n, False
 
 
 def _clz64(x: np.ndarray) -> np.ndarray:
@@ -156,27 +193,22 @@ def _encode_dod_stream(w: _BitWriter, vals: np.ndarray) -> None:
     dods[0] = deltas[0]
     dods[1:] = deltas[1:] - deltas[:-1]
     payload_bits = _dod_class(dods)
-    dods_py = dods.tolist()
-    pb_py = payload_bits.tolist()
+    # run-length the dod==0 records (one '0' bit each); loop only over the
+    # nonzero-class records
+    nz = np.flatnonzero(payload_bits)
+    prefix_for = {7: (0b10, 2), 12: (0b110, 3), 18: (0b1110, 4), 32: (0b11110, 5), 64: (0b11111, 5)}
     write = w.write
-    for dod, pb in zip(dods_py, pb_py):
-        if pb == 0:
-            write(0, 1)
-        elif pb == 7:
-            write(0b10, 2)
-            write(dod, 7)
-        elif pb == 12:
-            write(0b110, 3)
-            write(dod, 12)
-        elif pb == 18:
-            write(0b1110, 4)
-            write(dod, 18)
-        elif pb == 32:
-            write(0b11110, 5)
-            write(dod, 32)
-        else:
-            write(0b11111, 5)
-            write(dod, 64)
+    zeros = w.write_zero_bits
+    prev = 0
+    for p, dod, pb in zip(nz.tolist(), dods[nz].tolist(), payload_bits[nz].tolist()):
+        if p > prev:
+            zeros(p - prev)
+        pre, plen = prefix_for[pb]
+        write(pre, plen)
+        write(dod, pb)
+        prev = p + 1
+    if len(dods) > prev:
+        zeros(len(dods) - prev)
 
 
 def _sign_extend(v: int, nbits: int) -> int:
@@ -192,10 +224,21 @@ def _decode_dod_stream(r: _BitReader, count: int) -> np.ndarray:
     prev = int(out[0])
     delta = 0
     read = r.read
-    for i in range(1, count):
+    i = 1
+    while i < count:
+        run, hit_one = r.zero_run(count - i)
+        if run:
+            # dod==0 records: arithmetic progression, vectorized
+            if delta == 0:
+                out[i : i + run] = prev
+            else:
+                seg = prev + delta * np.arange(1, run + 1, dtype=_I64)
+                out[i : i + run] = seg
+                prev = int(seg[-1])
+            i += run
+        if not hit_one:
+            continue
         if read(1) == 0:
-            dod = 0
-        elif read(1) == 0:
             dod = _sign_extend(read(7), 7)
         elif read(1) == 0:
             dod = _sign_extend(read(12), 12)
@@ -208,6 +251,7 @@ def _decode_dod_stream(r: _BitReader, count: int) -> np.ndarray:
         delta += dod
         prev += delta
         out[i] = prev
+        i += 1
     return out
 
 
@@ -218,18 +262,18 @@ def _encode_xor_stream(w: _BitWriter, vals: np.ndarray) -> None:
     if len(bits) == 1:
         return
     xors = bits[1:] ^ bits[:-1]
-    lzs = np.minimum(_clz64(xors), 63)  # 6-bit field
-    tzs = _ctz64(xors)
-    xors_py = xors.tolist()
-    lz_py = lzs.tolist()
-    tz_py = tzs.tolist()
+    nz = np.flatnonzero(xors)
+    lzs = np.minimum(_clz64(xors[nz]), 63)  # 6-bit field
+    tzs = _ctz64(xors[nz])
     prev_lz = -1
     prev_tz = -1
     write = w.write
-    for x, lz, tz in zip(xors_py, lz_py, tz_py):
-        if x == 0:
-            write(0, 1)
-            continue
+    zeros = w.write_zero_bits
+    prev = 0
+    for p, x, lz, tz in zip(nz.tolist(), xors[nz].tolist(), lzs.tolist(), tzs.tolist()):
+        if p > prev:
+            zeros(p - prev)
+        prev = p + 1
         if prev_lz >= 0 and lz >= prev_lz and tz >= prev_tz:
             write(0b10, 2)
             write(x >> prev_tz, 64 - prev_lz - prev_tz)
@@ -240,6 +284,8 @@ def _encode_xor_stream(w: _BitWriter, vals: np.ndarray) -> None:
             write(mlen - 1, 6)
             write(x >> tz, mlen)
             prev_lz, prev_tz = lz, tz
+    if len(xors) > prev:
+        zeros(len(xors) - prev)
 
 
 def _decode_xor_stream(r: _BitReader, count: int) -> np.ndarray:
@@ -249,9 +295,13 @@ def _decode_xor_stream(r: _BitReader, count: int) -> np.ndarray:
     prev_lz = -1
     prev_tz = -1
     read = r.read
-    for i in range(1, count):
-        if read(1) == 0:
-            out[i] = prev
+    i = 1
+    while i < count:
+        run, hit_one = r.zero_run(count - i)
+        if run:
+            out[i : i + run] = prev  # xor==0 records repeat the value
+            i += run
+        if not hit_one:
             continue
         if read(1) == 0:
             mlen = 64 - prev_lz - prev_tz
@@ -264,6 +314,7 @@ def _decode_xor_stream(r: _BitReader, count: int) -> np.ndarray:
             prev_lz, prev_tz = lz, tz
         prev ^= x
         out[i] = prev
+        i += 1
     return out.view(np.float64)
 
 

@@ -59,6 +59,14 @@ def pack_blocks(
     raw_nbytes (pre-compression TMFRAME wire cost floor), frame (binary:
     the marshalled EV_BLOCK UDE frame whose payload is the compressed
     block).
+
+    Plan shape: repartition(keys) + sortWithinPartitions(keys, ts, seq) +
+    a *streaming* mapInPandas group packer (pandas work per Arrow batch,
+    not per group; groups spanning batches are buffered). This is ~10x
+    faster than groupBy().applyInPandas() for small groups — the per-group
+    pandas DataFrame construction dominates there — while keeping identical
+    group semantics (hash partition on the full key co-locates groups) and
+    identical bytes (rows sorted by (ts, seq) inside each group).
     """
     out_schema = StructType(
         _key_fields(df, keys)
@@ -70,30 +78,185 @@ def pack_blocks(
             StructField("frame", BinaryType()),
         ]
     )
-    sort_cols = [ts_ns] + ([seq] if seq else [])
     has_v0, has_v1 = v0 is not None, v1 is not None
     # wire cost floor per point if stored as individual frames:
     # Two64=24B, OneFloat64/OneInt64=16B, Zero=8B (frame.go:185-212)
     per_point_raw = 8 + (8 if has_v0 else 0) + (8 if has_v1 else 0)
+    sort_cols = list(keys) + [ts_ns] + ([seq] if seq else [])
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        ts = pdf[ts_ns].to_numpy(np.int64)
-        a0 = pdf[v0].to_numpy(np.float64) if has_v0 else None
-        a1 = pdf[v1].to_numpy(np.int64) if has_v1 else None
-        block = encode_block(ts, a0, a1)
-        fr = make_frames([int(ts[0])], [EV_BLOCK], data=[block])
-        row = {k: pdf[k].iloc[0] for k in keys}
-        row.update(
-            n_points=len(ts),
-            ts_first=int(ts[0]),
-            ts_last=int(ts[-1]),
-            raw_nbytes=per_point_raw * len(ts),
-            frame=marshal_frames(fr),
+    def emit(pdf: pd.DataFrame, starts: np.ndarray, ends: np.ndarray) -> pd.DataFrame:
+        ts_all = pdf[ts_ns].to_numpy(np.int64)
+        a0_all = pdf[v0].to_numpy(np.float64) if has_v0 else None
+        a1_all = pdf[v1].to_numpy(np.int64) if has_v1 else None
+        out = {k: pdf[k].to_numpy()[starts] for k in keys}
+        n_points, ts_first, ts_last, frames_out = [], [], [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            ts = ts_all[s:e]
+            block = encode_block(
+                ts,
+                a0_all[s:e] if has_v0 else None,
+                a1_all[s:e] if has_v1 else None,
+            )
+            fr = make_frames([int(ts[0])], [EV_BLOCK], data=[block])
+            frames_out.append(marshal_frames(fr))
+            n_points.append(e - s)
+            ts_first.append(int(ts[0]))
+            ts_last.append(int(ts[-1]))
+        out.update(
+            n_points=n_points,
+            ts_first=ts_first,
+            ts_last=ts_last,
+            raw_nbytes=[per_point_raw * n for n in n_points],
+            frame=frames_out,
         )
-        return pd.DataFrame([row])
+        return pd.DataFrame(out)
 
-    return df.groupBy(*keys).applyInPandas(fn, out_schema)
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # streaming group packer: rows arrive sorted by (keys..., ts, seq)
+        # within the partition; groups spanning Arrow batches are buffered.
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            kdf = pdf[list(keys)]
+            change = kdf.ne(kdf.shift()).any(axis=1).to_numpy()
+            change[0] = True
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(pdf))
+            # last group may continue in the next batch — hold it back
+            carry = pdf.iloc[starts[-1] :].reset_index(drop=True)
+            if len(starts) > 1:
+                yield emit(pdf, starts[:-1], ends[:-1])
+        if carry is not None and len(carry):
+            yield emit(carry, np.array([0]), np.array([len(carry)]))
+
+    part = df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(*sort_cols)
+    return part.mapInPandas(fn, out_schema)
+
+
+#: tier -> bucket step in nanoseconds
+TIER_STEP_NS = {"1m": 60_000_000_000, "1h": 3_600_000_000_000, "1d": 86_400_000_000_000}
+#: block group unit per tier -> numpy datetime64 trunc code
+GROUP_UNIT_CODE = {"day": "D", "month": "M", "year": "Y"}
+
+
+def pack_rollup_blocks(
+    rolled: DataFrame,
+    tier: str,
+    group_unit: str = "day",
+    v0: str = "token_volume",
+    v1: str = "turns",
+) -> DataFrame:
+    """Fused gap-fill + block-pack: the flagship's scale path.
+
+    Takes the *data-sized* rollup (one row per non-empty (conv, bucket)) and
+    synthesizes each conversation's zero-filled bucket spine INSIDE the UDF
+    (numpy arange + scatter), then encodes one block per (conv, group_unit)
+    — including all-zero blocks for empty days within the conv's lifespan.
+
+    Produces byte-identical blocks to gap_fill() -> pack_blocks() (asserted
+    in tests), but the shuffle carries only data rows: at a sparse
+    10^12-turn table the spine is easily 100x the data, so this is the
+    difference between shuffling 100 TB and shuffling 1 TB. The spine only
+    ever exists as a numpy array inside one executor task, bounded by the
+    conv's retention window.
+    """
+    step = TIER_STEP_NS[tier]
+    unit = GROUP_UNIT_CODE[group_unit]
+    out_schema = StructType(
+        [
+            rolled.schema["conv_id"],
+            StructField("grp", rolled.schema["bucket"].dataType),
+            StructField("n_points", LongType()),
+            StructField("ts_first", LongType()),
+            StructField("ts_last", LongType()),
+            StructField("raw_nbytes", LongType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+    pts = rolled.select(
+        "conv_id",
+        F.expr("(unix_micros(cast(bucket as timestamp)) * 1000) & -8").alias("_ts"),
+        F.col(v0).cast("double").alias("_v0"),
+        F.col(v1).cast("long").alias("_v1"),
+    )
+
+    def pack_conv(conv, ts, a0, a1):
+        spine = np.arange(ts[0], ts[-1] + step, step, dtype=np.int64)
+        idx = (ts - ts[0]) // step
+        s0 = np.zeros(len(spine), dtype=np.float64)
+        s1 = np.zeros(len(spine), dtype=np.int64)
+        s0[idx] = a0
+        s1[idx] = a1
+        grp = spine.view("datetime64[ns]").astype(f"datetime64[{unit}]")
+        change = np.empty(len(spine), dtype=bool)
+        change[0] = True
+        np.not_equal(grp[1:], grp[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(spine))
+        rows = []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            block = encode_block(spine[s:e], s0[s:e], s1[s:e])
+            fr = make_frames([int(spine[s])], [EV_BLOCK], data=[block])
+            rows.append(
+                (
+                    conv,
+                    grp[s].astype("datetime64[us]"),
+                    e - s,
+                    int(spine[s]),
+                    int(spine[e - 1]),
+                    24 * (e - s),
+                    marshal_frames(fr),
+                )
+            )
+        return rows
+
+    cols = ["conv_id", "grp", "n_points", "ts_first", "ts_last", "raw_nbytes", "frame"]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            conv = pdf["conv_id"].to_numpy()
+            change = np.empty(len(conv), dtype=bool)
+            change[0] = True
+            np.not_equal(conv[1:], conv[:-1], out=change[1:])
+            starts = np.flatnonzero(change)
+            carry = pdf.iloc[starts[-1] :].reset_index(drop=True)
+            if len(starts) == 1:
+                continue
+            ts = pdf["_ts"].to_numpy(np.int64)
+            a0 = pdf["_v0"].to_numpy(np.float64)
+            a1 = pdf["_v1"].to_numpy(np.int64)
+            rows = []
+            ends = np.append(starts[1:], len(pdf))
+            for s, e in zip(starts[:-1].tolist(), ends[:-1].tolist()):
+                rows.extend(pack_conv(conv[s], ts[s:e], a0[s:e], a1[s:e]))
+            out = pd.DataFrame(rows, columns=cols)
+            out["grp"] = pd.to_datetime(out["grp"])
+            yield out
+        if carry is not None and len(carry):
+            out = pd.DataFrame(
+                pack_conv(
+                    carry["conv_id"].iloc[0],
+                    carry["_ts"].to_numpy(np.int64),
+                    carry["_v0"].to_numpy(np.float64),
+                    carry["_v1"].to_numpy(np.int64),
+                ),
+                columns=cols,
+            )
+            out["grp"] = pd.to_datetime(out["grp"])
+            yield out
+
+    part = pts.repartition(F.col("conv_id")).sortWithinPartitions("conv_id", "_ts")
+    return part.mapInPandas(fn, out_schema)
 
 
 def unpack_blocks(

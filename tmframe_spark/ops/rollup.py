@@ -84,21 +84,33 @@ def rollup(transcripts: DataFrame, tier: str = "1m", salt: int | None = None) ->
 
 def gap_fill(rolled: DataFrame, tier: str = "1m") -> DataFrame:
     """Emit zero rows for empty buckets inside each conversation's lifespan
-    (tfgroup's catch-up loop, generalized per conv and tier)."""
-    bounds = rolled.groupBy("conv_id").agg(
-        F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx")
-    )
-    spine = bounds.select(
+    (tfgroup's catch-up loop, cmd/tfgroup/tfgroup.go:65-71, generalized per
+    conv and tier).
+
+    Join-free plan: one window (lead) over the *data-sized* rolled relation
+    finds each gap, then sequence+explode generates the zero rows inline.
+    The shuffle never carries spine-sized data — at a sparse 10^12-turn
+    table the spine can be 100x the data, so spine-size shuffles (the naive
+    spine LEFT JOIN data plan) are the difference between minutes and hours.
+    """
+    from pyspark.sql.window import Window
+
+    iv = TIER_INTERVAL[tier]
+    w = Window.partitionBy("conv_id").orderBy("bucket")
+    with_next = rolled.withColumn("_next", F.lead("bucket").over(w))
+    gaps = with_next.where(
+        F.col("_next").isNotNull() & (F.col("_next") > F.expr(f"bucket + {iv}"))
+    ).select(
         "conv_id",
         F.explode(
-            F.sequence(F.col("_mn"), F.col("_mx"), F.expr(TIER_INTERVAL[tier]))
+            F.expr(f"sequence(bucket + {iv}, _next - {iv}, {iv})")
         ).alias("bucket"),
+        *[F.lit(0).cast("long").alias(c) for c in AGG_COLS],
     )
-    joined = spine.join(rolled, ["conv_id", "bucket"], "left")
-    zeroed = [
-        F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in AGG_COLS
-    ]
-    return joined.select("conv_id", "bucket", *zeroed)
+    base = with_next.select(
+        "conv_id", "bucket", *[F.col(c).cast("long").alias(c) for c in AGG_COLS]
+    )
+    return base.unionByName(gaps)
 
 
 def cascade_up(lower: DataFrame, tier: str) -> DataFrame:
@@ -113,16 +125,22 @@ def cascade_up(lower: DataFrame, tier: str) -> DataFrame:
 
 
 def rollup_tiers(transcripts: DataFrame, salt: int | None = None):
-    """The full cascade: returns {'1m': df, '1h': df, '1d': df}.
+    """The full cascade: returns {'1m': df, '1h': df, '1d': df}, each
+    gap-filled over its conversation lifespan.
 
-    1m is gap-filled; 1h/1d re-aggregate the gap-filled 1m tier, so a
-    conversation's zero-minutes roll up into (possibly zero) hour/day rows —
-    the retention tiers agree with each other by construction.
+    The cascade re-aggregates the *data-sized* tiers (no spine rows ever
+    enter a groupBy) and gap-fills each tier independently — provably equal
+    to cascading the gap-filled 1m tier (zero rows add nothing to sums, and
+    trunc(min/max) bucket ranges coincide), but the shuffles stay data-sized.
     """
-    m1 = gap_fill(rollup(transcripts, "1m", salt=salt), "1m")
-    h1 = cascade_up(m1, "1h")
-    d1 = cascade_up(h1, "1d")
-    return {"1m": m1, "1h": h1, "1d": d1}
+    m_data = rollup(transcripts, "1m", salt=salt)
+    h_data = cascade_up(m_data, "1h")
+    d_data = cascade_up(h_data, "1d")
+    return {
+        "1m": gap_fill(m_data, "1m"),
+        "1h": gap_fill(h_data, "1h"),
+        "1d": gap_fill(d_data, "1d"),
+    }
 
 
 def role_mix(transcripts: DataFrame, tier: str = "1h") -> DataFrame:

@@ -97,13 +97,12 @@ def q_rollup_1m_gapfill(spark, sf_dir):
 
 def q_rollup_1h_gapfill(spark, sf_dir):
     t = _t(spark, sf_dir)
-    return cascade_up(gap_fill(rollup(t, "1m"), "1m"), "1h")
+    return gap_fill(cascade_up(rollup(t, "1m"), "1h"), "1h")
 
 
 def q_rollup_1d(spark, sf_dir):
     t = _t(spark, sf_dir)
-    m = gap_fill(rollup(t, "1m"), "1m")
-    return cascade_up(cascade_up(m, "1h"), "1d")
+    return gap_fill(cascade_up(cascade_up(rollup(t, "1m"), "1h"), "1d"), "1d")
 
 
 def q_rollup_1m_salted(spark, sf_dir):

@@ -24,6 +24,20 @@ def tokens(col, distinct: bool = True):
     return F.array_distinct(t) if distinct else t
 
 
+def shingles(col, k: int = 3):
+    """Distinct k-word shingles (JVM-side transform over the token array).
+    k>=3 is the discriminative choice for near-dup detection — unigram sets
+    saturate on any corpus with a shared vocabulary."""
+    if k <= 1:
+        return tokens(col)
+    w = tokens(col, distinct=False)
+    n = F.size(w)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)))
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Keep the lowest-id row per exact (normalized) text."""
     from pyspark.sql.window import Window
@@ -34,7 +48,8 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", threshold: float = 0.5
+    df: DataFrame, id_col: str, text_col: str = "text", threshold: float = 0.5,
+    shingle_k: int = 1,
 ) -> DataFrame:
     """Exact token-set Jaccard for every pair sharing >= 1 token.
 
@@ -43,7 +58,9 @@ def jaccard_pairs(
     scale the hot tokens must be stop-word-filtered or df-capped first; this
     exact form is the small-scale verification oracle for the LSH path.
     """
-    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w"))
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), shingle_k)).alias("w")
+    )
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = tok.alias("a"), tok.alias("b")
     inter = (
@@ -68,15 +85,35 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str = "text", k: int = 64
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 64, shingle_k: int = 3
 ) -> DataFrame:
-    """K-permutation MinHash signature per doc, entirely JVM-side:
-    min over the token array of xxhash64(token, seed_i) for each i."""
-    tok = tokens(F.col(text_col))
-    sig = F.array(
-        *[F.array_min(F.transform(tok, lambda w: F.xxhash64(w, F.lit(i)))) for i in range(k)]
+    """K-permutation MinHash signature per doc, entirely JVM-side.
+
+    Shape matters: each shingle string is hashed ONCE (xxhash64), the K
+    permutations derive from that 8-byte value (xxhash64(h, i) — keyed
+    rehash of a long, far cheaper than K string hashes), and the per-doc
+    minima come from a hash aggregate with map-side partial combine. The
+    naive form — K array_min(transform(shingle_array)) lambdas — recomputes
+    the shingle construction K times per row and was 20x slower.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("s"),
+    ).withColumn("h", F.xxhash64("s"))
+    kh = tok.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)), lambda i: F.xxhash64(F.col("h"), i)
+            )
+        ).alias("i", "hi"),
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    per_perm = kh.groupBy("id", "i").agg(F.min("hi").alias("m"))
+    return per_perm.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda x: x["m"]
+        ).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -86,6 +123,7 @@ def minhash_lsh_pairs(
     k: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    shingle_k: int = 3,
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact MinHash-estimate filter.
 
@@ -95,23 +133,16 @@ def minhash_lsh_pairs(
     est_jaccard (= matching minhash fraction).
     """
     r = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, k).persist()
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_k).persist()
     band_rows = sigs.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.element_at("sig", bi * r + j + 1).cast("string") for j in range(r)])
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.concat_ws(",", F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string")))),
             )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+        ).alias("band", "bucket"),
+    )
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (
         a.join(
@@ -148,17 +179,12 @@ def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w")
     ).withColumn("h", F.xxhash64("w"))
-    votes = tok.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
+    g = tok.groupBy("id").agg(F.collect_list("h").alias("hs"))
+    # one higher-order expression (bit index is a lambda variable) instead of
+    # 64 unrolled aggregates — same codegen-size concern as minhash
+    sim = F.expr(
+        "aggregate(sequence(0, 63), 0L, (acc, i) -> acc | "
+        "  IF(aggregate(hs, 0L, (a, h) -> a + IF((shiftright(h, i) & 1) = 1, 1L, -1L)) > 0, "
+        "     shiftleft(1L, i), 0L))"
     )
-    sim = F.lit(0).cast("long")
-    for i in range(64):
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-        )
-    return votes.select("id", sim.alias("simhash"))
+    return g.select("id", sim.alias("simhash"))
