@@ -17,20 +17,23 @@ import time
 from pyspark.sql import functions as F
 
 
-def flagship_points(spark, sf_dir: str) -> int:
+def flagship_from_transcripts(transcripts) -> int:
     """Full rollup cascade: gap-filled 1m + 1h + 1d tiers, every tier packed
     into delta-of-delta/Gorilla TMFRAME blocks, plus a decode-verify sample.
-    Returns total rolled-up points materialized+encoded."""
-    from tmframe_spark.codec.udfs import pack_rollup_blocks, unpack_blocks
-    from tmframe_spark.data.transcripts import load_transcripts
-    from tmframe_spark.ops.rollup import cascade_up, rollup, with_ts_ns
+    Returns total rolled-up points materialized+encoded.
 
-    t = with_ts_ns(load_transcripts(spark, sf_dir))
-    # persist the data-sized 1m rollup: it feeds all three tiers (without it
-    # the scan + derivation runs 3x). Gap-filled spine rows never exist as
-    # rows at all — pack_rollup_blocks synthesizes them inside the UDF
-    # (byte-identical to gap_fill->pack_blocks; tests/test_pack_fused.py).
-    m_data = rollup(t, "1m").persist()
+    One collect drives all three tiers: the 1m rollup is persisted and its
+    exchange reused across the cascade branches (no recomputation, no extra
+    driver round-trips)."""
+    from tmframe_spark.codec.udfs import pack_rollup_blocks, unpack_blocks
+    from tmframe_spark.ops.rollup import cascade_up, rollup
+
+    # persist the data-sized 1m rollup: it feeds all three tiers, and at
+    # cluster scale each executor caches only its partitions. Gap-filled
+    # spine rows never exist as rows at all — pack_rollup_blocks synthesizes
+    # them inside the UDF (byte-identical to gap_fill->pack_blocks;
+    # tests/test_pack_fused.py).
+    m_data = rollup(transcripts, "1m").persist()
     h_data = cascade_up(m_data, "1h")
     tiers = {
         ("1m", "day"): m_data,
@@ -51,6 +54,23 @@ def flagship_points(spark, sf_dir: str) -> int:
     assert decoded > 0
     m_data.unpersist()
     return total
+
+
+def flagship_points(spark, sf_dir: str) -> int:
+    """Flagship over the driver-provided events-derived transcripts."""
+    from tmframe_spark.data.transcripts import load_transcripts
+    from tmframe_spark.ops.rollup import with_ts_ns
+
+    return flagship_from_transcripts(with_ts_ns(load_transcripts(spark, sf_dir)))
+
+
+def flagship_synth_points(spark, n_turns: int, n_convs: int) -> int:
+    """Flagship over the seeded synthetic transcript table (BASELINE.md
+    measurement protocol: deterministic, scale-parameterized, generated
+    in parallel on executors via spark.range)."""
+    from tmframe_spark.data.transcripts import synth_transcripts
+
+    return flagship_from_transcripts(synth_transcripts(spark, n_turns, n_convs))
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:

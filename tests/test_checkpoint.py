@@ -1,0 +1,42 @@
+"""Checkpoint/resume: manifests commit atomically; a resumed run processes
+only the missing day partitions (the archiver-ack analog)."""
+
+import os
+import tempfile
+
+from tests.conftest import SF_DIR
+from tmframe_spark.data.transcripts import load_transcripts
+from tmframe_spark.ops.checkpoint import (
+    checkpointed_rollup_run,
+    done_partitions,
+    pending_days,
+)
+from tmframe_spark.ops.rollup import with_ts_ns
+
+
+def test_resume_skips_done_partitions(spark):
+    t = with_ts_ns(load_transcripts(spark, SF_DIR)).where("conv_id in ('conv-0','conv-1')")
+    out = tempfile.mkdtemp(prefix="tmframe_ckpt_out_")
+    man = tempfile.mkdtemp(prefix="tmframe_ckpt_man_")
+
+    all_days = pending_days(t, man)
+    assert len(all_days) > 5
+
+    # first run: only the first 3 days exist upstream (simulated partial run)
+    t_head = t.where(f"to_date(ts) <= '{all_days[2]}'")
+    m1 = checkpointed_rollup_run(t_head, out, man)
+    assert [m.partition for m in m1] == [f"day={d}" for d in all_days[:3]]
+    assert done_partitions(man) == {f"day={d}" for d in all_days[:3]}
+    assert all(m.output_rows > 0 and m.output_bytes > 0 for m in m1)
+    assert all(m.rows_per_sec > 0 for m in m1)
+
+    # resume over the full input: must process ONLY the remaining days
+    m2 = checkpointed_rollup_run(t, out, man)
+    assert [m.partition for m in m2] == [f"day={d}" for d in all_days[3:]]
+
+    # idempotent third run: nothing pending
+    assert checkpointed_rollup_run(t, out, man) == []
+
+    # outputs landed per partition
+    for d in all_days:
+        assert os.path.isdir(os.path.join(out, f"day={d}"))

@@ -336,6 +336,153 @@ def encode_block(ts_ns, v0=None, v1=None) -> bytes:
     return header + w.finish()
 
 
+_PREFIX_FOR = {7: (0b10, 2), 12: (0b110, 3), 18: (0b1110, 4), 32: (0b11110, 5), 64: (0b11111, 5)}
+
+
+def _dod_class_scalar(dod: int) -> int:
+    """Scalar twin of _dod_class (pure Python — no per-record numpy)."""
+    if dod == 0:
+        return 0
+    a = dod if dod >= 0 else -dod
+    if a <= 63:
+        return 7
+    if a <= 2047:
+        return 12
+    if a <= 131071:
+        return 18
+    if a <= 2**31 - 1:
+        return 32
+    return 64
+
+
+def _emit_dod_record(w: _BitWriter, dod: int) -> None:
+    pb = _dod_class_scalar(dod)
+    pre, plen = _PREFIX_FOR[pb]
+    w.write(pre, plen)
+    w.write(dod, pb)
+
+
+def _lookup_sparse(idx: np.ndarray, vals: np.ndarray, pos: np.ndarray, zero):
+    """x[pos] for the sparse series x (x[idx]=vals, 0 elsewhere)."""
+    out = np.full(len(pos), zero, dtype=vals.dtype)
+    ins = np.searchsorted(idx, pos)
+    ok = (ins < len(idx)) & (pos >= 0)
+    ok[ok] &= idx[ins[ok]] == pos[ok]
+    out[ok] = vals[ins[ok]]
+    return out
+
+
+def _encode_regular_ts(w: _BitWriter, t0: int, step: int, n: int) -> None:
+    """ts stream for a perfectly regular spine t0 + i*step — O(1) records."""
+    w.write(int(t0), 64)
+    if n == 1:
+        return
+    _emit_dod_record(w, step)  # dod[0] = delta[0] = step
+    if n > 2:
+        w.write_zero_bits(n - 2)  # all later dods are zero
+
+
+def _encode_dod_sparse(w: _BitWriter, n: int, idx: np.ndarray, vals: np.ndarray) -> None:
+    """dod stream for the sparse int series x (x[idx]=vals, 0 elsewhere),
+    byte-identical to _encode_dod_stream on the materialized array but
+    O(len(idx)) — nonzero dod records only occur within +-1 of data points."""
+    first = int(vals[0]) if len(idx) and idx[0] == 0 else 0
+    w.write(first, 64)
+    if n == 1:
+        return
+    # record j (0..n-2): j=0 -> x1-x0; j>=1 -> x[j+1]-2x[j]+x[j-1]
+    cand = np.unique(np.concatenate([idx - 1, idx, idx + 1]))
+    cand = cand[(cand >= 0) & (cand <= n - 2)]
+    if len(cand) == 0:
+        w.write_zero_bits(n - 1)
+        return
+    xp1 = _lookup_sparse(idx, vals, cand + 1, 0)
+    x0 = _lookup_sparse(idx, vals, cand, 0)
+    xm1 = _lookup_sparse(idx, vals, cand - 1, 0)
+    rec = np.where(cand == 0, xp1 - x0, xp1 - _I64(2) * x0 + xm1)
+    nz = rec != 0
+    pbs = _dod_class(rec[nz])  # vectorized class selection, one call
+    cursor = 0
+    write = w.write
+    for j, r, pb in zip(cand[nz].tolist(), rec[nz].tolist(), pbs.tolist()):
+        if j > cursor:
+            w.write_zero_bits(j - cursor)
+        pre, plen = _PREFIX_FOR[pb]
+        write(pre, plen)
+        write(r, pb)
+        cursor = j + 1
+    if n - 1 > cursor:
+        w.write_zero_bits(n - 1 - cursor)
+
+
+def _encode_xor_sparse(w: _BitWriter, n: int, idx: np.ndarray, vals: np.ndarray) -> None:
+    """Gorilla XOR stream for the sparse float series — O(len(idx))."""
+    bits_vals = np.asarray(vals, dtype=np.float64).view(_U64)
+    zero_bits = _U64(0)  # bits(0.0) == 0
+    first = int(bits_vals[0]) if len(idx) and idx[0] == 0 else 0
+    w.write(first, 64)
+    if n == 1:
+        return
+    # record j (0..n-2): xor of x[j+1] ^ x[j] — nonzero only near data points
+    cand = np.unique(np.concatenate([idx - 1, idx]))
+    cand = cand[(cand >= 0) & (cand <= n - 2)]
+    if len(cand) == 0:
+        w.write_zero_bits(n - 1)
+        return
+    xp1 = _lookup_sparse(idx, bits_vals, cand + 1, zero_bits)
+    x0 = _lookup_sparse(idx, bits_vals, cand, zero_bits)
+    xors = xp1 ^ x0
+    nzm = xors != 0
+    jv = cand[nzm]
+    xv = xors[nzm]
+    lzs = np.minimum(_clz64(xv), 63)
+    tzs = _ctz64(xv)
+    prev_lz = prev_tz = -1
+    cursor = 0
+    write = w.write
+    for j, x, lz, tz in zip(jv.tolist(), xv.tolist(), lzs.tolist(), tzs.tolist()):
+        if j > cursor:
+            w.write_zero_bits(j - cursor)
+        cursor = j + 1
+        if prev_lz >= 0 and lz >= prev_lz and tz >= prev_tz:
+            write(0b10, 2)
+            write(x >> prev_tz, 64 - prev_lz - prev_tz)
+        else:
+            mlen = 64 - lz - tz
+            write(0b11, 2)
+            write(lz, 6)
+            write(mlen - 1, 6)
+            write(x >> tz, mlen)
+            prev_lz, prev_tz = lz, tz
+    if n - 1 > cursor:
+        w.write_zero_bits(n - 1 - cursor)
+
+
+def encode_block_gapfilled(
+    t0: int, step: int, n: int, idx, v0_vals=None, v1_vals=None
+) -> bytes:
+    """Encode the gap-filled block WITHOUT materializing the spine.
+
+    Semantically identical (byte-for-byte; asserted by tests) to
+    encode_block(t0 + arange(n)*step, scatter(v0), scatter(v1)) where
+    scatter places the values at spine positions ``idx`` and zero elsewhere —
+    but O(len(idx)) instead of O(n). This is what makes gap-fill free at
+    10^12-turn scale: a conversation's empty days cost bytes, not CPU.
+    """
+    if n <= 0:
+        raise ValueError("empty block")
+    idx = np.asarray(idx, dtype=_I64)
+    flags = (1 if v0_vals is not None else 0) | (2 if v1_vals is not None else 0)
+    w = _BitWriter()
+    _encode_regular_ts(w, t0, step, n)
+    if v0_vals is not None:
+        _encode_xor_sparse(w, n, idx, np.asarray(v0_vals, dtype=np.float64))
+    if v1_vals is not None:
+        _encode_dod_sparse(w, n, idx, np.asarray(v1_vals, dtype=_I64))
+    header = BLOCK_MAGIC + struct.pack("<BBI", BLOCK_VERSION, flags, n)
+    return header + w.finish()
+
+
 def decode_block(buf: bytes):
     """Decode a block; returns (ts_ns, v0 | None, v1 | None)."""
     if buf[:2] != BLOCK_MAGIC:

@@ -30,7 +30,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from tmframe_spark.codec.blocks import decode_block, encode_block
+from tmframe_spark.codec.blocks import (
+    decode_block,
+    encode_block,
+    encode_block_gapfilled,
+)
 from tmframe_spark.codec.frames import (
     EV_BLOCK,
     get_evtnum,
@@ -184,31 +188,46 @@ def pack_rollup_blocks(
         F.col(v1).cast("long").alias("_v1"),
     )
 
+    DAY_NS = 86_400_000_000_000
+
     def pack_conv(conv, ts, a0, a1):
-        spine = np.arange(ts[0], ts[-1] + step, step, dtype=np.int64)
-        idx = (ts - ts[0]) // step
-        s0 = np.zeros(len(spine), dtype=np.float64)
-        s1 = np.zeros(len(spine), dtype=np.int64)
-        s0[idx] = a0
-        s1[idx] = a1
-        grp = spine.view("datetime64[ns]").astype(f"datetime64[{unit}]")
-        change = np.empty(len(spine), dtype=bool)
-        change[0] = True
-        np.not_equal(grp[1:], grp[:-1], out=change[1:])
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], len(spine))
+        # O(data) pack: block boundaries arithmetically, spine never built.
+        t0, t_last = int(ts[0]), int(ts[-1])
+        n_total = (t_last - t0) // step + 1
+        if unit == "D":
+            d0, dl = t0 // DAY_NS, t_last // DAY_NS
+            grp_starts = np.arange(d0, dl + 1, dtype=np.int64) * DAY_NS
+        else:  # month/year starts via datetime64 on a tiny array
+            lo, hi = np.array([t0, t_last], dtype="datetime64[ns]").astype(
+                f"datetime64[{unit}]"
+            )
+            grp_starts = (
+                np.arange(lo, hi + 1).astype("datetime64[ns]").astype(np.int64)
+            )
+        # first spine index of each group (group starts are step-aligned and
+        # t0 is bucket-aligned, so the division is exact)
+        starts = np.maximum((grp_starts - t0) // step, 0)
+        ends = np.append(starts[1:], n_total)
+        data_pos = (ts - t0) // step
+        bounds = np.searchsorted(data_pos, starts)
+        bounds = np.append(bounds, len(ts))
         rows = []
-        for s, e in zip(starts.tolist(), ends.tolist()):
-            block = encode_block(spine[s:e], s0[s:e], s1[s:e])
-            fr = make_frames([int(spine[s])], [EV_BLOCK], data=[block])
+        for bi in range(len(starts)):
+            s_sp, e_sp = int(starts[bi]), int(ends[bi])
+            ds, de = int(bounds[bi]), int(bounds[bi + 1])
+            block_t0 = t0 + s_sp * step
+            block = encode_block_gapfilled(
+                block_t0, step, e_sp - s_sp, data_pos[ds:de] - s_sp, a0[ds:de], a1[ds:de]
+            )
+            fr = make_frames([block_t0], [EV_BLOCK], data=[block])
             rows.append(
                 (
                     conv,
-                    grp[s].astype("datetime64[us]"),
-                    e - s,
-                    int(spine[s]),
-                    int(spine[e - 1]),
-                    24 * (e - s),
+                    np.int64(grp_starts[bi] // 1000).astype("datetime64[us]"),
+                    e_sp - s_sp,
+                    block_t0,
+                    t0 + (e_sp - 1) * step,
+                    24 * (e_sp - s_sp),
                     marshal_frames(fr),
                 )
             )

@@ -311,6 +311,21 @@ def q_checksum_projection(spark, sf_dir):
     )
 
 
+def q_frame_display(spark, sf_dir):
+    """tfcat render analog (S7/C9): human-readable per-frame line
+    'TMFRAME <ts> EVTNUM <n> [<nbytes> bytes]' from typed columns —
+    the reference's Frame.String() shape (frame.go:490-511)."""
+    t = _t(spark, sf_dir)
+    line = F.concat(
+        F.lit("TMFRAME "),
+        F.col("ts").cast("string"),
+        F.lit(" EVTNUM -1001 ["),
+        F.expr(_NBYTES).cast("string"),
+        F.lit(" bytes]"),
+    )
+    return t.select("conv_id", "turn_idx", line.alias("display"))
+
+
 # --------------------------------------------------------------------------
 # index / tfgroup (S11, A1, A2)
 # --------------------------------------------------------------------------
@@ -541,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_submatch": q_regex_submatch,
         "json_field": q_json_field,
         "checksum_projection": q_checksum_projection,
+        "frame_display": q_frame_display,
         "frame_sizes": q_frame_sizes,
         "minute_index": q_minute_index,
         "tfgroup_minute_counts": q_tfgroup_minute_counts,
@@ -645,6 +661,14 @@ FROM events WHERE event_type = 'purchase'
 WITH {_T_CTE}
 SELECT conv_id, turn_idx,
        md5(concat_ws(chr(31), role, coalesce(tool, ''), text)) AS checksum
+FROM transcripts
+"""
+
+    o["frame_display"] = f"""
+WITH {_T_CTE}
+SELECT conv_id, turn_idx,
+       concat('TMFRAME ', CAST(ts AS VARCHAR), ' EVTNUM -1001 [',
+              CAST({_NBYTES} AS VARCHAR), ' bytes]') AS display
 FROM transcripts
 """
 

@@ -38,6 +38,9 @@ def stream_rollup(
     stream: DataFrame, tier: str = "1m", watermark: str = "10 minutes"
 ) -> DataFrame:
     """Incremental per-conversation rollup with event-time watermark."""
+    # watermarks require (ltz) TIMESTAMP event time; session TZ is UTC so
+    # the cast from the storage-side TIMESTAMP_NTZ is exact
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.col("conv_id"), F.window("ts", TIER_WINDOW[tier]).alias("w"))
@@ -55,7 +58,7 @@ def stream_rollup(
 def stream_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Watermarked streaming dedup keyed by content (conv_id, role, text,
     tool) — state bounded by the watermark horizon."""
-    keyed = stream.withColumn(
+    keyed = stream.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
         "content_key",
         F.xxhash64("conv_id", "role", "text", F.coalesce("tool", F.lit(""))),
     )
