@@ -1,18 +1,28 @@
-"""Two-parallelism scaling run (BASELINE.md measurement protocol).
+"""Two-cluster-size scaling run (BASELINE.md measurement protocol).
 
-The north rule's criterion — >= 0.8 throughput scaling efficiency between N
-and 4N executors at 10^12-turn scale — cannot use a real cluster in this
-sandbox, so (per the driver instruction) we run the SAME flagship rollup job
-on the SAME input at local[8] and local[32], cold JVM each, and report
-throughput at both plus efficiency = (pps_32 / pps_8) / 4.
+North-rule criterion: >= 0.8 throughput scaling efficiency between N and 4N
+EXECUTORS at 10^12-turn scale. No real cluster exists in this sandbox, so
+(per the driver instruction) we evidence it by running the SAME flagship job
+on the SAME input at two parallelism levels. We use Spark's local-cluster
+mode — N separate executor JVMs x 4 cores each — which models the cluster
+contract faithfully (independent heaps, real shuffle/fetch, per-executor
+Python worker pools), unlike local[K] threads sharing one heap:
+
+    N = 1 executor  (local-cluster[1,4])  vs  4N = 4 executors
+    (local-cluster[4,4]); shuffle partitions scale with the cluster.
 
 Protocol:
 1. Materialize the seeded synthetic transcript table (seed=42) to parquet
-   ONCE — the shared input, exactly what an ingested table would be
-   (turn_idx stored, not recomputed per query).
-2. Per parallelism: fresh JVM, warmup at 1% size (codegen compiled, Python
-   worker pool spawned), then the timed flagship: 1m/1h/1d rollup + fused
-   gap-fill block pack + decode-verify sample.
+   ONCE — the shared input, exactly what an ingested table would be.
+2. Per cluster size: fresh JVMs, warmup at 1% size (codegen + Python worker
+   pools), then the timed flagship: 1m/1h/1d rollup + fused gap-fill block
+   pack + decode-verify sample.
+3. efficiency = (pps_4N / pps_N) / 4. Sized (default 10M turns -> 636M
+   rolled points) so parallel work dominates fixed driver costs — the
+   sandbox proxy for "at scale". NOTE: this VM's own CPU throughput drops
+   ~38% from 4 to 32 busy cores (see BENCH.md hardware probe), so beyond
+   ~16 cores ANY job anti-scales here; 4 -> 16 cores is the widest honest
+   window the hardware offers.
 
 Usage: python scripts/scaling.py [n_turns] [n_convs]
 Writes scaling_results.json; BENCH.md narrates the results.
@@ -42,31 +52,45 @@ spark.stop()
 RUNNER = """
 import json, sys, time
 sys.path.insert(0, {repo!r})
-from tmframe_spark.session import get_spark
+from pyspark.sql import SparkSession
 from tmframe_spark.ops.rollup import with_ts_ns
 from bench import flagship_from_transcripts
-cores, inp, warm = int(sys.argv[1]), sys.argv[2], sys.argv[3]
-spark = get_spark(cores=cores, shuffle_partitions=2 * cores, app_name=f"scaling-{{cores}}")
+n_exec, inp, warm = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+mem_mb = 49152 // n_exec if n_exec <= 4 else 12288
+spark = (
+    SparkSession.builder.master(f"local-cluster[{{n_exec}},4,{{mem_mb}}]")
+    .appName(f"scaling-{{n_exec}}x4")
+    .config("spark.executorEnv.PYTHONPATH", {repo!r})
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", str(max(16, 8 * n_exec)))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
 spark.sparkContext.setLogLevel("ERROR")
-# warmup: same plan shapes on the small table -> codegen + worker pool ready
+# warmup: same plan shapes on the small table -> codegen + worker pools ready
 flagship_from_transcripts(with_ts_ns(spark.read.parquet(warm)))
 t = with_ts_ns(spark.read.parquet(inp))
 t0 = time.time()
 points = flagship_from_transcripts(t)
 wall = time.time() - t0
-print(json.dumps({{"cores": cores, "points": points, "wall": round(wall, 3),
-                   "pps": round(points / wall, 1)}}))
+print(json.dumps({{"executors": n_exec, "cores_per_executor": 4,
+                   "total_cores": 4 * n_exec, "points": points,
+                   "wall": round(wall, 3), "pps": round(points / wall, 1)}}))
 spark.stop()
 """
 
 
-def run(code: str, args: list[str], repo: str) -> str:
-    env = dict(os.environ, SPARK_DRIVER_MEM="64g")
-    out = subprocess.run(
+def run(code: str, args: list[str], repo: str):
+    env = dict(os.environ, SPARK_DRIVER_MEM="16g")
+    return subprocess.run(
         [sys.executable, "-c", code.format(repo=repo), *args],
         capture_output=True, text=True, timeout=3600, cwd=repo, env=env,
     )
-    return out
 
 
 def main() -> None:
@@ -74,30 +98,36 @@ def main() -> None:
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 1500
     base = tempfile.mkdtemp(prefix="tmframe_scaling_")
-    inp = os.path.join(base, "transcripts")
-    warm = os.path.join(base, "warmup")
+    inp, warm = os.path.join(base, "transcripts"), os.path.join(base, "warmup")
     print(f"materializing inputs under {base} ...")
-    for path, nt, nc in [(inp, n_turns, n_convs), (warm, max(n_turns // 100, 10_000), max(n_convs // 100, 10))]:
+    for path, nt, nc in [
+        (inp, n_turns, n_convs),
+        (warm, max(n_turns // 100, 10_000), max(n_convs // 100, 10)),
+    ]:
         r = run(GEN, [str(nt), str(nc), path], repo)
         if r.returncode != 0:
             raise RuntimeError(r.stderr[-3000:])
 
     results = {}
-    for cores in (8, 32):
+    for n_exec in (1, 4):
         t0 = time.time()
-        r = run(RUNNER, [str(cores), inp, warm], repo)
+        r = run(RUNNER, [str(n_exec), inp, warm], repo)
         lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
         if not lines:
             raise RuntimeError(f"runner failed:\n{r.stderr[-3000:]}")
-        results[cores] = json.loads(lines[-1])
-        print(f"local[{cores}]: {results[cores]} (total {time.time()-t0:.0f}s incl JVM)")
-    eff = (results[32]["pps"] / results[8]["pps"]) / 4.0
+        results[n_exec] = json.loads(lines[-1])
+        print(f"{n_exec} executors: {results[n_exec]} (total {time.time()-t0:.0f}s incl JVMs)")
+    eff = (results[4]["pps"] / results[1]["pps"]) / 4.0
     summary = {
-        "protocol": "same flagship job, same materialized seeded synthetic parquet input, cold JVMs, warmed codegen",
+        "protocol": (
+            "same flagship job, same materialized seeded synthetic parquet "
+            "input, separate executor JVMs (local-cluster), cold start, "
+            "warmed codegen"
+        ),
         "input": {"n_turns": n_turns, "n_convs": n_convs, "seed": 42},
-        "local8": results[8],
-        "local32": results[32],
-        "scaling_efficiency_8_to_32": round(eff, 3),
+        "N_executors": results[1],
+        "4N_executors": results[4],
+        "scaling_efficiency_N_to_4N": round(eff, 3),
         "gate": ">= 0.8",
         "passes": eff >= 0.8,
     }

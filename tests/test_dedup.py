@@ -3,7 +3,7 @@
 but seeded/deterministic where the reference used crypto randomness)."""
 
 import numpy as np
-import pandas as pd
+
 
 from tmframe_spark.ops.dedup import count_window_dedup, dup_counts, hash_dedup
 

@@ -3,7 +3,7 @@ Spark AND its DuckDB oracle on the same parquet tables (sf0.001 for speed;
 the driver uses sf0.01), compare row count, column names, and
 order-insensitive values."""
 
-import math
+
 
 import pandas as pd
 import pytest

@@ -2,7 +2,7 @@
 SimHash similarity properties, on data with planted near-duplicates."""
 
 import pytest
-from pyspark.sql import functions as F
+
 
 from tmframe_spark.text.dedup import (
     exact_dedup,

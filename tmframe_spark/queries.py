@@ -502,6 +502,33 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_ann_topk(spark.table("embeddings"), query_id=0, k=10)
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact, quantized dot products
+    so the score is order/engine independent)."""
+    from tmframe_spark.vec.similarity import _qdot, _qnorm2
+
+    register_tables(spark, sf_dir)
+    e = spark.table("embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _qdot(F.col("va"), F.col("vb")) / F.sqrt(
+        _qnorm2(F.col("va")).cast("double") * _qnorm2(F.col("vb")).cast("double")
+    )
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
+        F.col("cosine") > 0.63
+    )
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish token counting (punctuation/word-boundary aware regex) over
+    documents — Spark-only regex dialect, rows-only check."""
+    from tmframe_spark.text.analysis import bpe_ish_token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"))
+
+
 def q_multimodal_features(spark, sf_dir):
     from tmframe_spark.vec.multimodal import extract_features, synth_media
 
@@ -572,6 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "bpe_token_count": q_bpe_token_count,
         "multimodal_features": q_multimodal_features,
         "block_roundtrip": q_block_roundtrip,
     }
@@ -811,6 +840,23 @@ FROM inter
 JOIN sizes sa ON sa.id = inter.id_a
 JOIN sizes sb ON sb.id = inter.id_b
 WHERE CAST(i AS BIGINT) / CAST(sa.n + sb.n - i AS BIGINT) >= 0.5
+"""
+
+    _QDOT_DD = (
+        "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> CAST(floor(CAST(x[1] AS DOUBLE) * 1048576) AS BIGINT) "
+        "   * CAST(floor(CAST(x[2] AS DOUBLE) * 1048576) AS BIGINT))) AS BIGINT)"
+    )
+    o["embedding_near_dup"] = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_QDOT_DD.format(a='a.embedding', b='b.embedding')} AS dot,
+         {_QDOT_DD.format(a='a.embedding', b='a.embedding')} AS na,
+         {_QDOT_DD.format(a='b.embedding', b='b.embedding')} AS nb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
+FROM pairs WHERE dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) > 0.63
 """
 
     o["ann_topk"] = """
