@@ -75,6 +75,7 @@ def count_window_dedup(
     by: list[str],
     order_cols: list[str],
     hash_cols: list[str],
+    emit: str = "kept",
 ) -> DataFrame:
     """Exact reference semantics: sliding count-window dedup per series.
 
@@ -85,7 +86,12 @@ def count_window_dedup(
     of re-entering the ring independently.
 
     Default window in the reference CLI: 1000 frames (cfg.go:93).
+    ``emit``: 'kept' (dedupped stream) or 'dups' (the recognized duplicates
+    — the reference's dupsW side-output, dedup.go:94-98).
     """
+    if emit not in ("kept", "dups"):
+        raise ValueError("emit must be 'kept' or 'dups'")
+    want_kept = emit == "kept"
     out_schema = StructType(df.schema.fields)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -110,6 +116,6 @@ def count_window_dedup(
                 if refcount[old] == 0:
                     del refcount[old]
             ring[i % window_size] = h
-        return pdf[keep]
+        return pdf[keep if want_kept else ~keep]
 
     return df.groupBy(*by).applyInPandas(fn, out_schema)

@@ -74,3 +74,35 @@ def checksum_projection(df: DataFrame, payload_cols: list[str], ts_ns: str = "ts
         F.lit(1).alias("evtnum"),  # EvOneInt64
         blake2b64(*[F.col(c) for c in payload_cols]).alias("v1"),
     )
+
+
+def tfsum_frames(df: DataFrame, frame_col: str = "frame", ts_ns: str = "ts_ns") -> DataFrame:
+    """Exact tfsum semantics (cmd/tfsum/tfsum.go:56-71): per frame, emit
+    (same tm, EvOneInt64, V1 = first 8 bytes of the frame's BLAKE2b hash,
+    little-endian). The hash is over the reference's canonical bytes
+    (wire words + payload WITHOUT the zero terminator, frame.go:532-564),
+    computed by unmarshalling the wire frames batch-wise through the numpy
+    codec and hashing with hashlib.blake2b (bit-compatible)."""
+    import numpy as np
+    import pandas as pd
+
+    from tmframe_spark.codec.frames import blake2b_frames, unmarshal_frames
+
+    @F.pandas_udf("long")
+    def b2b_v1(frames: pd.Series) -> pd.Series:
+        if len(frames) == 0:
+            return pd.Series([], dtype="int64")
+        # frames are individually-marshalled wire records; concatenating
+        # them yields a valid stream for the vectorized unmarshal
+        stream = b"".join(bytes(x) for x in frames)
+        fr = unmarshal_frames(stream)
+        digests = blake2b_frames(fr)
+        return pd.Series(
+            np.frombuffer(b"".join(d[:8] for d in digests), dtype="<i8").copy()
+        )
+
+    return df.select(
+        F.col(ts_ns).alias("ts_ns"),
+        F.lit(1).alias("evtnum"),
+        b2b_v1(F.col(frame_col)).alias("v1"),
+    )

@@ -311,6 +311,17 @@ def q_checksum_projection(spark, sf_dir):
     )
 
 
+def q_tfsum_blake2b(spark, sf_dir):
+    """Exact tfsum (frame BLAKE2b -> v1 int64) over encoded turn frames —
+    rows-only (BLAKE2b not available to the SQL oracle; pytest verifies the
+    hash against the numpy codec oracle bit-for-bit)."""
+    from tmframe_spark.codec.udfs import frame_turns
+    from tmframe_spark.ops.filters import tfsum_frames
+
+    t = with_ts_ns(_t(spark, sf_dir)).where(F.col("conv_id").isin(*SUBSET))
+    return tfsum_frames(frame_turns(t), "frame", "ts_ns")
+
+
 def q_frame_display(spark, sf_dir):
     """tfcat render analog (S7/C9): human-readable per-frame line
     'TMFRAME <ts> EVTNUM <n> [<nbytes> bytes]' from typed columns —
@@ -584,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_field": q_json_field,
         "checksum_projection": q_checksum_projection,
         "frame_display": q_frame_display,
+        "tfsum_blake2b": q_tfsum_blake2b,
         "frame_sizes": q_frame_sizes,
         "minute_index": q_minute_index,
         "tfgroup_minute_counts": q_tfgroup_minute_counts,
