@@ -109,6 +109,10 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # warm codegen + Python worker pools on the smallest sf so the timed
+    # figures measure steady-state throughput, not one-time JVM/worker spawn
+    flagship_points(spark, "/root/testdata/sf0.001")
+
     t0 = time.time()
     points = flagship_points(spark, sf_dir)
     flagship_sec = round(time.time() - t0, 3)

@@ -58,15 +58,15 @@ def asof_join(
         raise ValueError("tie must be 'first' or 'last'")
     carry = [seq] + [c for c in value_cols if c != seq]
 
-    # 1. reduce build to one row per (by, ts) under the tie rule — O(log n)
-    #    binary-search tie selection in the reference becomes a windowed
-    #    row_number over (key, ts) groups.
-    order = F.col(seq).asc() if tie == "first" else F.col(seq).desc()
-    w_tie = Window.partitionBy(*by, on).orderBy(order)
-    reduced = (
-        build.withColumn("_rn", F.row_number().over(w_tie))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+    # 1. reduce build to one row per (by, ts) under the tie rule — the
+    #    reference's binary-searched tie selection (series.go) becomes a
+    #    hash aggregate with min_by/max_by on the arrival seq: unlike a
+    #    row_number window (sort-based, full rows through the shuffle),
+    #    the aggregate combines map-side, so the exchange carries one row
+    #    per (key, ts) even when ties are hot.
+    pick = F.min_by if tie == "first" else F.max_by
+    reduced = build.groupBy(*by, on).agg(
+        *[pick(F.col(c), F.col(seq)).alias(c) for c in [seq] + [v for v in value_cols if v != seq]]
     )
 
     # 2. union with ordering flag. Probe sorts before build at equal ts for

@@ -24,18 +24,21 @@ def tokens(col, distinct: bool = True):
     return F.array_distinct(t) if distinct else t
 
 
-def shingles(col, k: int = 3):
-    """Distinct k-word shingles (JVM-side transform over the token array).
+def shingles(col, k: int = 3, distinct: bool = True):
+    """k-word shingles (JVM-side transform over the token array).
     k>=3 is the discriminative choice for near-dup detection — unigram sets
-    saturate on any corpus with a shared vocabulary."""
+    saturate on any corpus with a shared vocabulary.
+
+    distinct=False skips array_distinct (O(n^2) string compares per doc) —
+    safe wherever multiset semantics don't matter, e.g. MinHash (duplicate
+    shingles cannot change a min)."""
     if k <= 1:
-        return tokens(col)
+        return tokens(col, distinct)
     w = tokens(col, distinct=False)
     n = F.size(w)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)))
-    )
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)))
+    return F.array_distinct(sh) if distinct else sh
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -98,7 +101,7 @@ def minhash_signatures(
     """
     tok = df.select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), shingle_k)).alias("s"),
+        F.explode(shingles(F.col(text_col), shingle_k, distinct=False)).alias("s"),
     ).withColumn("h", F.xxhash64("s"))
     kh = tok.select(
         "id",
