@@ -85,6 +85,19 @@ class Frames:
         return (int(self.prim[i]), float(self.v0[i]), int(self.ude[i]), self.data[i])
 
 
+_EVTNUM_NAMES = {
+    -1: "EvErr", 0: "EvZero", 1: "EvOneInt64", 2: "EvOneFloat64", 3: "EvTwo64",
+    4: "EvNull", 5: "EvNA", 6: "EvNaN", 7: "EvUDE", 8: "EvHeader",
+    9: "EvMsgpack", 10: "EvBinc", 11: "EvCapnp", 12: "EvZygo", 13: "EvUtf8",
+    14: "EvJson", 15: "EvMsgpKafka", 16: "EvZebraPack",
+}
+
+
+def evtnum_name(ev: int) -> str:
+    """Display name for an evtnum (Evtnum.String(), frame.go:448-486)."""
+    return _EVTNUM_NAMES.get(int(ev), f"Ev.{int(ev)}")
+
+
 def tm_ns(prim: np.ndarray) -> np.ndarray:
     """8ns-truncated timestamp: prim &^ 7 (frame.go:88-90)."""
     return np.asarray(prim, dtype=_I64) & _I64(-8)

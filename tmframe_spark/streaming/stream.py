@@ -67,6 +67,81 @@ def stream_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     )
 
 
+def stream_count_window_dedup(
+    stream: DataFrame,
+    window_size: int = 1000,
+    hash_cols: tuple = ("role", "text", "tool"),
+) -> DataFrame:
+    """The reference's count-window ring dedup (dedup.go:40-111) as a
+    *custom stateful streaming operator*: applyInPandasWithState keyed by
+    conv_id, state = (next index, ring of content keys, refcount map as
+    parallel arrays), carried across micro-batches.
+
+    Semantics per conversation match ops.dedup.count_window_dedup exactly
+    within the arrival order the stream delivers (event-time reordering
+    across micro-batches is the watermark's contract, as in the batch
+    engine's stable-sort requirement).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    keyed = stream.withColumn(
+        "content_key",
+        F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in hash_cols]),
+    )
+    out_schema = StructType([f for f in keyed.schema.fields])
+    state_schema = StructType(
+        [
+            StructField("i", LongType()),
+            StructField("ring", ArrayType(LongType())),
+            StructField("keys", ArrayType(LongType())),
+            StructField("counts", ArrayType(IntegerType())),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            i, ring, keys, counts = state.get
+            ring = list(ring) + [None] * (window_size - len(ring))
+            present = dict(zip(keys, counts))
+        else:
+            i, ring, present = 0, [None] * window_size, {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            keep = []
+            for h in pdf["content_key"]:
+                h = int(h)
+                if present.get(h, 0) > 0:
+                    present[h] += 1
+                    keep.append(False)
+                else:
+                    present[h] = 1
+                    keep.append(True)
+                if i >= window_size:
+                    old = ring[i % window_size]
+                    present[old] -= 1
+                    if present[old] == 0:
+                        del present[old]
+                ring[i % window_size] = h
+                i += 1
+            out = pdf[pd.Series(keep, index=pdf.index)]
+            if len(out):
+                yield out
+        state.update((i, ring[: min(i, window_size)], list(present.keys()), list(present.values())))
+
+    return keyed.groupBy("conv_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint: str, out_path: str) -> None:
     """Drain everything currently available (batch-style streaming run)."""
     q = (
