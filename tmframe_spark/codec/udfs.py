@@ -301,22 +301,26 @@ def unpack_blocks(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # one vectorized unmarshal over the concatenated wire frames
+            fr = unmarshal_frames(b"".join(bytes(x) for x in pdf[frame_col]))
+            evs = get_evtnum(fr.prim, fr.ude)
+            if (evs != EV_BLOCK).any():
+                bad = int(evs[(evs != EV_BLOCK).argmax()])
+                raise ValueError(f"expected EV_BLOCK frame, got evtnum {bad}")
             parts = []
-            for _, row in pdf.iterrows():
-                fr = unmarshal_frames(bytes(row[frame_col]))
-                ev = int(get_evtnum(fr.prim, fr.ude)[0])
-                if ev != EV_BLOCK:
-                    raise ValueError(f"expected EV_BLOCK frame, got evtnum {ev}")
-                ts, a0, a1 = decode_block(fr.data[0])
-                d = {k: row[k] for k in keys}
+            key_cols = {k: pdf[k].to_numpy() for k in keys}
+            for i in range(len(pdf)):
+                ts, a0, a1 = decode_block(fr.data[i])
+                d = {k: np.repeat(key_cols[k][i : i + 1], len(ts)) for k in keys}
                 d["ts_ns"] = ts
                 if v0:
                     d[v0] = a0 if a0 is not None else np.nan
                 if v1:
                     d[v1] = a1 if a1 is not None else 0
                 parts.append(pd.DataFrame(d))
-            if parts:
-                yield pd.concat(parts, ignore_index=True)
+            yield pd.concat(parts, ignore_index=True)
 
     return blocks.mapInPandas(fn, out_schema)
 
