@@ -92,31 +92,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """K-permutation MinHash signature per doc, entirely JVM-side.
 
-    Shape matters: each shingle string is hashed ONCE (xxhash64), the K
-    permutations derive from that 8-byte value (xxhash64(h, i) — keyed
-    rehash of a long, far cheaper than K string hashes), and the per-doc
-    minima come from a hash aggregate with map-side partial combine. The
-    naive form — K array_min(transform(shingle_array)) lambdas — recomputes
-    the shingle construction K times per row and was 20x slower.
+    Shape matters twice here:
+    1. each shingle string is hashed ONCE (xxhash64); the K permutations
+       derive from that 8-byte value (xxhash64(h, i) — keyed rehash of a
+       long, far cheaper than K string hashes);
+    2. the hashed-shingle array is materialized through a (tiny: one row
+       per doc, longs only) round-robin exchange before the K-permutation
+       projection — otherwise Catalyst's CollapseProject inlines the
+       shingle-construction expression into all K lambdas and recomputes
+       the string work K times (measured 20x slower).
+    No explode: the whole signature is one codegen projection per doc row.
     """
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), shingle_k, distinct=False)).alias("s"),
-    ).withColumn("h", F.xxhash64("s"))
-    kh = tok.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(k - 1)), lambda i: F.xxhash64(F.col("h"), i)
-            )
-        ).alias("i", "hi"),
+    hs = F.transform(
+        shingles(F.col(text_col), shingle_k, distinct=False), lambda s: F.xxhash64(s)
     )
-    per_perm = kh.groupBy("id", "i").agg(F.min("hi").alias("m"))
-    return per_perm.groupBy("id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda x: x["m"]
-        ).alias("sig")
+    hashed = df.select(F.col(id_col).alias("id"), hs.alias("hs")).repartition(
+        F.col("id")
     )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(F.transform(F.col("hs"), lambda h: F.xxhash64(h, i))),
+    )
+    return hashed.select("id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
