@@ -379,6 +379,46 @@ def q_tfgroup_minute_counts(spark, sf_dir):
     )
 
 
+def q_rolling_turn_rate(spark, sf_dir):
+    """Sliding-window aggregate: per turn, the count of turns in the
+    preceding 10 minutes of its conversation (event-time RANGE frame)."""
+    from pyspark.sql.window import Window
+
+    t = _t(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(us)
+        .rangeBetween(-10 * 60 * 1_000_000, 0)
+    )
+    return t.select(
+        "conv_id", "turn_idx", F.count(F.lit(1)).over(w).alias("turns_10m")
+    )
+
+
+def q_downsample_stride(spark, sf_dir):
+    """Plain stride downsample: every 10th turn of each conversation —
+    the simplest reference-style thinning of a series."""
+    t = _t(spark, sf_dir)
+    return t.where(F.col("turn_idx") % 10 == 0).select("conv_id", "turn_idx", "ts")
+
+
+def q_topk_hot_convs(spark, sf_dir):
+    """Top-5 conversations by turn count per day (skew observability)."""
+    from pyspark.sql.window import Window
+
+    t = _t(spark, sf_dir)
+    day = t.groupBy(F.date_trunc("day", "ts").alias("day"), F.col("conv_id")).agg(
+        F.count(F.lit(1)).alias("turns")
+    )
+    w = Window.partitionBy("day").orderBy(F.col("turns").desc(), F.col("conv_id"))
+    return (
+        day.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("day", "conv_id", "turns", "rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # sessionization + retention
 # --------------------------------------------------------------------------
@@ -601,6 +641,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfgroup_minute_counts": q_tfgroup_minute_counts,
         "sessionize": q_sessionize,
         "retention_1m": q_retention_1m,
+        "rolling_turn_rate": q_rolling_turn_rate,
+        "downsample_stride": q_downsample_stride,
+        "topk_hot_convs": q_topk_hot_convs,
         "token_stats_by_lang": q_token_stats_by_lang,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
@@ -777,6 +820,35 @@ SELECT conv_id, count(*) AS kept_buckets, CAST(sum(turns) AS BIGINT) AS kept_tur
 FROM m, mx
 WHERE CAST(bucket AS DATE) >= CAST(mts AS DATE) - 7
 GROUP BY conv_id
+"""
+
+    o["rolling_turn_rate"] = f"""
+WITH {_T_CTE}
+SELECT conv_id, turn_idx,
+       count(*) OVER (
+         PARTITION BY conv_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
+       ) AS turns_10m
+FROM transcripts
+"""
+
+    o["downsample_stride"] = f"""
+WITH {_T_CTE}
+SELECT conv_id, turn_idx, ts FROM transcripts WHERE turn_idx % 10 = 0
+"""
+
+    o["topk_hot_convs"] = f"""
+WITH {_T_CTE},
+d AS (
+  SELECT date_trunc('day', ts) AS day, conv_id, count(*) AS turns
+  FROM transcripts GROUP BY 1, 2
+),
+r AS (
+  SELECT day, conv_id, turns,
+         CAST(ROW_NUMBER() OVER (PARTITION BY day ORDER BY turns DESC, conv_id) AS BIGINT) AS rank
+  FROM d
+)
+SELECT day, conv_id, turns, rank FROM r WHERE rank <= 5
 """
 
     o["token_stats_by_lang"] = """
