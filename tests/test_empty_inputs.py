@@ -1,0 +1,41 @@
+"""Empty-input robustness: every operator must degrade to empty output (or
+InPast status) without errors — the behavior a partition-pruned or fully
+filtered input produces at scale."""
+
+from pyspark.sql import functions as F
+
+from tmframe_spark.codec.udfs import pack_blocks, pack_rollup_blocks, unpack_blocks
+from tmframe_spark.ops.asof import asof_join
+from tmframe_spark.ops.dedup import count_window_dedup
+from tmframe_spark.ops.merge import with_stable_pos
+from tmframe_spark.ops.rollup import cascade_up, gap_fill, rollup, with_ts_ns
+
+
+def test_empty_inputs_all_operators(spark):
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp_ntz"
+    )
+    e = with_ts_ns(empty)
+    m = rollup(e, "1m")
+    assert m.count() == 0
+    assert gap_fill(m, "1m").count() == 0
+    assert cascade_up(m, "1h").count() == 0
+    assert pack_rollup_blocks(m, "1m", "day").count() == 0
+    pts = m.select(
+        "conv_id", F.lit("x").alias("grp"), F.lit(0).cast("long").alias("ts_ns"),
+        F.lit(0.0).alias("v0"), F.lit(0).cast("long").alias("v1"),
+    )
+    blk = pack_blocks(pts, ["conv_id", "grp"], v0="v0", v1="v1")
+    assert blk.count() == 0
+    assert unpack_blocks(blk, ["conv_id", "grp"], v0="v0", v1="v1").count() == 0
+    assert count_window_dedup(e, 5, ["conv_id"], ["ts_ns", "turn_idx"], ["text"]).count() == 0
+
+    probe = spark.createDataFrame([], "k long, ts long, pid long")
+    build = spark.createDataFrame([], "k long, ts long, idx long")
+    assert asof_join(probe, build, on="ts", by=["k"], seq="idx", value_cols=[]).count() == 0
+    assert with_stable_pos(build, ["ts", "idx"]).count() == 0
+
+    # probes against an EMPTY build side: all InPast, never an error
+    p2 = spark.createDataFrame([(1, 20, 0)], "k long, ts long, pid long")
+    out = asof_join(p2, build, on="ts", by=["k"], seq="idx", value_cols=[]).collect()
+    assert len(out) == 1 and out[0]["status"] == "InPast"
