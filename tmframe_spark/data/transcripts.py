@@ -52,7 +52,12 @@ FROM {events}
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
-    """Register the driver parquet tables as temp views."""
+    """Register the driver parquet tables as temp views.
+
+    Also pins the session timezone to UTC: the engine's bucket boundaries
+    and unix_micros conversions must match the (timezone-naive) DuckDB
+    oracles even when the caller's SparkSession was built elsewhere."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
