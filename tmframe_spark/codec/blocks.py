@@ -382,6 +382,78 @@ def _encode_regular_ts(w: _BitWriter, t0: int, step: int, n: int) -> None:
         w.write_zero_bits(n - 2)  # all later dods are zero
 
 
+def _wrap64(v: int) -> int:
+    """Two's-complement int64 wrap for pure-Python arithmetic (matches
+    numpy int64 overflow semantics in the vectorized paths)."""
+    return ((v + (1 << 63)) & ((1 << 64) - 1)) - (1 << 63)
+
+
+def _encode_dod_sparse_small(w: _BitWriter, n: int, idx_l: list, vals_l: list) -> None:
+    """Pure-Python twin of _encode_dod_sparse for tiny idx — skips ~10
+    small-array numpy calls per block (the dominant cost for blocks holding
+    a handful of points)."""
+    lookup = dict(zip(idx_l, vals_l))
+    first = lookup.get(0, 0)
+    w.write(first, 64)
+    if n == 1:
+        return
+    cand = sorted({j for i in idx_l for j in (i - 1, i, i + 1) if 0 <= j <= n - 2})
+    cursor = 0
+    write = w.write
+    for j in cand:
+        if j == 0:
+            rec = _wrap64(lookup.get(1, 0) - lookup.get(0, 0))
+        else:
+            rec = _wrap64(
+                lookup.get(j + 1, 0) - 2 * lookup.get(j, 0) + lookup.get(j - 1, 0)
+            )
+        if rec == 0:
+            continue
+        if j > cursor:
+            w.write_zero_bits(j - cursor)
+        pb = _dod_class_scalar(rec)
+        pre, plen = _PREFIX_FOR[pb]
+        write(pre, plen)
+        write(rec, pb)
+        cursor = j + 1
+    if n - 1 > cursor:
+        w.write_zero_bits(n - 1 - cursor)
+
+
+def _encode_xor_sparse_small(w: _BitWriter, n: int, idx_l: list, bits_l: list) -> None:
+    """Pure-Python twin of _encode_xor_sparse for tiny idx."""
+    lookup = dict(zip(idx_l, bits_l))
+    w.write(lookup.get(0, 0), 64)
+    if n == 1:
+        return
+    cand = sorted({j for i in idx_l for j in (i - 1, i) if 0 <= j <= n - 2})
+    prev_lz = prev_tz = -1
+    cursor = 0
+    write = w.write
+    for j in cand:
+        x = lookup.get(j + 1, 0) ^ lookup.get(j, 0)
+        if x == 0:
+            continue
+        if j > cursor:
+            w.write_zero_bits(j - cursor)
+        cursor = j + 1
+        blen = x.bit_length()
+        lz = min(64 - blen, 63)
+        tz = (x & -x).bit_length() - 1
+        if prev_lz >= 0 and lz >= prev_lz and tz >= prev_tz:
+            write(0b10, 2)
+            write(x >> prev_tz, 64 - prev_lz - prev_tz)
+        else:
+            mlen = 64 - lz - tz
+            write(0b11, 2)
+            write(lz, 6)
+            write(mlen - 1, 6)
+            write(x >> tz, mlen)
+            prev_lz, prev_tz = lz, tz
+    if n - 1 > cursor:
+        w.write_zero_bits(n - 1 - cursor)
+
+
 def _encode_dod_sparse(w: _BitWriter, n: int, idx: np.ndarray, vals: np.ndarray) -> None:
     """dod stream for the sparse int series x (x[idx]=vals, 0 elsewhere),
     byte-identical to _encode_dod_stream on the materialized array but
@@ -475,10 +547,21 @@ def encode_block_gapfilled(
     flags = (1 if v0_vals is not None else 0) | (2 if v1_vals is not None else 0)
     w = _BitWriter()
     _encode_regular_ts(w, t0, step, n)
-    if v0_vals is not None:
-        _encode_xor_sparse(w, n, idx, np.asarray(v0_vals, dtype=np.float64))
-    if v1_vals is not None:
-        _encode_dod_sparse(w, n, idx, np.asarray(v1_vals, dtype=_I64))
+    if len(idx) <= 24:
+        # tiny blocks: pure-Python twins skip per-block numpy ceremony
+        idx_l = idx.tolist()
+        if v0_vals is not None:
+            bits_l = np.asarray(v0_vals, dtype=np.float64).view(_U64).tolist()
+            _encode_xor_sparse_small(w, n, idx_l, bits_l)
+        if v1_vals is not None:
+            _encode_dod_sparse_small(
+                w, n, idx_l, np.asarray(v1_vals, dtype=_I64).tolist()
+            )
+    else:
+        if v0_vals is not None:
+            _encode_xor_sparse(w, n, idx, np.asarray(v0_vals, dtype=np.float64))
+        if v1_vals is not None:
+            _encode_dod_sparse(w, n, idx, np.asarray(v1_vals, dtype=_I64))
     header = BLOCK_MAGIC + struct.pack("<BBI", BLOCK_VERSION, flags, n)
     return header + w.finish()
 

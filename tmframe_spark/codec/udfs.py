@@ -37,6 +37,7 @@ from tmframe_spark.codec.blocks import (
 )
 from tmframe_spark.codec.frames import (
     EV_BLOCK,
+    frame_num_bytes,
     get_evtnum,
     make_frames,
     marshal_frames,
@@ -211,27 +212,40 @@ def pack_rollup_blocks(
         data_pos = (ts - t0) // step
         bounds = np.searchsorted(data_pos, starts)
         bounds = np.append(bounds, len(ts))
-        rows = []
-        for bi in range(len(starts)):
+        nb = len(starts)
+        blocks, block_t0s = [], []
+        for bi in range(nb):
             s_sp, e_sp = int(starts[bi]), int(ends[bi])
             ds, de = int(bounds[bi]), int(bounds[bi + 1])
             block_t0 = t0 + s_sp * step
-            block = encode_block_gapfilled(
-                block_t0, step, e_sp - s_sp, data_pos[ds:de] - s_sp, a0[ds:de], a1[ds:de]
-            )
-            fr = make_frames([block_t0], [EV_BLOCK], data=[block])
-            rows.append(
-                (
-                    conv,
-                    np.int64(grp_starts[bi] // 1000).astype("datetime64[us]"),
-                    e_sp - s_sp,
-                    block_t0,
-                    t0 + (e_sp - 1) * step,
-                    24 * (e_sp - s_sp),
-                    marshal_frames(fr),
+            block_t0s.append(block_t0)
+            blocks.append(
+                encode_block_gapfilled(
+                    block_t0, step, e_sp - s_sp, data_pos[ds:de] - s_sp, a0[ds:de], a1[ds:de]
                 )
             )
-        return rows
+        # marshal the conv's blocks as ONE frame batch (per-frame numpy
+        # ceremony amortized), then slice the stream back into rows
+        fr = make_frames(block_t0s, [EV_BLOCK] * nb, data=blocks)
+        wire = marshal_frames(fr)
+        sizes = frame_num_bytes(fr.prim, fr.ude)
+        offs = np.zeros(nb, dtype=np.int64)
+        np.cumsum(sizes[:-1], out=offs[1:])
+        grp_us = (grp_starts // 1000).astype("datetime64[us]")
+        ends_i = ends.astype(np.int64)
+        starts_i = starts.astype(np.int64)
+        return [
+            (
+                conv,
+                grp_us[bi],
+                int(ends_i[bi] - starts_i[bi]),
+                block_t0s[bi],
+                t0 + (int(ends_i[bi]) - 1) * step,
+                24 * int(ends_i[bi] - starts_i[bi]),
+                wire[int(offs[bi]) : int(offs[bi] + sizes[bi])],
+            )
+            for bi in range(nb)
+        ]
 
     cols = ["conv_id", "grp", "n_points", "ts_first", "ts_last", "raw_nbytes", "frame"]
 
