@@ -4,12 +4,12 @@ North-rule criterion: >= 0.8 throughput scaling efficiency between N and 4N
 EXECUTORS at 10^12-turn scale. No real cluster exists in this sandbox, so
 (per the driver instruction) we evidence it by running the SAME flagship job
 on the SAME input at two parallelism levels. We use Spark's local-cluster
-mode — N separate executor JVMs x 4 cores each — which models the cluster
-contract faithfully (independent heaps, real shuffle/fetch, per-executor
-Python worker pools), unlike local[K] threads sharing one heap:
+mode — N separate executor JVMs x CORES_PER_EXEC cores each — which models
+the cluster contract faithfully (independent heaps, real shuffle/fetch,
+per-executor Python worker pools), unlike local[K] threads sharing one heap:
 
-    N = 1 executor  (local-cluster[1,4])  vs  4N = 4 executors
-    (local-cluster[4,4]); shuffle partitions scale with the cluster.
+    N = 1 executor vs 4N = 4 executors (local-cluster[1,2] vs [4,2]);
+    shuffle partitions scale with the cluster.
 
 Protocol:
 1. Materialize the seeded synthetic transcript table (seed=42) to parquet
@@ -17,12 +17,14 @@ Protocol:
 2. Per cluster size: fresh JVMs, warmup at 1% size (codegen + Python worker
    pools), then the timed flagship: 1m/1h/1d rollup + fused gap-fill block
    pack + decode-verify sample.
-3. efficiency = (pps_4N / pps_N) / 4. Sized (default 10M turns -> 636M
+3. efficiency = (pps_4N / pps_N) / 4. Sized (default 20M turns -> 1.70B
    rolled points) so parallel work dominates fixed driver costs — the
-   sandbox proxy for "at scale". NOTE: this VM's own CPU throughput drops
-   ~38% from 4 to 32 busy cores (see BENCH.md hardware probe), so beyond
-   ~16 cores ANY job anti-scales here; 4 -> 16 cores is the widest honest
-   window the hardware offers.
+   sandbox proxy for "at scale". NOTE: this VM's own throughput is linear
+   only to ~8 busy cores (see BENCH.md hardware probe: -18% per-core at 16,
+   -38% at 32 busy cores), so the N->4N pair is placed at 2 -> 8 busy
+   cores, the widest window where the hardware itself scales; on a real
+   cluster each executor is a separate machine and this constraint
+   disappears.
 
 Usage: python scripts/scaling.py [n_turns] [n_convs]
 Writes scaling_results.json; BENCH.md narrates the results.
@@ -49,6 +51,14 @@ synth_transcripts(spark, n_turns, n_convs).write.mode("overwrite").parquet(out)
 spark.stop()
 """
 
+#: cores per executor. 2 keeps the 4N cluster (8 busy cores) inside this
+#: VM's linear CPU/memory-bandwidth region (see BENCH.md hardware probe —
+#: the box's own throughput degrades ~18% at 16 busy cores and ~38% at 32,
+#: which would cap ANY job's measurable efficiency regardless of plan
+#: quality). On real hardware each executor is a separate machine and this
+#: knob is irrelevant.
+CORES_PER_EXEC = 2
+
 RUNNER = """
 import json, sys, time
 sys.path.insert(0, {repo!r})
@@ -56,10 +66,11 @@ from pyspark.sql import SparkSession
 from tmframe_spark.ops.rollup import with_ts_ns
 from bench import flagship_from_transcripts
 n_exec, inp, warm = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+cpe = """ + str(CORES_PER_EXEC) + """
 mem_mb = 49152 // n_exec if n_exec <= 4 else 12288
 spark = (
-    SparkSession.builder.master(f"local-cluster[{{n_exec}},4,{{mem_mb}}]")
-    .appName(f"scaling-{{n_exec}}x4")
+    SparkSession.builder.master(f"local-cluster[{{n_exec}},{{cpe}},{{mem_mb}}]")
+    .appName(f"scaling-{{n_exec}}x{{cpe}}")
     .config("spark.executorEnv.PYTHONPATH", {repo!r})
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.shuffle.partitions", str(max(16, 8 * n_exec)))
@@ -78,8 +89,8 @@ t = with_ts_ns(spark.read.parquet(inp))
 t0 = time.time()
 points = flagship_from_transcripts(t)
 wall = time.time() - t0
-print(json.dumps({{"executors": n_exec, "cores_per_executor": 4,
-                   "total_cores": 4 * n_exec, "points": points,
+print(json.dumps({{"executors": n_exec, "cores_per_executor": cpe,
+                   "total_cores": cpe * n_exec, "points": points,
                    "wall": round(wall, 3), "pps": round(points / wall, 1)}}))
 spark.stop()
 """
@@ -95,8 +106,8 @@ def run(code: str, args: list[str], repo: str):
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-    n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 1500
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
     base = tempfile.mkdtemp(prefix="tmframe_scaling_")
     inp, warm = os.path.join(base, "transcripts"), os.path.join(base, "warmup")
     print(f"materializing inputs under {base} ...")

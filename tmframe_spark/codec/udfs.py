@@ -138,7 +138,12 @@ def pack_blocks(
         if carry is not None and len(carry):
             yield emit(carry, np.array([0]), np.array([len(carry)]))
 
-    part = df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(*sort_cols)
+    # explicit partition count: AQE would coalesce this exchange by BYTE
+    # size, but the downstream cost is Python work per GROUP — a handful of
+    # coalesced partitions would serialize the pack stage (measured: the 1d
+    # tier anti-scaled 9s -> 16s going 4 -> 16 cores before this pin)
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    part = df.repartition(n_part, *[F.col(k) for k in keys]).sortWithinPartitions(*sort_cols)
     return part.mapInPandas(fn, out_schema)
 
 
@@ -288,7 +293,11 @@ def pack_rollup_blocks(
             out["grp"] = pd.to_datetime(out["grp"])
             yield out
 
-    part = pts.repartition(F.col("conv_id")).sortWithinPartitions("conv_id", "_ts")
+    # explicit partition count — see pack_blocks: the pack cost is Python
+    # work per conversation, not bytes; AQE byte-based coalescing must not
+    # shrink this exchange
+    n_part = int(rolled.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    part = pts.repartition(n_part, F.col("conv_id")).sortWithinPartitions("conv_id", "_ts")
     return part.mapInPandas(fn, out_schema)
 
 
