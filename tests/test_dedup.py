@@ -51,6 +51,61 @@ def test_amplified_stream_recovers_original(spark):
     assert run_window_dedup(spark, amplified, len(amplified)) == orig
 
 
+def test_single_conversation_spans_many_arrow_batches(spark):
+    # bounded-memory contract: ONE conversation much larger than
+    # maxRecordsPerBatch must stream through the mapInPandas carry state
+    # (ring + refcount) with identical semantics to the single-batch path.
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        rng = np.random.default_rng(7)
+        vals = list(rng.integers(0, 50, 5000))  # heavy duplication, window 40
+        got = run_window_dedup(spark, vals, 40)
+        # single-node oracle: the reference ring+refcount algorithm in python
+        ring, refcount, keep = [None] * 40, {}, []
+        for i, v in enumerate(vals):
+            if refcount.get(v, 0) > 0:
+                refcount[v] += 1
+            else:
+                refcount[v] = 1
+                keep.append(int(v))
+            if i >= 40:
+                old_v = ring[i % 40]
+                refcount[old_v] -= 1
+                if refcount[old_v] == 0:
+                    del refcount[old_v]
+            ring[i % 40] = v
+        assert got == keep
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_multiple_groups_within_and_across_batches(spark):
+    # group boundaries mid-batch AND across batch boundaries both reset state
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        rows = []
+        for ci in range(6):
+            for i in range(30):
+                rows.append((f"c{ci}", i, "user", str(i % 3), None, i * 1000))
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string, ts long",
+        )  # hash-partitioning co-locates several groups per task carry state
+        out = count_window_dedup(
+            df, window_size=100, by=["conv_id"],
+            order_cols=["ts", "turn_idx"], hash_cols=["text"],
+        )
+        got = sorted((r["conv_id"], r["turn_idx"]) for r in out.collect())
+        want = sorted((f"c{ci}", i) for ci in range(6) for i in range(3))
+        assert got == want
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_hash_dedup_and_counts(spark):
     df = _df(spark, [5, 6, 5, 7, 6, 5])
     kept = hash_dedup(df, ["text"], ["ts", "turn_idx"])

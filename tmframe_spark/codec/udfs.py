@@ -127,7 +127,12 @@ def pack_blocks(
             if len(pdf) == 0:
                 continue
             kdf = pdf[list(keys)]
-            change = kdf.ne(kdf.shift()).any(axis=1).to_numpy()
+            # null-safe: NaN != NaN in pandas, so a plain ne() would split a
+            # null-keyed group into one block per point
+            prev = kdf.shift()
+            change = (
+                (~((kdf == prev) | (kdf.isna() & prev.isna()))).any(axis=1).to_numpy()
+            )
             change[0] = True
             starts = np.flatnonzero(change)
             ends = np.append(starts[1:], len(pdf))

@@ -88,34 +88,89 @@ def count_window_dedup(
     Default window in the reference CLI: 1000 frames (cfg.go:93).
     ``emit``: 'kept' (dedupped stream) or 'dups' (the recognized duplicates
     — the reference's dupsW side-output, dedup.go:94-98).
+
+    Scale shape: repartition on ``by`` + sortWithinPartitions + a *streaming*
+    mapInPandas pass whose state is exactly the ring (``window_size`` content
+    strings) + refcount map, carried across Arrow batches. Memory per task is
+    O(window_size + batch), never O(conversation) — a hot conversation with
+    10^8 turns streams through in bounded memory, unlike groupBy().
+    applyInPandas which would materialize it whole. Content comparison is
+    exact strings (never a lossy 64-bit hash), matching the reference's
+    collision-free intent.
+
+    ``order_cols`` must be a total order within each ``by`` group (e.g.
+    (ts, turn_idx)) — Spark's sort is not stable, so ties would otherwise be
+    partition-order dependent.
     """
     if emit not in ("kept", "dups"):
         raise ValueError("emit must be 'kept' or 'dups'")
     want_kept = emit == "kept"
     out_schema = StructType(df.schema.fields)
+    key_cols = list(by)
+    sort_cols = key_cols + list(order_cols)
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(list(order_cols), kind="mergesort").reset_index(drop=True)
-        joined = pdf[hash_cols[0]].fillna("").astype(str)
-        for c in hash_cols[1:]:
-            joined = joined + "\x1f" + pdf[c].fillna("").astype(str)
-        # content key per row; factorize to ints for a fast ring loop
-        codes, _ = pd.factorize(joined)
-        keep = np.ones(len(codes), dtype=bool)
-        ring = np.full(window_size, -1, dtype=np.int64)
-        refcount: dict[int, int] = {}
-        for i, h in enumerate(codes):
-            if refcount.get(h, 0) > 0:
-                keep[i] = False
-                refcount[h] += 1
-            else:
-                refcount[h] = 1
-            if i >= window_size:
-                old = int(ring[i % window_size])
-                refcount[old] -= 1
-                if refcount[old] == 0:
-                    del refcount[old]
-            ring[i % window_size] = h
-        return pdf[keep if want_kept else ~keep]
+    def fn(batches):
+        # per-group state, carried across batches (groups are contiguous
+        # under the partition sort): open group key, ring of the last
+        # window_size content strings, refcount map, running index
+        cur_key: tuple | None = None
+        ring: list = [None] * window_size
+        refcount: dict = {}
+        i = 0
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            joined = pdf[hash_cols[0]].fillna("").astype(str)
+            for c in hash_cols[1:]:
+                joined = joined + "\x1f" + pdf[c].fillna("").astype(str)
+            contents = joined.to_numpy(dtype=object)
+            kdf = pdf[key_cols]
+            prev = kdf.shift()
+            # null-safe boundary detection: NaN == NaN must NOT break a group
+            change = (
+                (~((kdf == prev) | (kdf.isna() & prev.isna()))).any(axis=1).to_numpy()
+            )
+            first_key = tuple(
+                None if pd.isna(v) else v for v in kdf.iloc[0]
+            )
+            change[0] = first_key != cur_key
+            bidx = np.flatnonzero(change)
+            btuples = {
+                int(r): tuple(None if pd.isna(v) else v for v in kdf.iloc[int(r)])
+                for r in bidx
+            }
+            keep = np.ones(n, dtype=bool)
+            for r in range(n):
+                if change[r]:
+                    cur_key = btuples[r]
+                    refcount = {}
+                    i = 0
+                h = contents[r]
+                rc = refcount.get(h, 0)
+                if rc > 0:
+                    keep[r] = False
+                    refcount[h] = rc + 1
+                else:
+                    refcount[h] = 1
+                if i >= window_size:
+                    old = ring[i % window_size]
+                    c2 = refcount[old] - 1
+                    if c2 == 0:
+                        del refcount[old]
+                    else:
+                        refcount[old] = c2
+                ring[i % window_size] = h
+                i += 1
+            out = pdf[keep if want_kept else ~keep]
+            if len(out):
+                yield out
 
-    return df.groupBy(*by).applyInPandas(fn, out_schema)
+    # explicit partition pin (see codec.udfs.pack_blocks): the downstream
+    # cost is Python work per row, so AQE byte-based coalescing must not
+    # shrink this exchange
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    part = df.repartition(n_part, *[F.col(k) for k in key_cols]).sortWithinPartitions(
+        *sort_cols
+    )
+    return part.mapInPandas(fn, out_schema)

@@ -31,6 +31,27 @@ def retained(tier_df: DataFrame, tier: str, as_of, policy=None) -> DataFrame:
     return tier_df.where(F.to_date(F.col("bucket")) >= cutoff)
 
 
+def retained_asof_df(
+    tier_df: DataFrame, tier: str, as_of_df: DataFrame, policy=None
+) -> DataFrame:
+    """Like ``retained`` but the as-of instant comes from a 1-row DataFrame
+    (column ``_as_of``) instead of a driver-side scalar.
+
+    Keeps the whole pipeline lazy (no mid-plan collect): the 1-row aggregate
+    is broadcast and cross-joined, so Catalyst folds it into the filter as a
+    BroadcastNestedLoopJoin over one row — one job instead of two.
+    """
+    days = (policy or DEFAULT_POLICY)[tier]
+    if days is None:
+        return tier_df
+    cutoff = F.date_sub(F.to_date(F.col("_as_of")), days)
+    return (
+        tier_df.crossJoin(F.broadcast(as_of_df))
+        .where(F.to_date(F.col("bucket")) >= cutoff)
+        .drop("_as_of")
+    )
+
+
 def expired(tier_df: DataFrame, tier: str, as_of, policy=None) -> DataFrame:
     """Complement of ``retained`` — the partitions a vacuum job would drop."""
     days = (policy or DEFAULT_POLICY)[tier]

@@ -442,12 +442,15 @@ def q_sessionize(spark, sf_dir):
 
 
 def q_retention_1m(spark, sf_dir):
-    from tmframe_spark.ops.retention import retained
+    from tmframe_spark.ops.retention import retained_asof_df
 
-    t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
+    t_all = _t(spark, sf_dir)
+    t = t_all.where(F.col("conv_id").isin(*SUBSET))
     m = rollup(t, "1m")
-    mx = t.agg(F.max("ts")).collect()[0][0]
-    kept = retained(m, "1m", F.lit(mx), policy={"1m": 7})
+    # as-of = max(ts) over ALL transcripts (same scope as the oracle's mx
+    # CTE), computed lazily as a broadcast 1-row aggregate — no collect()
+    as_of = t_all.agg(F.max("ts").alias("_as_of"))
+    kept = retained_asof_df(m, "1m", as_of, policy={"1m": 7})
     return kept.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("kept_buckets"),
         F.sum("turns").cast("long").alias("kept_turns"),
