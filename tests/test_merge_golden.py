@@ -69,5 +69,6 @@ def test_count_window_dedup_property_vs_python_port(spark):
 def test_evtnum_names():
     assert evtnum_name(-1) == "EvErr"
     assert evtnum_name(3) == "EvTwo64"
-    assert evtnum_name(16) == "EvZebraPack"
+    # reference Evtnum.String() has no case for 16 → "Ev.16" (frame.go:448-486)
+    assert evtnum_name(16) == "Ev.16"
     assert evtnum_name(-1000) == "Ev.-1000"

@@ -89,7 +89,10 @@ _EVTNUM_NAMES = {
     -1: "EvErr", 0: "EvZero", 1: "EvOneInt64", 2: "EvOneFloat64", 3: "EvTwo64",
     4: "EvNull", 5: "EvNA", 6: "EvNaN", 7: "EvUDE", 8: "EvHeader",
     9: "EvMsgpack", 10: "EvBinc", 11: "EvCapnp", 12: "EvZygo", 13: "EvUtf8",
-    14: "EvJson", 15: "EvMsgpKafka", 16: "EvZebraPack",
+    14: "EvJson", 15: "EvMsgpKafka",
+    # NOTE: deliberately no entry for 16 (EvZebraPack) — the reference's
+    # Evtnum.String() switch has no case for it (frame.go:448-486) and
+    # prints "Ev.16"; matched exactly for display fidelity.
 }
 
 

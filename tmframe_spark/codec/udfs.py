@@ -353,6 +353,125 @@ def unpack_blocks(
     return blocks.mapInPandas(fn, out_schema)
 
 
+def frame_mixed_fixture(transcripts: DataFrame) -> DataFrame:
+    """Mixed-evtnum wire fixture for the display path: by turn_idx % 3,
+    each turn becomes an EV_TURN UDE frame (payload role|US|tool|US|text),
+    an EvOneInt64 frame (V1 = text length), or an EvZero frame. Exercises
+    every Frame.String() branch (frame.go:490-511) with real wire bytes.
+    """
+    from tmframe_spark.codec.frames import EV_ONE_INT64, EV_TURN, EV_ZERO
+
+    schema = StructType(
+        transcripts.schema.fields + [StructField("frame", BinaryType())]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ts = pdf["ts_ns"].to_numpy(np.int64)
+            kind = pdf["turn_idx"].to_numpy(np.int64) % 3
+            evs = np.choose(kind, [EV_TURN, EV_ONE_INT64, EV_ZERO])
+            cols = [
+                pdf[c].astype(object).where(pd.notna(pdf[c]), "")
+                for c in ("role", "tool", "text")
+            ]
+            text_len = pdf["text"].str.len().fillna(0).to_numpy(np.int64)
+            data = [
+                "\x1f".join((r, t, x)).encode("utf-8") if k == 0 else b""
+                for k, r, t, x in zip(kind, *cols)
+            ]
+            fr = make_frames(ts, evs, v1=text_len, data=data)
+            sizes = frame_num_bytes(fr.prim, fr.ude)
+            wire = marshal_frames(fr)
+            offs = np.zeros(n, dtype=np.int64)
+            np.cumsum(sizes[:-1], out=offs[1:])
+            out = pdf.copy()
+            out["frame"] = [wire[int(o) : int(o + s)] for o, s in zip(offs, sizes)]
+            yield out
+
+    return transcripts.mapInPandas(fn, schema)
+
+
+def frame_msgpack_turns(transcripts: DataFrame) -> DataFrame:
+    """Encode each turn as an EvMsgpack UDE frame whose payload is the
+    msgpack map {"conv_id", "turn_idx", "role", "n_chars"} — the reference's
+    LogEntry-in-a-msgpack-family-frame pattern (testdata/logentry.go:9-13,
+    util.go:364-404), with this engine's from-scratch msgpack codec.
+
+    Output: one binary ``frame`` column only (the decode side must recover
+    everything from the wire)."""
+    from tmframe_spark.codec.frames import EV_MSGPACK
+    from tmframe_spark.codec.payloads import mp_encode
+
+    schema = StructType([StructField("frame", BinaryType())])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ts = pdf["ts_ns"].to_numpy(np.int64)
+            payloads = [
+                mp_encode(
+                    {
+                        "conv_id": c,
+                        "turn_idx": int(i),
+                        "role": r,
+                        "n_chars": len(x) if isinstance(x, str) else 0,
+                    }
+                )
+                for c, i, r, x in zip(
+                    pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["text"]
+                )
+            ]
+            fr = make_frames(ts, [EV_MSGPACK] * n, data=payloads)
+            sizes = frame_num_bytes(fr.prim, fr.ude)
+            wire = marshal_frames(fr)
+            offs = np.zeros(n, dtype=np.int64)
+            np.cumsum(sizes[:-1], out=offs[1:])
+            yield pd.DataFrame(
+                {"frame": [wire[int(o) : int(o + s)] for o, s in zip(offs, sizes)]}
+            )
+
+    return transcripts.mapInPandas(fn, schema)
+
+
+def decode_msgpack_frames(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
+    """Decode EvMsgpack wire frames back into typed columns via the payload
+    codec registry (codec.payloads) — the inverse of frame_msgpack_turns."""
+    from pyspark.sql.types import IntegerType, StringType
+
+    from tmframe_spark.codec.frames import EV_MSGPACK
+    from tmframe_spark.codec.payloads import mp_decode
+
+    out_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            fr = unmarshal_frames(b"".join(bytes(x) for x in pdf[frame_col]))
+            evs = get_evtnum(fr.prim, fr.ude)
+            if (evs != EV_MSGPACK).any():
+                bad = int(evs[(evs != EV_MSGPACK).argmax()])
+                raise ValueError(f"expected EvMsgpack frame, got evtnum {bad}")
+            recs = [mp_decode(d) for d in fr.data]
+            yield pd.DataFrame.from_records(recs).astype(
+                {"turn_idx": "int32", "n_chars": "int64"}
+            )
+
+    return frames.mapInPandas(fn, out_schema)
+
+
 def frame_turns(
     transcripts: DataFrame,
     role_codes: dict[str, int] | None = None,

@@ -323,18 +323,28 @@ def q_tfsum_blake2b(spark, sf_dir):
 
 
 def q_frame_display(spark, sf_dir):
-    """tfcat render analog (S7/C9): human-readable per-frame line
-    'TMFRAME <ts> EVTNUM <n> [<nbytes> bytes]' from typed columns —
-    the reference's Frame.String() shape (frame.go:490-511)."""
-    t = _t(spark, sf_dir)
-    line = F.concat(
-        F.lit("TMFRAME "),
-        F.col("ts").cast("string"),
-        F.lit(" EVTNUM -1001 ["),
-        F.expr(_NBYTES).cast("string"),
-        F.lit(" bytes]"),
-    )
-    return t.select("conv_id", "turn_idx", line.alias("display"))
+    """tfcat render (S7/C9): Frame.String() (frame.go:490-511) decoded from
+    REAL wire bytes, PTI/evtnum-driven over a mixed-evtnum fixture —
+    EV_TURN UDE frames (Ev.-1001 + UCOUNT), EvOneInt64 (V1 suffix), EvZero.
+    The oracle restates every branch arithmetically, incl. RFC3339Nano."""
+    from tmframe_spark.codec.udfs import frame_mixed_fixture
+    from tmframe_spark.ops.display import display_frames
+
+    t = with_ts_ns(_t(spark, sf_dir))
+    framed = frame_mixed_fixture(t)
+    return display_frames(framed, "frame").select("conv_id", "turn_idx", "display")
+
+
+def q_msgpack_decode(spark, sf_dir):
+    """C9 payload codec: every turn encoded as an EvMsgpack UDE frame
+    (payload = msgpack map of conv_id/turn_idx/role/n_chars via the
+    from-scratch msgpack codec), then decoded back from the wire ONLY —
+    the oracle recomputes the same fields straight from the table, so the
+    hash match proves encode->wire->decode end to end."""
+    from tmframe_spark.codec.udfs import decode_msgpack_frames, frame_msgpack_turns
+
+    t = with_ts_ns(_t(spark, sf_dir))
+    return decode_msgpack_frames(frame_msgpack_turns(t))
 
 
 # --------------------------------------------------------------------------
@@ -638,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_field": q_json_field,
         "checksum_projection": q_checksum_projection,
         "frame_display": q_frame_display,
+        "msgpack_decode": q_msgpack_decode,
         "tfsum_blake2b": q_tfsum_blake2b,
         "frame_sizes": q_frame_sizes,
         "minute_index": q_minute_index,
@@ -751,11 +762,32 @@ SELECT conv_id, turn_idx,
 FROM transcripts
 """
 
+    # RFC3339Nano (Go): trailing zeros trimmed from the fraction, no dot when
+    # zero, 'Z' suffix. ts is microsecond-precision so ns fraction == micro
+    # fraction with trailing zeros trimmed.
+    _T3339 = (
+        "strftime(ts, '%Y-%m-%dT%H:%M:%S') || "
+        "CASE WHEN strftime(ts, '%f') = '000000' THEN '' "
+        "ELSE '.' || rtrim(strftime(ts, '%f'), '0') END || 'Z'"
+    )
     o["frame_display"] = f"""
-WITH {_T_CTE}
+WITH {_T_CTE},
+f AS (SELECT conv_id, turn_idx, role, tool, text, {_T3339} AS t3339 FROM transcripts)
 SELECT conv_id, turn_idx,
-       concat('TMFRAME ', CAST(ts AS VARCHAR), ' EVTNUM -1001 [',
-              CAST({_NBYTES} AS VARCHAR), ' bytes]') AS display
+  CASE CAST(turn_idx % 3 AS INTEGER)
+    WHEN 0 THEN 'TMFRAME ' || t3339 || ' EVTNUM Ev.-1001 ['
+                || CAST({_NBYTES} AS VARCHAR) || ' bytes] (UCOUNT '
+                || CAST(3 + length(role) + length(coalesce(tool, '')) + length(text) AS VARCHAR) || ')'
+    WHEN 1 THEN 'TMFRAME ' || t3339 || ' EVTNUM EvOneInt64 [16 bytes] (UCOUNT 0) V1:'
+                || CAST(length(text) AS VARCHAR)
+    ELSE 'TMFRAME ' || t3339 || ' EVTNUM EvZero [8 bytes] (UCOUNT 0)'
+  END AS display
+FROM f
+"""
+
+    o["msgpack_decode"] = f"""
+WITH {_T_CTE}
+SELECT conv_id, turn_idx, role, CAST(length(text) AS BIGINT) AS n_chars
 FROM transcripts
 """
 
