@@ -44,6 +44,28 @@ def test_lsh_recall_vs_exact(docs):
     assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9"
 
 
+def test_capped_jaccard_recall_and_exact_values(docs):
+    from tmframe_spark.text.dedup import jaccard_pairs_capped
+
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, "doc_id", threshold=0.7, shingle_k=3).collect()
+    }
+    # max_df=5 is aggressive here (exact-dup groups put every shingle at
+    # df>=2); recall must still be total because every near-dup pair shares
+    # at least one sub-cap shingle
+    pairs, stats = jaccard_pairs_capped(
+        docs, "doc_id", threshold=0.7, shingle_k=3, max_df=5
+    )
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    st = stats.collect()[0]
+    assert st["capped_tokens"] > 0, "cap must actually bite on this fixture"
+    assert set(capped) == set(uncapped), "df-capped candidate gen lost pairs"
+    for k, v in capped.items():
+        # re-verification uses FULL token sets -> values exact, not capped
+        assert v == uncapped[k]
+
+
 def test_minhash_estimate_close_to_exact(docs):
     exact = {
         (r["id_a"], r["id_b"]): r["jaccard"]

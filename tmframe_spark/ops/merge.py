@@ -54,7 +54,15 @@ def with_stable_pos(
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
-    part = part.persist()
+    # localCheckpoint, not persist: (a) truncates lineage, so the range
+    # boundaries sampled by repartitionByRange are FROZEN — the count job
+    # and the output job are guaranteed to see identical partitioning even
+    # if blocks are evicted (persist() would silently recompute and could
+    # in principle re-sample); (b) the blocks are released by the
+    # ContextCleaner when the DataFrame is GC'd — no manual unpersist, no
+    # cache leak across calls. Cluster note: localCheckpoint is lost with
+    # an executor; use checkpoint(reliable dir) for long jobs there.
+    part = part.localCheckpoint(eager=True)
     counts = {r["_pid"]: r["count"] for r in part.groupBy("_pid").count().collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):

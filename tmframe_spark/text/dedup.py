@@ -87,8 +87,76 @@ def jaccard_pairs(
     return j.select("id_a", "id_b", "jaccard")
 
 
+def jaccard_pairs_capped(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_k: int = 1,
+    max_df: int = 100,
+):
+    """Scale-safe exact Jaccard: document-frequency-capped candidate
+    generation + exact re-verification.
+
+    The plain ``jaccard_pairs`` self-join is quadratic in the hottest
+    token's document frequency — one stop word makes it O(n^2) at corpus
+    scale. Here tokens with df > ``max_df`` are EXCLUDED from candidate
+    generation only; every surviving candidate pair is then re-verified
+    with its FULL token sets (semi-joined down to candidate ids first), so
+    reported jaccard values are exact — the cap can only lose pairs whose
+    every shared token is ultra-common (recall asserted in tests).
+
+    No silent truncation: returns ``(pairs, stats)`` where ``stats`` is a
+    1-row DataFrame (capped_tokens, total_tokens) quantifying the cap.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("w"),
+    )
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    stats = dfreq.agg(
+        F.sum((F.col("df") > max_df).cast("long")).alias("capped_tokens"),
+        F.count(F.lit(1)).alias("total_tokens"),
+    )
+    rare = dfreq.where(F.col("df") <= max_df).select("w")
+    tok_gen = tok.join(rare, "w")  # candidate generation only
+    a, b = tok_gen.alias("a"), tok_gen.alias("b")
+    cand = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact re-verify over full token sets, restricted to candidate ids
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    ta = tok.select(F.col("id").alias("id_a"), "w")
+    tb = tok.select(F.col("id").alias("id_b"), "w")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "w"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    pairs = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs, stats
+
+
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str = "text", k: int = 64, shingle_k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 64,
+    shingle_k: int = 3,
+    pre_repartition: bool = True,
 ) -> DataFrame:
     """K-permutation MinHash signature per doc, entirely JVM-side.
 
@@ -103,12 +171,24 @@ def minhash_signatures(
        the string work K times (measured 20x slower).
     No explode: the whole signature is one codegen projection per doc row.
     """
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_mh_text"))
+    if pre_repartition:
+        # the shingle-hash projection runs at SCAN parallelism; a corpus
+        # that arrives as few/small files (this sandbox's testdata) would
+        # hash single-threaded. At warehouse scale the parquet layout
+        # already yields parallel scans — pass pre_repartition=False there
+        # to avoid shuffling the raw text a second time.
+        src = src.repartition(n_part, F.col("id"))
     hs = F.transform(
-        shingles(F.col(text_col), shingle_k, distinct=False), lambda s: F.xxhash64(s)
+        shingles(F.col("_mh_text"), shingle_k, distinct=False), lambda s: F.xxhash64(s)
     )
-    hashed = df.select(F.col(id_col).alias("id"), hs.alias("hs")).repartition(
-        F.col("id")
-    )
+    # explicit partition count on the exchange: the K-permutation projection
+    # downstream is heavy CPU over tiny bytes, exactly the shape AQE's
+    # byte-based coalescing serializes to one task (measured 6.4s -> 0.5s
+    # at sf0.1 on 32 cores). The exchange carries hashed shingles (8B each),
+    # never the raw text.
+    hashed = src.select("id", hs.alias("hs")).repartition(n_part, F.col("id"))
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.array_min(F.transform(F.col("hs"), lambda h: F.xxhash64(h, i))),
@@ -133,7 +213,16 @@ def minhash_lsh_pairs(
     est_jaccard (= matching minhash fraction).
     """
     r = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle_k).persist()
+    # eager localCheckpoint, not persist(): the signature projection sits
+    # AFTER its exchange, so plain exchange-reuse would still recompute the
+    # K permutations once per consumer (band explode + both est re-joins —
+    # measured 4x the work in the physical plan). Checkpointing computes it
+    # exactly once at the pinned parallelism; blocks are released by the
+    # ContextCleaner when this DataFrame is GC'd — nothing leaks across
+    # calls (the r1 persist() never unpersisted).
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_k).localCheckpoint(
+        eager=True
+    )
     band_rows = sigs.select(
         "id",
         F.posexplode(
@@ -151,8 +240,10 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        # same shuffle a distinct() would cost, but the band-match count
+        # comes out free (useful skew/recall observability at scale)
+        .agg(F.count(F.lit(1)).alias("n_bands"))
     )
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
