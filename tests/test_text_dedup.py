@@ -102,6 +102,64 @@ def test_simhash_near_dups_have_small_hamming(docs, spark):
         assert ham <= 24, f"near-dup hamming {ham} too large"
 
 
+def test_bpe_count_equals_lookaround_split(spark):
+    # the regexp_count form must equal the original lookaround-split form
+    # (Spark supports lookarounds; DuckDB's RE2 does not — hence the rework)
+    from pyspark.sql import functions as F
+
+    from tmframe_spark.text.analysis import bpe_ish_token_count
+
+    texts = [
+        "hello, world!",
+        "a.b.c",
+        "!!",
+        "",
+        "   ",
+        "foo_bar baz-qux",
+        "x",
+        "one  two\tthree",
+        "(nested [brackets]!)",
+        "ünïcode straße 東京",  # non-ASCII outside \w in both engines
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    t = F.trim(F.col("text"))
+    legacy = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(
+            F.filter(
+                F.split(t, r"[\s]+|(?=[^\w\s])|(?<=[^\w\s])"),
+                lambda x: F.length(x) > 0,
+            )
+        )
+    )
+    rows = df.select(
+        "text",
+        bpe_ish_token_count(F.col("text")).alias("new"),
+        legacy.alias("old"),
+    ).collect()
+    for r in rows:
+        assert r["new"] == r["old"], f"{r['text']!r}: {r['new']} != {r['old']}"
+
+
+def test_portable_hash60_matches_duckdb(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from tmframe_spark.text.dedup import _portable_hash60
+
+    words = ["abc", "", "the", "straße", "東京", "x" * 50]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: r["h"]
+        for r in df.select("w", _portable_hash60(F.col("w")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for w in words:
+        (want,) = con.execute(
+            "SELECT CAST(('0x' || substr(md5(?), 1, 15)) AS BIGINT)", [w]
+        ).fetchone()
+        assert got[w] == want, w
+
+
 def test_exact_dedup_keeps_lowest_id(docs):
     kept = {r["doc_id"] for r in exact_dedup(docs, "doc_id").collect()}
     for b in range(30):

@@ -585,8 +585,8 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 def q_bpe_token_count(spark, sf_dir):
-    """BPE-ish token counting (punctuation/word-boundary aware regex) over
-    documents — Spark-only regex dialect, rows-only check."""
+    """BPE-ish token counting: #word-runs + #punctuation-chars (the
+    lookaround-free equivalent of boundary splitting) — full DuckDB oracle."""
     from tmframe_spark.text.analysis import bpe_ish_token_count
 
     d = _docs(spark, sf_dir)
@@ -594,10 +594,14 @@ def q_bpe_token_count(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    """REAL container decode: payloads are valid PNG/GIF/BMP/WAV/AVI bytes
+    (stdlib builders); widths/heights/frame counts are parsed back from the
+    headers only, and the oracle restates the generator formulas — a full
+    build->bytes->parse round-trip proof."""
     from tmframe_spark.vec.multimodal import extract_features, synth_media
 
     return extract_features(synth_media(spark, 256)).select(
-        "media_id", "kind", "width", "height", "n_frames"
+        "media_id", "kind", "fmt", "width", "height", "n_frames"
     )
 
 
@@ -928,6 +932,31 @@ SELECT doc_id, lang,
 FROM documents
 """
 
+    # simhash: portable md5-prefix 60-bit token hash (bit-identical to the
+    # engine's conv(substring(md5,1,15),16,10)); per-bit majority vote
+    _bit_votes = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)"
+        for i in range(60)
+    )
+    o["simhash"] = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+h AS (SELECT id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok)
+SELECT id, CAST({_bit_votes} AS BIGINT) AS simhash FROM h GROUP BY id
+"""
+
+    o["bpe_token_count"] = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(trim(text), '\\w+'))
+            + length(regexp_replace(trim(text), '[\\w\\s]', '', 'g')) AS BIGINT)
+         AS bpe_tokens
+FROM documents
+"""
+
     o["doc_fingerprint"] = """
 SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
 FROM documents
@@ -959,6 +988,20 @@ FROM inter
 JOIN sizes sa ON sa.id = inter.id_a
 JOIN sizes sb ON sb.id = inter.id_b
 WHERE CAST(i AS BIGINT) / CAST(sa.n + sb.n - i AS BIGINT) >= 0.5
+"""
+
+    o["multimodal_features"] = """
+WITH m AS (SELECT CAST(i AS BIGINT) AS media_id FROM generate_series(0, 255) t(i))
+SELECT media_id,
+  CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  CASE media_id % 3
+    WHEN 0 THEN CASE (media_id // 3) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END
+    WHEN 1 THEN 'wav' ELSE 'avi' END AS fmt,
+  CAST(CASE media_id % 3 WHEN 1 THEN 0 ELSE (media_id * 7) % 1000 + 16 END AS INTEGER) AS width,
+  CAST(CASE media_id % 3 WHEN 1 THEN 0 ELSE (media_id * 13) % 1000 + 16 END AS INTEGER) AS height,
+  CAST(CASE media_id % 3 WHEN 0 THEN 1 WHEN 1 THEN (media_id % 50 + 1) * 100
+       ELSE media_id % 240 + 1 END AS INTEGER) AS n_frames
+FROM m
 """
 
     _QDOT_DD = (

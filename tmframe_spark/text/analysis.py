@@ -27,12 +27,17 @@ def token_count(col) -> "F.Column":
 
 
 def bpe_ish_token_count(col) -> "F.Column":
-    """A BPE-ish proxy: split on word boundaries/punctuation so punctuation
-    and camel-case fragments count separately (regex, still JVM-side)."""
+    """A BPE-ish proxy: word runs and punctuation count as separate tokens.
+
+    count = #(\\w+ runs) + #([^\\w\\s] chars) — provably identical to
+    splitting on whitespace plus a boundary before/after every punctuation
+    char (the lookaround form), but expressible without lookarounds so an
+    RE2-based engine (DuckDB) can restate it for the oracle. Still pure
+    JVM-side regex."""
     t = F.trim(col)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.filter(F.split(t, r"[\s]+|(?=[^\w\s])|(?<=[^\w\s])"), lambda x: F.length(x) > 0))
-    )
+    words = F.size(F.regexp_extract_all(t, F.lit(r"\w+"), F.lit(0)))
+    punct = F.length(F.regexp_replace(t, r"[\w\s]", ""))
+    return words + punct
 
 
 def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:

@@ -261,20 +261,37 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash: per-bit majority vote over token xxhash64 values.
+#: Spark-side portable 60-bit token hash: first 15 hex chars of md5 as an
+#: int64 — bit-identical to DuckDB's CAST('0x' || substr(md5(w),1,15) AS
+#: BIGINT), so simhash is verifiable across engines. 60 bits keeps the value
+#: non-negative in a signed int64 on both sides.
+def _portable_hash60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+SIMHASH_BITS = 60
+
+
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str = "text", portable: bool = True
+) -> DataFrame:
+    """SimHash: per-bit majority vote over token hashes (bits 0..59).
 
     All JVM-side: explode tokens -> for each bit, sum(+-1 by bit value) ->
-    reassemble the sign vector into an int64.
+    reassemble the sign vector into an int64. ``portable=True`` (default)
+    hashes tokens with the md5-prefix hash so a DuckDB oracle can restate
+    the whole function; ``portable=False`` uses xxhash64 (cheaper, same
+    hamming-distance properties) for hot paths that don't need the oracle.
     """
+    h = _portable_hash60(F.col("w")) if portable else F.xxhash64("w")
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
+    ).withColumn("h", h)
     g = tok.groupBy("id").agg(F.collect_list("h").alias("hs"))
     # one higher-order expression (bit index is a lambda variable) instead of
-    # 64 unrolled aggregates — same codegen-size concern as minhash
+    # 60 unrolled aggregates — same codegen-size concern as minhash
     sim = F.expr(
-        "aggregate(sequence(0, 63), 0L, (acc, i) -> acc | "
+        f"aggregate(sequence(0, {SIMHASH_BITS - 1}), 0L, (acc, i) -> acc | "
         "  IF(aggregate(hs, 0L, (a, h) -> a + IF((shiftright(h, i) & 1) = 1, 1L, -1L)) > 0, "
         "     shiftleft(1L, i), 0L))"
     )
