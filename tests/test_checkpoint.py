@@ -4,6 +4,8 @@ only the missing day partitions (the archiver-ack analog)."""
 import os
 import tempfile
 
+import pytest
+
 from tests.conftest import SF_DIR
 from tmframe_spark.data.transcripts import load_transcripts
 from tmframe_spark.ops.checkpoint import (
@@ -37,6 +39,35 @@ def test_resume_skips_done_partitions(spark):
     # idempotent third run: nothing pending
     assert checkpointed_rollup_run(t, out, man) == []
 
-    # outputs landed per partition
+    # outputs landed per partition through the catalog layer
+    from tmframe_spark.data.catalog import Catalog
+
+    cat = Catalog(spark, out)
+    cat.kind["rollup_1m_blocks"] = "parquet"  # this runtime has no Iceberg
+    assert cat.days("rollup_1m_blocks") == all_days
     for d in all_days:
-        assert os.path.isdir(os.path.join(out, f"day={d}"))
+        assert os.path.isdir(os.path.join(out, "rollup_1m_blocks", f"day={d}"))
+    # read-back: full table and a pruned single day
+    full = cat.read("rollup_1m_blocks")
+    assert full.count() > 0 and "day" in full.columns
+    one = cat.read_day("rollup_1m_blocks", all_days[0])
+    assert 0 < one.count() <= full.count()
+    # (the day= path component is type-inferred as DATE on read)
+    assert str(one.select("day").distinct().collect()[0]["day"]) == all_days[0]
+
+
+def test_catalog_falls_back_without_iceberg(spark, tmp_path):
+    from tmframe_spark.data.catalog import Catalog
+
+    df = spark.range(3).selectExpr(
+        "cast(id as string) AS conv_id", "'2024-01-01' AS day", "id AS v"
+    )
+    cat = Catalog(spark, str(tmp_path))
+    kind = cat.ensure_table("t1", df, partition_by=("day", "bucket(16, conv_id)"))
+    assert kind == "parquet"  # no Iceberg jar in this container
+    cat.overwrite_day("t1", df, "2024-01-01")
+    cat.overwrite_day("t1", df, "2024-01-01")  # idempotent re-run
+    assert cat.days("t1") == ["2024-01-01"]
+    assert cat.read("t1").count() == 3
+    with pytest.raises(ValueError):
+        cat.ensure_table("bad name; drop", df)

@@ -1,0 +1,138 @@
+"""Thin table catalog: Iceberg when the runtime ships it, day-partitioned
+parquet paths otherwise.
+
+The reference's physical layout is a day-partitioned archive directory tree
+(/root/reference/archiver/filemgr.go:94-104: one file per day, date in the
+path). The warehouse-native analog is an Iceberg table partitioned by
+``days(ts), bucket(N, conv_id)`` — day pruning for retention plus bucketed
+conv co-location so rollup/pack shuffles become partition-local. This
+module provides that DDL path when an Iceberg catalog is configured, and
+degrades to the same ``day=YYYY-MM-DD`` parquet directory convention
+otherwise (partition pruning still applies via Hive-style paths; bucketing
+is unavailable path-based and noted as such).
+
+Every writer in the engine (checkpointed rollup job, tier materialization)
+routes through ``Catalog`` so swapping the physical layer is one object.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+class Catalog:
+    """``kind`` is 'iceberg' or 'parquet' (decided per table at create)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        iceberg_catalog: str | None = None,
+        bucket_n: int = 16,
+    ):
+        self.spark = spark
+        self.root = root
+        self.iceberg_catalog = iceberg_catalog
+        self.bucket_n = bucket_n
+        self.kind: dict[str, str] = {}
+
+    # -- identifiers --------------------------------------------------------
+
+    def _ident(self, name: str) -> str:
+        if not _IDENT.match(name):
+            raise ValueError(f"bad table name: {name!r}")
+        return f"{self.iceberg_catalog}.{name}" if self.iceberg_catalog else name
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    # -- DDL ----------------------------------------------------------------
+
+    def ensure_table(
+        self,
+        name: str,
+        like: DataFrame,
+        partition_by: tuple[str, ...] | None = None,
+        ts_col: str = "ts",
+        bucket_col: str | None = "conv_id",
+    ) -> str:
+        """Create the table if missing; returns the chosen kind.
+
+        Iceberg DDL: ``PARTITIONED BY (days(ts), bucket(N, conv_id))`` by
+        default, or the explicit ``partition_by`` transforms (use a bare
+        column name for an identity transform, e.g. a precomputed ``day``
+        string). Parquet fallback: the directory is created lazily by the
+        first write; partitioning is the day= path convention.
+        """
+        if name in self.kind:
+            return self.kind[name]
+        ddl_cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in like.schema.fields
+        )
+        if partition_by is not None:
+            parts = list(partition_by)
+        else:
+            parts = [f"days({ts_col})"]
+            if bucket_col:
+                parts.append(f"bucket({self.bucket_n}, {bucket_col})")
+        ident = self._ident(name)  # validate BEFORE the fallback try
+        try:
+            self.spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {ident} ({ddl_cols}) "
+                f"USING iceberg PARTITIONED BY ({', '.join(parts)}) "
+                f"TBLPROPERTIES ('format-version'='2')"
+            )
+            self.kind[name] = "iceberg"
+        except Exception:
+            # no Iceberg extension/jar in this runtime -> parquet layout
+            self.kind[name] = "parquet"
+        return self.kind[name]
+
+    # -- IO -----------------------------------------------------------------
+
+    def overwrite_day(self, name: str, df: DataFrame, day: str) -> None:
+        """Idempotently replace one day partition (the resume-safe write
+        unit: re-running a day after a crash overwrites, never duplicates)."""
+        if self.kind.get(name) == "iceberg":
+            df.writeTo(self._ident(name)).overwritePartitions()
+        else:
+            df.write.mode("overwrite").parquet(
+                os.path.join(self._path(name), f"day={day}")
+            )
+
+    def read(self, name: str) -> DataFrame:
+        if self.kind.get(name) == "iceberg":
+            return self.spark.table(self._ident(name))
+        path = self._path(name)
+        return self.spark.read.option("basePath", path).parquet(f"{path}/day=*")
+
+    def read_day(self, name: str, day: str) -> DataFrame:
+        """Day-pruned read: Iceberg prunes on the days(ts) transform; the
+        parquet layout prunes on the day= directory — either way a
+        metadata-only selection, never a row scan."""
+        if self.kind.get(name) == "iceberg":
+            return self.spark.table(self._ident(name)).where(
+                F.to_date(F.col("ts")) == F.lit(day)
+            )
+        return self.read(name).where(F.col("day") == F.lit(day))
+
+    def days(self, name: str) -> list[str]:
+        """Committed day partitions (metadata listing, no data read)."""
+        if self.kind.get(name) == "iceberg":
+            rows = self.spark.sql(
+                f"SELECT DISTINCT partition.ts_day AS d FROM "
+                f"{self._ident(name)}.partitions"
+            ).collect()
+            return sorted(str(r["d"]) for r in rows)
+        path = self._path(name)
+        if not os.path.isdir(path):
+            return []
+        return sorted(
+            p.split("=", 1)[1] for p in os.listdir(path) if p.startswith("day=")
+        )

@@ -77,15 +77,22 @@ def checkpointed_rollup_run(
     out_dir: str,
     manifest_root: str,
     salt: int | None = None,
+    table: str = "rollup_1m_blocks",
 ) -> list[PartitionManifest]:
     """Resumable flagship run: per pending day, roll up + pack + write
-    parquet + commit a manifest. Partition-at-a-time = bounded state,
-    restart-safe, per-partition lineage & throughput metrics.
+    through the table catalog + commit a manifest. Partition-at-a-time =
+    bounded state, restart-safe, per-partition lineage & throughput metrics.
+
+    Writes route through ``data.catalog.Catalog`` (Iceberg
+    days(ts)/bucket(conv_id) DDL when available, day= parquet fallback);
+    the overwrite-day unit keeps re-runs idempotent either way.
     """
     from tmframe_spark import __version__
     from tmframe_spark.codec.udfs import pack_blocks
+    from tmframe_spark.data.catalog import Catalog
     from tmframe_spark.ops.rollup import gap_fill, rollup
 
+    cat = Catalog(transcripts.sparkSession, out_dir)
     manifests = []
     for day in pending_days(transcripts, manifest_root):
         t0 = time.time()
@@ -100,8 +107,10 @@ def checkpointed_rollup_run(
             F.col("turns").cast("long").alias("v1"),
         )
         blocks = pack_blocks(pts, ["conv_id", "day"], v0="v0", v1="v1")
-        path = os.path.join(out_dir, f"day={day}")
-        blocks.write.mode("overwrite").parquet(path)
+        cat.ensure_table(
+            table, blocks, partition_by=("day", "bucket(16, conv_id)")
+        )
+        cat.overwrite_day(table, blocks, day)
         stats = blocks.agg(
             F.sum("n_points").alias("pts"), F.sum(F.length("frame")).alias("nb")
         ).collect()[0]

@@ -55,15 +55,31 @@ def stream_rollup(
     )
 
 
+def _content_keys(cols) -> tuple:
+    """Two independent 64-bit content hashes (different seed column mixed
+    in) = a 128-bit effective key. A single xxhash64 would silently drop a
+    distinct row on a 64-bit collision (~50% at 5B rows by birthday bound);
+    at 128 bits the collision odds are negligible at any realistic corpus
+    size, while state stays 16 bytes/row instead of the full text (the batch
+    engine compares exact strings; the reference uses 512-bit BLAKE2b)."""
+    base = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+    return (
+        F.xxhash64(*base),
+        F.xxhash64(F.lit("tmframe-k2"), *base),
+    )
+
+
 def stream_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Watermarked streaming dedup keyed by content (conv_id, role, text,
-    tool) — state bounded by the watermark horizon."""
-    keyed = stream.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
-        "content_key",
-        F.xxhash64("conv_id", "role", "text", F.coalesce("tool", F.lit(""))),
+    tool) — state bounded by the watermark horizon, 128-bit content key."""
+    k1, k2 = _content_keys(("conv_id", "role", "text", "tool"))
+    keyed = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("content_key", k1)
+        .withColumn("content_key2", k2)
     )
     return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-        ["content_key"]
+        ["content_key", "content_key2"]
     )
 
 
@@ -80,7 +96,9 @@ def stream_count_window_dedup(
     Semantics per conversation match ops.dedup.count_window_dedup exactly
     within the arrival order the stream delivers (event-time reordering
     across micro-batches is the watermark's contract, as in the batch
-    engine's stable-sort requirement).
+    engine's stable-sort requirement). Content identity is the 128-bit
+    two-hash key (see _content_keys) — the 64-bit single hash of r1 could
+    silently drop a colliding distinct row.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import (
@@ -91,16 +109,16 @@ def stream_count_window_dedup(
         StructType,
     )
 
-    keyed = stream.withColumn(
-        "content_key",
-        F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in hash_cols]),
-    )
+    k1, k2 = _content_keys(hash_cols)
+    keyed = stream.withColumn("content_key", k1).withColumn("content_key2", k2)
     out_schema = StructType([f for f in keyed.schema.fields])
     state_schema = StructType(
         [
             StructField("i", LongType()),
-            StructField("ring", ArrayType(LongType())),
-            StructField("keys", ArrayType(LongType())),
+            StructField("ring1", ArrayType(LongType())),
+            StructField("ring2", ArrayType(LongType())),
+            StructField("keys1", ArrayType(LongType())),
+            StructField("keys2", ArrayType(LongType())),
             StructField("counts", ArrayType(IntegerType())),
         ]
     )
@@ -109,16 +127,18 @@ def stream_count_window_dedup(
         import pandas as pd
 
         if state.exists:
-            i, ring, keys, counts = state.get
-            ring = list(ring) + [None] * (window_size - len(ring))
-            present = dict(zip(keys, counts))
+            i, ring1, ring2, keys1, keys2, counts = state.get
+            ring = [
+                (a, b) for a, b in zip(ring1, ring2)
+            ] + [None] * (window_size - len(ring1))
+            present = dict(zip(zip(keys1, keys2), counts))
         else:
             i, ring, present = 0, [None] * window_size, {}
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
             keep = []
-            for h in pdf["content_key"]:
-                h = int(h)
+            for h1, h2 in zip(pdf["content_key"], pdf["content_key2"]):
+                h = (int(h1), int(h2))
                 if present.get(h, 0) > 0:
                     present[h] += 1
                     keep.append(False)
@@ -135,7 +155,17 @@ def stream_count_window_dedup(
             out = pdf[pd.Series(keep, index=pdf.index)]
             if len(out):
                 yield out
-        state.update((i, ring[: min(i, window_size)], list(present.keys()), list(present.values())))
+        filled = ring[: min(i, window_size)]
+        state.update(
+            (
+                i,
+                [a for a, _ in filled],
+                [b for _, b in filled],
+                [a for a, _ in present.keys()],
+                [b for _, b in present.keys()],
+                list(present.values()),
+            )
+        )
 
     return keyed.groupBy("conv_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
