@@ -87,6 +87,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "ann_topk",
         "token_stats_by_lang",
         "sessionize",
+        "count_window_dedup",
+        "msgpack_decode",
     ]
     out = {}
     reg = Q.queries()
@@ -109,9 +111,15 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    # warm codegen + Python worker pools on the smallest sf so the timed
-    # figures measure steady-state throughput, not one-time JVM/worker spawn
+    # warm codegen + Python worker pools + tiered JIT so the timed figures
+    # measure steady-state throughput, not one-time JVM/worker spawn.
+    # Measured: a single small warmup leaves C2 compilation still kicking in
+    # during the timed run (11.5s -> 7.5s over four sf0.1 repeats); two
+    # ascending warmups land the first timed run at steady state.
     flagship_points(spark, "/root/testdata/sf0.001")
+    warm_dir = "/root/testdata/sf0.01"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
+        flagship_points(spark, warm_dir)
 
     t0 = time.time()
     points = flagship_points(spark, sf_dir)

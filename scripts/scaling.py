@@ -96,6 +96,28 @@ spark.stop()
 """
 
 
+LOCAL_RUNNER = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from tmframe_spark.session import get_spark
+from tmframe_spark.ops.rollup import with_ts_ns
+from bench import flagship_from_transcripts
+cores, inp, warm = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+spark = get_spark(cores=cores, shuffle_partitions=max(16, 2 * cores),
+                  app_name=f"scaling-local{{cores}}")
+spark.sparkContext.setLogLevel("ERROR")
+flagship_from_transcripts(with_ts_ns(spark.read.parquet(warm)))
+t = with_ts_ns(spark.read.parquet(inp))
+t0 = time.time()
+points = flagship_from_transcripts(t)
+wall = time.time() - t0
+print(json.dumps({{"master": f"local[{{cores}}]", "total_cores": cores,
+                   "points": points, "wall": round(wall, 3),
+                   "pps": round(points / wall, 1)}}))
+spark.stop()
+"""
+
+
 def run(code: str, args: list[str], repo: str):
     env = dict(os.environ, SPARK_DRIVER_MEM="16g")
     return subprocess.run(
@@ -129,6 +151,24 @@ def main() -> None:
         results[n_exec] = json.loads(lines[-1])
         print(f"{n_exec} executors: {results[n_exec]} (total {time.time()-t0:.0f}s incl JVMs)")
     eff = (results[4]["pps"] / results[1]["pps"]) / 4.0
+
+    # driver-config pair of record (BASELINE.md names local[8] vs local[32]):
+    # same job/input on shared-heap local[K]. Reported ALONGSIDE the
+    # local-cluster gate because past ~8 busy cores this VM's own
+    # CPU/memory-bandwidth throughput degrades (BENCH.md hardware probe:
+    # -18%/core at 16, -38% at 32) — the local pair measures the host, the
+    # 2->8-core local-cluster pair measures the plan.
+    local_results = {}
+    for cores in (8, 32):
+        t0 = time.time()
+        r = run(LOCAL_RUNNER, [str(cores), inp, warm], repo)
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"local runner failed:\n{r.stderr[-3000:]}")
+        local_results[cores] = json.loads(lines[-1])
+        print(f"local[{cores}]: {local_results[cores]} (total {time.time()-t0:.0f}s incl JVM)")
+    local_eff = (local_results[32]["pps"] / local_results[8]["pps"]) / 4.0
+
     summary = {
         "protocol": (
             "same flagship job, same materialized seeded synthetic parquet "
@@ -141,6 +181,18 @@ def main() -> None:
         "scaling_efficiency_N_to_4N": round(eff, 3),
         "gate": ">= 0.8",
         "passes": eff >= 0.8,
+        "driver_config_pair": {
+            "note": (
+                "config-of-record sibling (BASELINE.md local[8]/local[32]): "
+                "shared-heap local mode, hardware-capped past ~8 busy cores "
+                "on this VM (see BENCH.md pure-CPU probe; no Spark involved "
+                "in that probe) — reported for completeness next to the "
+                "plan-measuring 2->8-core local-cluster gate above"
+            ),
+            "local8": local_results[8],
+            "local32": local_results[32],
+            "scaling_efficiency_8_to_32": round(local_eff, 3),
+        },
     }
     print(json.dumps(summary))
     with open(os.path.join(repo, "scaling_results.json"), "w") as f:

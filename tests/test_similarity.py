@@ -1,0 +1,61 @@
+"""ANN paths vs the exact cosine baseline: IVF recall + determinism, and
+the multi-probe LSH path's recall, on the driver-provided embeddings."""
+
+import pytest
+
+from tests.conftest import SF_DIR
+from tmframe_spark.vec.similarity import (
+    cosine_topk,
+    ivf_ann_topk,
+    ivf_assign,
+    ivf_train,
+    lsh_ann_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+
+
+def _ids(df):
+    return [r["vec_id"] for r in df.collect()]
+
+
+def test_ivf_recall_vs_exact(emb):
+    exact = set(_ids(cosine_topk(emb, query_id=0, k=10)))
+    approx = set(_ids(ivf_ann_topk(emb, query_id=0, k=10, nlist=8, nprobe=4)))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall:.2f}"
+    # probing ALL cells must be exhaustive -> exact
+    full = set(_ids(ivf_ann_topk(emb, query_id=0, k=10, nlist=8, nprobe=8)))
+    assert full == exact
+
+
+def test_ivf_deterministic(emb):
+    a = [(r["vec_id"], r["cosine"]) for r in ivf_ann_topk(emb, 0, k=10).collect()]
+    b = [(r["vec_id"], r["cosine"]) for r in ivf_ann_topk(emb, 0, k=10).collect()]
+    assert a == b  # fixed-point centroid means -> bit-stable across runs
+
+
+def test_ivf_cells_cover_all_rows(emb):
+    cents = ivf_train(emb, nlist=8, iters=2)
+    assigned = ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cells.issubset(set(range(8))) and len(cells) > 1
+
+
+def test_lsh_exhaustive_probe_equals_exact(emb):
+    # probing every bucket (hamming <= n_planes) must reduce LSH to the
+    # exact scan — the correctness invariant of the bucketing itself.
+    # (Recall at tight probe widths is a tuning property, not asserted here:
+    # with 2^8 buckets over 500 vectors a 1-bit probe covers ~3.5% of rows.)
+    exact = set(_ids(cosine_topk(emb, query_id=0, k=10)))
+    full = set(_ids(lsh_ann_topk(emb, query_id=0, k=10, n_planes=8, probe_hamming=8)))
+    assert full == exact
+    # tight probe still returns a full, correctly-ordered k
+    tight = lsh_ann_topk(emb, query_id=0, k=10).collect()
+    assert len(tight) == 10
+    cs = [r["cosine"] for r in tight]
+    assert cs == sorted(cs, reverse=True)

@@ -566,6 +566,17 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_ann_topk(spark.table("embeddings"), query_id=0, k=10)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic fixed-point k-means coarse quantizer + nprobe
+    cell scan (the partition-pruned scale path) — rows-only; pytest asserts
+    recall vs the exact oracle-verified cosine_topk and run-to-run
+    determinism."""
+    from tmframe_spark.vec.similarity import ivf_ann_topk
+
+    register_tables(spark, sf_dir)
+    return ivf_ann_topk(spark.table("embeddings"), query_id=0, k=10)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (exact, quantized dot products
     so the score is order/engine independent)."""
@@ -672,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "bpe_token_count": q_bpe_token_count,
         "multimodal_features": q_multimodal_features,

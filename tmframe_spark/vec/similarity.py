@@ -69,6 +69,121 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_train(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: k-means with Lloyd iterations.
+
+    - init: the ``nlist`` lowest-id vectors (seed-free, reproducible);
+    - assignment: argmin squared-L2 against the broadcast centroid literals
+      (pure codegen — one pass over the table per iteration, no shuffle
+      beyond the per-cell aggregate);
+    - update: per-dimension FIXED-POINT integer sums (floor(x*2^20)) so the
+      new centroids are exact integer means — bit-identical across runs,
+      partitionings and engines; empty cells keep their previous centroid.
+
+    Driver state is only the nlist x dim centroid table (the classic IVF
+    "index model" — a few KB even at nlist=4096, dim=1024).
+    """
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in embeddings.orderBy(id_col).limit(nlist).collect()
+    ]
+    for _ in range(iters):
+        assigned = ivf_assign(embeddings, cents, vec_col)
+        sums = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.floor(F.col("x").cast("double") * _Q).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = (r["s"] / r["n"]) / _Q
+        cents = [
+            [by_cell[c][p] for p in range(len(cents[c]))] if c in by_cell else cents[c]
+            for c in range(len(cents))
+        ]
+    return cents
+
+
+def ivf_assign(
+    embeddings: DataFrame, cents: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Add the nearest-centroid ``cell`` id (argmin squared L2, ties to the
+    lowest cell id). Centroids are literal arrays -> whole-stage codegen."""
+    best_d, best_c = None, F.lit(0)
+    for c, cent in enumerate(cents):
+        carr = F.array(*[F.lit(float(x)) for x in cent])
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), carr, lambda x, y: (x.cast("double") - y) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        if best_d is None:
+            best_d, best_c = d, F.lit(0)
+        else:
+            best_c = F.when(d < best_d, F.lit(c)).otherwise(best_c)
+            best_d = F.least(d, best_d)
+    return embeddings.withColumn("cell", best_c.cast("int"))
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only the ``nprobe`` cells nearest the
+    query (classic inverted-file ANN).
+
+    Scale shape: the quantizer is trained once and the assigned table is
+    written PARTITIONED BY cell — a query then scans nprobe/nlist of the
+    data via partition pruning, no shuffle; the probe-cell choice is a
+    driver-side argmin over the tiny centroid table. Here train + assign run
+    inline so the operator is self-contained.
+    """
+    cents = ivf_train(embeddings, nlist, iters, id_col, vec_col)
+    qv = [
+        float(x)
+        for x in embeddings.where(F.col(id_col) == query_id).collect()[0][vec_col]
+    ]
+    dists = [
+        (sum((a - b) ** 2 for a, b in zip(qv, cent)), c) for c, cent in enumerate(cents)
+    ]
+    probe = [c for _, c in sorted(dists)[:nprobe]]
+    assigned = ivf_assign(embeddings, cents, vec_col)
+    q = embeddings.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qv"), _qnorm2(F.col(vec_col)).alias("_qn")
+    )
+    return (
+        assigned.where(F.col("cell").isin(*probe) & (F.col(id_col) != query_id))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            (
+                _qdot(F.col(vec_col), F.col("_qv"))
+                / F.sqrt(F.col("_qn").cast("double") * _qnorm2(F.col(vec_col)).cast("double"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def _hyperplane_sign(vec_col, plane: int):
     """Sign of <v, h_plane> where h_plane has deterministic +-1 entries from
     xxhash64(plane, dim-index) — matrix-free random hyperplanes."""
