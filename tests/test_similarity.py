@@ -46,6 +46,53 @@ def test_ivf_cells_cover_all_rows(emb):
     assert cells.issubset(set(range(8))) and len(cells) > 1
 
 
+def test_embedding_near_dup_lsh_planted(spark):
+    import numpy as np
+
+    from tmframe_spark.vec.similarity import embedding_near_dup_lsh
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    base_vecs = rng.normal(size=(20, 16)).astype("float32")
+    for b in range(20):
+        v = base_vecs[b] / np.linalg.norm(base_vecs[b])
+        rows.append((vid, [float(x) for x in v])); vid += 1
+        # planted near-dup: tiny perturbation -> cosine ~ 0.999
+        w = v + rng.normal(scale=0.01, size=16).astype("float32")
+        w = w / np.linalg.norm(w)
+        rows.append((vid, [float(x) for x in w])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_lsh(df, threshold=0.9).collect()
+    }
+    planted = {(2 * b, 2 * b + 1) for b in range(20)}
+    recall = len(planted & set(got)) / len(planted)
+    assert recall >= 0.8, f"planted near-dup recall {recall}"
+    # precision is exact by construction: every reported cosine is the
+    # fixed-point exact value and above threshold
+    assert all(v > 0.9 for v in got.values())
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(spark):
+    import numpy as np
+
+    from tmframe_spark.vec.similarity import embedding_near_dup_lsh
+    from tmframe_spark.queries import q_embedding_near_dup
+
+    # the bucketed pairs must be a SUBSET of the exact all-pairs result at
+    # the same threshold (bucketing only loses pairs, never invents them)
+    sf = SF_DIR
+    from tmframe_spark.data.transcripts import register_tables
+
+    register_tables(spark, sf)
+    e = spark.table("embeddings")
+    lsh = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_lsh(e, 0.63).collect()}
+    exact = {(r["id_a"], r["id_b"]) for r in q_embedding_near_dup(spark, sf).collect()}
+    assert lsh.issubset(exact)
+
+
 def test_lsh_exhaustive_probe_equals_exact(emb):
     # probing every bucket (hamming <= n_planes) must reduce LSH to the
     # exact scan — the correctness invariant of the bucketing itself.

@@ -595,6 +595,18 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """Bucketed (hyperplane-LSH + 1-bit multi-probe) embedding near-dup
+    pairs with exact fixed-point re-verify — the scale path whose oracle
+    twin is the exact all-pairs `embedding_near_dup`. Rows-only (bucketing
+    isn't SQL); pytest asserts recall on planted near-dups and that every
+    reported pair also passes the exact form."""
+    from tmframe_spark.vec.similarity import embedding_near_dup_lsh
+
+    register_tables(spark, sf_dir)
+    return embedding_near_dup_lsh(spark.table("embeddings"), threshold=0.63)
+
+
 def q_bpe_token_count(spark, sf_dir):
     """BPE-ish token counting: #word-runs + #punctuation-chars (the
     lookaround-free equivalent of boundary splitting) — full DuckDB oracle."""
@@ -685,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "bpe_token_count": q_bpe_token_count,
         "multimodal_features": q_multimodal_features,
         "block_roundtrip": q_block_roundtrip,

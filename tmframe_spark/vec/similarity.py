@@ -209,6 +209,54 @@ def lsh_buckets(df: DataFrame, vec_col: str = "embedding", n_planes: int = 8):
     return df.withColumn("bucket", bucket.cast("int"))
 
 
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.63,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, bucketed — the 100 TB form of
+    the exact all-pairs ``embedding_near_dup`` oracle twin.
+
+    Candidates meet ONLY inside hyperplane-LSH buckets: side A keeps its own
+    bucket, side B is exploded to its bucket plus every ``probe_hamming``<=1
+    one-bit flip, so a pair joins iff their buckets differ by at most one
+    plane (near-identical vectors land same-side of every plane w.h.p.).
+    Each qualifying pair meets on exactly one bucket key (the orig-orig key
+    when equal, the unique flipped bit otherwise) — no distinct needed.
+    Every candidate is then re-verified with the exact fixed-point cosine,
+    so reported pairs are EXACT; bucketing only bounds recall (tested on
+    planted near-dups). The only shuffle is by bucket — O(n^2) never
+    materializes.
+    """
+    if probe_hamming not in (0, 1):
+        raise ValueError("probe_hamming must be 0 or 1 (one-bit multi-probe)")
+    b = lsh_buckets(embeddings, vec_col, n_planes)
+    a = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    probes = [F.col("bucket")] + (
+        [F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        if probe_hamming
+        else []
+    )
+    bexp = b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.explode(F.array(*probes)).alias("bucket"),
+    )
+    cand = a.join(bexp, "bucket").where(F.col("id_a") < F.col("id_b"))
+    cos = _qdot(F.col("va"), F.col("vb")) / F.sqrt(
+        _qnorm2(F.col("va")).cast("double") * _qnorm2(F.col("vb")).cast("double")
+    )
+    return (
+        cand.select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") > threshold)
+    )
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     query_id: int,
