@@ -39,3 +39,42 @@ def test_empty_inputs_all_operators(spark):
     p2 = spark.createDataFrame([(1, 20, 0)], "k long, ts long, pid long")
     out = asof_join(p2, build, on="ts", by=["k"], seq="idx", value_cols=[]).collect()
     assert len(out) == 1 and out[0]["status"] == "InPast"
+
+
+def test_empty_inputs_round2_operators(spark):
+    from tmframe_spark.codec.udfs import (
+        decode_msgpack_frames,
+        frame_mixed_fixture,
+        frame_msgpack_turns,
+    )
+    from tmframe_spark.ops.display import display_frames
+    from tmframe_spark.text.dedup import (
+        jaccard_pairs_capped,
+        minhash_lsh_pairs,
+        simhash64,
+    )
+    from tmframe_spark.vec.multimodal import extract_features
+    from tmframe_spark.vec.similarity import embedding_near_dup_lsh
+
+    empty_t = with_ts_ns(
+        spark.createDataFrame(
+            [],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp_ntz",
+        )
+    )
+    assert display_frames(frame_mixed_fixture(empty_t)).count() == 0
+    assert decode_msgpack_frames(frame_msgpack_turns(empty_t)).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert simhash64(empty_docs, "doc_id").count() == 0
+    assert minhash_lsh_pairs(empty_docs, "doc_id").count() == 0
+    pairs, stats = jaccard_pairs_capped(empty_docs, "doc_id")
+    assert pairs.count() == 0 and stats.collect()[0]["total_tokens"] == 0
+
+    empty_media = spark.createDataFrame(
+        [], "media_id long, kind string, payload binary"
+    )
+    assert extract_features(empty_media).count() == 0
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedding_near_dup_lsh(empty_emb).count() == 0
