@@ -82,3 +82,58 @@ def test_stream_dedup_drops_duplicates(spark, landed):
         .count()
     )
     assert n == distinct_keys
+
+
+def test_continuous_rollup_materializes_finalized_windows(spark, landed):
+    """Continuous aggregate: after draining the stream, the materialized
+    table equals the batch rollup of every window the watermark closed.
+    A later 'flush' file advances the watermark past all real data."""
+    import os
+    import tempfile
+    import time
+
+    from tmframe_spark.streaming.materialize import (
+        materialize_continuous_rollup,
+        read_materialized,
+    )
+
+    src_dir, schema, t = landed
+    d = tempfile.mkdtemp(prefix="tmframe_cagg_src_")
+    t.write.mode("overwrite").parquet(d)
+    time.sleep(1.1)  # file-source orders batches by mtime: flush comes last
+    mx = t.agg(F.max("ts")).collect()[0][0]
+    flush = spark.createDataFrame(
+        [("__flush__", 0, "system", "flush", None, mx)], schema
+    ).withColumn("ts", (F.col("ts").cast("timestamp") + F.expr("interval 2 days")).cast(schema["ts"].dataType))
+    flush.write.mode("append").parquet(d)
+
+    root = tempfile.mkdtemp(prefix="tmframe_cagg_tbl_")
+    q = materialize_continuous_rollup(
+        spark, d, schema, root, tier="1h", watermark="10 minutes", max_files=4
+    )
+    q.awaitTermination(300)
+
+    got = (
+        read_materialized(spark, root, "rollup_1h_stream")
+        .where(F.col("conv_id") != "__flush__")
+        .select("conv_id", "bucket", "turns", "token_volume", "tool_calls")
+        .toPandas()
+    )
+    want = (
+        t.groupBy("conv_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("turns"),
+            F.sum(F.length("text")).alias("token_volume"),
+            F.count("tool").alias("tool_calls"),
+        )
+        .toPandas()
+    )
+    key = ["conv_id", "bucket"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w), (len(g), len(w))
+    for c in ["turns", "token_volume", "tool_calls"]:
+        assert (g[c].to_numpy() == w[c].to_numpy()).all(), c
+    # per-batch manifests committed (the exactly-once evidence)
+    mans = os.listdir(os.path.join(root, "_rollup_1h_stream_batches"))
+    assert any(m.startswith("batch-") for m in mans)

@@ -1,0 +1,82 @@
+"""Continuous aggregates: the streaming rollup maintained into a table.
+
+The north-star shape (TimescaleDB-style continuous aggregate / the
+reference archiver's always-on ingest, archiver/filemgr.go): a watermarked
+streaming rollup whose FINALIZED windows are appended to the day-partitioned
+tier table as they close, so the materialized table is always the batch
+rollup of everything older than the watermark.
+
+Semantics & idempotency:
+- append output mode => each (conv_id, bucket) row is emitted exactly once,
+  when the watermark passes its window end. Plain partitioned appends are
+  therefore correct (no upsert needed).
+- foreachBatch is at-least-once on failure/retry; each batch commits an
+  atomic per-batch manifest (the same rename-commit pattern as
+  ops/checkpoint) and a retried batch that finds its manifest skips the
+  write — end-to-end exactly-once into the table.
+- An Iceberg catalog upgrades this to update-mode MERGE for re-emitted
+  refinements; with the parquet layout we stay in append mode by design.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tmframe_spark.streaming.stream import read_transcript_stream, stream_rollup
+
+
+def _batch_writer(table_root: str, table: str):
+    out_dir = os.path.join(table_root, table)
+    man_dir = os.path.join(table_root, f"_{table}_batches")
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        os.makedirs(man_dir, exist_ok=True)
+        mpath = os.path.join(man_dir, f"batch-{batch_id}.json")
+        if os.path.exists(mpath):
+            return  # retried batch already committed — exactly-once
+        with_day = df.withColumn("day", F.to_date("bucket"))
+        with_day.write.mode("append").partitionBy("day").parquet(out_dir)
+        n = df.count()
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "rows": n}, f)
+        os.replace(tmp, mpath)  # atomic commit, as in ops/checkpoint
+
+    return write_batch
+
+
+def materialize_continuous_rollup(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    table_root: str,
+    tier: str = "1m",
+    watermark: str = "10 minutes",
+    table: str | None = None,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    max_files: int = 64,
+):
+    """Run (or drain, with availableNow) the continuous rollup into
+    ``table_root/<table>/day=*``. Returns the StreamingQuery."""
+    table = table or f"rollup_{tier}_stream"
+    checkpoint = checkpoint or os.path.join(table_root, f"_{table}_checkpoint")
+    stream = read_transcript_stream(spark, source_path, schema, max_files)
+    rolled = stream_rollup(stream, tier, watermark)
+    writer = (
+        rolled.writeStream.foreachBatch(_batch_writer(table_root, table))
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_materialized(spark: SparkSession, table_root: str, table: str) -> DataFrame:
+    path = os.path.join(table_root, table)
+    return spark.read.option("basePath", path).parquet(f"{path}/day=*")
