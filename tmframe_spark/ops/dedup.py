@@ -112,10 +112,16 @@ def count_window_dedup(
     def fn(batches):
         # per-group state, carried across batches (groups are contiguous
         # under the partition sort): open group key, ring of the last
-        # window_size content strings, refcount map, running index
+        # window_size content ids, refcount map, running index.
+        # Content identity is exact strings, but the ring/refcount loop runs
+        # on ints: each batch is factorized (vectorized C hashing, one pass)
+        # and the per-batch uniques — few vs rows on duplicate-heavy data —
+        # are mapped through a task-lifetime str->int intern table, so the
+        # Python loop never rehashes a long text.
         cur_key: tuple | None = None
         ring: list = [None] * window_size
         refcount: dict = {}
+        intern: dict = {}
         i = 0
         for pdf in batches:
             n = len(pdf)
@@ -124,7 +130,16 @@ def count_window_dedup(
             joined = pdf[hash_cols[0]].fillna("").astype(str)
             for c in hash_cols[1:]:
                 joined = joined + "\x1f" + pdf[c].fillna("").astype(str)
-            contents = joined.to_numpy(dtype=object)
+            codes, uniques = pd.factorize(joined)
+            gids = np.empty(len(uniques), dtype=np.int64)
+            nxt = len(intern) and max(intern.values()) + 1
+            for u, s in enumerate(uniques):
+                g = intern.get(s)
+                if g is None:
+                    intern[s] = g = nxt
+                    nxt += 1
+                gids[u] = g
+            contents = gids[codes].tolist()
             kdf = pdf[key_cols]
             prev = kdf.shift()
             # null-safe boundary detection: NaN == NaN must NOT break a group
@@ -163,6 +178,13 @@ def count_window_dedup(
                 ring[i % window_size] = h
                 i += 1
             out = pdf[keep if want_kept else ~keep]
+            # bound the intern table: only ids alive in the current window
+            # (refcount keys) must keep their string mapping — a string that
+            # re-appears after leaving the window safely gets a fresh id.
+            # Keeps task memory O(window), never O(distinct contents seen).
+            if len(intern) > max(4 * window_size, 1 << 16):
+                live = set(refcount)
+                intern = {s: g for s, g in intern.items() if g in live}
             if len(out):
                 yield out
 
