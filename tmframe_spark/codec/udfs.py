@@ -394,6 +394,36 @@ def frame_mixed_fixture(transcripts: DataFrame) -> DataFrame:
     return transcripts.mapInPandas(fn, schema)
 
 
+def frame_payloads(
+    df: DataFrame, evtnum: int, payload_col: str, ts_ns_col: str = "ts_ns"
+) -> DataFrame:
+    """Encode each row's UTF-8 string payload as a UDE wire frame with the
+    given evtnum (e.g. EvJson=14, EvUtf8=13). Adds a binary ``frame``
+    column. Inverse-checked via ops.display render + the SQL oracle."""
+    schema = StructType(df.schema.fields + [StructField("frame", BinaryType())])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ts = pdf[ts_ns_col].to_numpy(np.int64)
+            payloads = [
+                (x if isinstance(x, str) else "").encode("utf-8")
+                for x in pdf[payload_col]
+            ]
+            fr = make_frames(ts, [evtnum] * n, data=payloads)
+            sizes = frame_num_bytes(fr.prim, fr.ude)
+            wire = marshal_frames(fr)
+            offs = np.zeros(n, dtype=np.int64)
+            np.cumsum(sizes[:-1], out=offs[1:])
+            out = pdf.copy()
+            out["frame"] = [wire[int(o) : int(o + s)] for o, s in zip(offs, sizes)]
+            yield out
+
+    return df.mapInPandas(fn, schema)
+
+
 def frame_msgpack_turns(transcripts: DataFrame) -> DataFrame:
     """Encode each turn as an EvMsgpack UDE frame whose payload is the
     msgpack map {"conv_id", "turn_idx", "role", "n_chars"} — the reference's

@@ -335,6 +335,52 @@ def q_frame_display(spark, sf_dir):
     return display_frames(framed, "frame").select("conv_id", "turn_idx", "display")
 
 
+def q_display_json_payload(spark, sf_dir):
+    """tfcat WITH payload (display.go:41-45): EvJson frames render their
+    payload after two spaces. Purchase events' props (JSON strings) are
+    encoded as EvJson UDE frames, then the display line — Frame.String() +
+    payload — is rendered from the wire bytes only."""
+    from tmframe_spark.codec.frames import EV_JSON
+    from tmframe_spark.codec.udfs import frame_payloads
+    from tmframe_spark.ops.display import display_frames
+
+    ev = (
+        _events(spark, sf_dir)
+        .where((F.col("event_type") == "purchase") & (F.length("props") > 0))
+        .select(
+            "event_id",
+            "props",
+            F.expr("(unix_micros(cast(ts as timestamp)) * 1000) & -8").alias("ts_ns"),
+        )
+    )
+    framed = frame_payloads(ev, EV_JSON, "props")
+    return display_frames(framed, "frame", include_payload=True).select(
+        "event_id", "display"
+    )
+
+
+def q_archive_1h_reaggregate(spark, sf_dir):
+    """The compressed archive is losslessly queryable: the 1m tier is packed
+    into delta-of-delta/Gorilla TMFRAME blocks (gap-fill fused), DECODED
+    BACK from the wire, and re-aggregated to a gap-filled 1h tier — the
+    oracle computes the same tier straight from the raw table, so the hash
+    match proves aggregate->encode->wire->decode->re-aggregate end to end."""
+    from tmframe_spark.codec.udfs import pack_rollup_blocks, unpack_blocks
+
+    t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
+    blocks = pack_rollup_blocks(rollup(t, "1m"), "1m", "day")
+    pts = unpack_blocks(blocks, ["conv_id", "grp"], v0="v0", v1="v1")
+    hour = F.date_trunc(
+        "hour", F.expr("timestamp_micros(CAST(ts_ns DIV 1000 AS LONG))")
+    )
+    return pts.groupBy("conv_id", hour.alias("bucket")).agg(
+        # v1 = turns (int), v0 = token_volume (integral doubles < 2^53:
+        # float summation of exact integers — order-independent)
+        F.sum("v1").cast("long").alias("turns"),
+        F.sum("v0").cast("long").alias("token_volume"),
+    )
+
+
 def q_msgpack_decode(spark, sf_dir):
     """C9 payload codec: every turn encoded as an EvMsgpack UDE frame
     (payload = msgpack map of conv_id/turn_idx/role/n_chars via the
@@ -676,6 +722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checksum_projection": q_checksum_projection,
         "frame_display": q_frame_display,
         "msgpack_decode": q_msgpack_decode,
+        "display_json_payload": q_display_json_payload,
+        "archive_1h_reaggregate": q_archive_1h_reaggregate,
         "tfsum_blake2b": q_tfsum_blake2b,
         "frame_sizes": q_frame_sizes,
         "minute_index": q_minute_index,
@@ -818,6 +866,39 @@ FROM f
 WITH {_T_CTE}
 SELECT conv_id, turn_idx, role, CAST(length(text) AS BIGINT) AS n_chars
 FROM transcripts
+"""
+
+    o["display_json_payload"] = f"""
+SELECT event_id,
+       'TMFRAME ' || {_T3339} || ' EVTNUM EvJson ['
+       || CAST(16 + length(props) + 1 AS VARCHAR) || ' bytes] (UCOUNT '
+       || CAST(length(props) + 1 AS VARCHAR) || ')  ' || props AS display
+FROM events WHERE event_type = 'purchase' AND length(props) > 0
+"""
+
+    o["archive_1h_reaggregate"] = f"""
+WITH {_T_CTE},
+t AS (SELECT * FROM transcripts WHERE conv_id IN {_SUBSET_SQL}),
+m AS (
+  SELECT conv_id, date_trunc('minute', ts) AS b,
+         count(*) AS turns, CAST(sum(length(text)) AS BIGINT) AS tv
+  FROM t GROUP BY 1, 2
+),
+bounds AS (
+  SELECT conv_id, date_trunc('hour', min(b)) AS mn, date_trunc('hour', max(b)) AS mx
+  FROM m GROUP BY conv_id
+),
+s AS (SELECT conv_id, unnest(generate_series(mn, mx, interval 1 hour)) AS bucket
+      FROM bounds),
+h AS (
+  SELECT conv_id, date_trunc('hour', b) AS bucket,
+         CAST(sum(turns) AS BIGINT) AS turns, CAST(sum(tv) AS BIGINT) AS token_volume
+  FROM m GROUP BY 1, 2
+)
+SELECT s.conv_id AS conv_id, s.bucket AS bucket,
+       CAST(coalesce(h.turns, 0) AS BIGINT) AS turns,
+       CAST(coalesce(h.token_volume, 0) AS BIGINT) AS token_volume
+FROM s LEFT JOIN h ON s.conv_id = h.conv_id AND s.bucket = h.bucket
 """
 
     o["frame_sizes"] = f"""
