@@ -679,6 +679,10 @@ def q_multimodal_features(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_block_roundtrip(spark, sf_dir):
+    """Flagship codec round-trip with a FULL oracle: the decoded points of
+    pack(gap_fill(rollup_1m)) must value-hash-match the gap-filled rollup
+    the oracle computes from the raw table — compression is lossless and
+    partitioning-independent, verified cross-engine."""
     from tmframe_spark.codec.udfs import pack_blocks, unpack_blocks
 
     t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
@@ -874,6 +878,28 @@ SELECT event_id,
        || CAST(16 + length(props) + 1 AS VARCHAR) || ' bytes] (UCOUNT '
        || CAST(length(props) + 1 AS VARCHAR) || ')  ' || props AS display
 FROM events WHERE event_type = 'purchase' AND length(props) > 0
+"""
+
+    # block_roundtrip output = the decoded points of the packed gap-filled
+    # 1m rollup: conv_id, day, ts_ns (8ns-truncated epoch ns of the minute
+    # bucket; us*1000 is already 8-divisible), v0 = token_volume as double
+    # (exact: integral < 2^53), v1 = turns.
+    o["block_roundtrip"] = f"""
+WITH {_T_CTE},
+t AS (SELECT * FROM transcripts WHERE conv_id IN {_SUBSET_SQL}),
+m AS (
+  SELECT conv_id, date_trunc('minute', ts) AS bucket,
+         count(*) AS turns, CAST(sum(length(text)) AS BIGINT) AS tv
+  FROM t GROUP BY 1, 2
+),
+b AS (SELECT conv_id, min(bucket) AS mn, max(bucket) AS mx FROM m GROUP BY conv_id),
+s AS (SELECT conv_id, unnest(generate_series(mn, mx, interval 1 minute)) AS bucket
+      FROM b)
+SELECT s.conv_id AS conv_id, date_trunc('day', s.bucket) AS day,
+       epoch_us(s.bucket) * 1000 AS ts_ns,
+       CAST(coalesce(m.tv, 0) AS DOUBLE) AS v0,
+       CAST(coalesce(m.turns, 0) AS BIGINT) AS v1
+FROM s LEFT JOIN m ON s.conv_id = m.conv_id AND s.bucket = m.bucket
 """
 
     o["archive_1h_reaggregate"] = f"""
