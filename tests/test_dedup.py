@@ -106,6 +106,52 @@ def test_multiple_groups_within_and_across_batches(spark):
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
 
+def _ring_oracle(vals, window):
+    """The reference algorithm (dedup.go:40-111), straight-line python."""
+    ring, refcount, keep = [None] * window, {}, []
+    for i, v in enumerate(vals):
+        if refcount.get(v, 0) > 0:
+            refcount[v] += 1
+            keep.append(False)
+        else:
+            refcount[v] = 1
+            keep.append(True)
+        if i >= window:
+            old = ring[i % window]
+            refcount[old] -= 1
+            if refcount[old] == 0:
+                del refcount[old]
+        ring[i % window] = v
+    return [v for v, k in zip(vals, keep) if k]
+
+
+def test_count_window_dedup_property(spark):
+    # randomized cross-check of the distributed implementation against the
+    # sequential reference, across window sizes and duplication rates
+    rng = np.random.default_rng(3)
+    for trial in range(6):
+        n = int(rng.integers(50, 400))
+        card = int(rng.integers(2, 30))
+        window = int(rng.integers(1, 60))
+        vals = [int(x) for x in rng.integers(0, card, n)]
+        assert run_window_dedup(spark, vals, window) == _ring_oracle(vals, window), (
+            n, card, window,
+        )
+
+
+def test_dups_side_output_complements_kept(spark):
+    vals = [1, 2, 1, 3, 1, 2, 2, 4]
+    df = _df(spark, vals)
+    kw = dict(window_size=3, by=["conv_id"], order_cols=["ts", "turn_idx"],
+              hash_cols=["text"])
+    kept = {r["turn_idx"] for r in count_window_dedup(df, emit="kept", **kw).collect()}
+    dups = {r["turn_idx"] for r in count_window_dedup(df, emit="dups", **kw).collect()}
+    assert kept | dups == set(range(len(vals))) and not (kept & dups)
+    # dups are exactly the reference's dupsW side channel
+    oracle_kept = _ring_oracle(vals, 3)
+    assert len(kept) == len(oracle_kept)
+
+
 def test_hash_dedup_and_counts(spark):
     df = _df(spark, [5, 6, 5, 7, 6, 5])
     kept = hash_dedup(df, ["text"], ["ts", "turn_idx"])

@@ -244,6 +244,21 @@ def q_dup_counts(spark, sf_dir):
     return dup_counts(_t(spark, sf_dir), ["role", "text"])
 
 
+def q_count_window_dedup_unbounded(spark, sf_dir):
+    """The SAME ring+refcount mapInPandas path with window >= any
+    conversation length — by the reference semantics this degenerates to
+    per-conversation first-occurrence dedup, which IS SQL-expressible, so
+    the streaming-carry implementation gets a full oracle in its unbounded
+    limit (the windowed case is pytest-golden + property-tested)."""
+    from tmframe_spark.ops.dedup import count_window_dedup
+
+    t = _t(spark, sf_dir)
+    return count_window_dedup(
+        t, window_size=1_000_000, by=["conv_id"], order_cols=["ts", "turn_idx"],
+        hash_cols=["role", "text"],
+    ).select("conv_id", "turn_idx", "role", "text")
+
+
 def q_count_window_dedup(spark, sf_dir):
     """Exact reference count-window semantics (dedup.go ring+refcount) —
     per-conversation ordered state; rows-only check (not SQL-expressible)."""
@@ -719,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_dedup": q_hash_dedup,
         "dup_counts": q_dup_counts,
         "count_window_dedup": q_count_window_dedup,
+        "count_window_dedup_unbounded": q_count_window_dedup_unbounded,
         "regex_filter_and": q_regex_filter_and,
         "regex_filter_or_invert": q_regex_filter_or_invert,
         "regex_submatch": q_regex_submatch,
@@ -802,6 +818,17 @@ r AS (
   SELECT conv_id, turn_idx, role, text,
          ROW_NUMBER() OVER (PARTITION BY role, text
                             ORDER BY ts, conv_id, turn_idx) AS rn
+  FROM transcripts
+)
+SELECT conv_id, turn_idx, role, text FROM r WHERE rn = 1
+"""
+
+    o["count_window_dedup_unbounded"] = f"""
+WITH {_T_CTE},
+r AS (
+  SELECT conv_id, turn_idx, role, text,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, role, text
+                            ORDER BY ts, turn_idx) AS rn
   FROM transcripts
 )
 SELECT conv_id, turn_idx, role, text FROM r WHERE rn = 1
