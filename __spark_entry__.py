@@ -5,9 +5,13 @@
   -> decode back to points (returned DataFrame; the driver collects).
 - ``queries()`` / ``oracle_sql()``: the operator registry from
   tmframe_spark.queries (one entry per implemented operator from
-  SURVEY.md §2 plus the training-data ops; oracle omitted only for
-  non-SQL-expressible ops: packed-binary round-trip, count-window dedup,
-  MinHash/SimHash/LSH approximations, multimodal feature stubs).
+  SURVEY.md §2 plus the training-data ops). Since round 2 the oracle is
+  omitted ONLY for genuinely non-SQL-expressible ops — the windowed
+  count-window dedup (its unbounded limit IS oracled), BLAKE2b tfsum, and
+  the MinHash/hyperplane/IVF approximations (each pytest-twinned against an
+  oracle-verified exact form); the block round-trip, msgpack decode,
+  display render, simhash, bpe counting and multimodal header decode all
+  carry full DuckDB value-hash oracles.
 """
 
 from __future__ import annotations
