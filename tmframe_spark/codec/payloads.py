@@ -3,7 +3,7 @@
 The reference renders variable-length UDE payloads in its display path
 (/root/reference/display.go:35-77): EvJson and evtnums 2000..9999 are
 printed as JSON verbatim, EvMsgpack/EvMsgpKafka are msgpack-decoded and
-re-encoded as JSON, EvUtf8 is plain text. Its own test corpus is
+re-encoded as JSON; everything else (including EvUtf8) prints nothing. Its own test corpus is
 msgpack-family LogEntry frames (/root/reference/testdata/logentry.go:9-13).
 
 This module implements a from-scratch msgpack codec (public spec:
@@ -126,9 +126,6 @@ def _enc_int(i: int, out: bytearray) -> None:
 # msgpack decode
 # ---------------------------------------------------------------------------
 
-_FIX = struct.Struct
-
-
 def mp_decode(buf: bytes):
     """Decode one msgpack value; raises ValueError on trailing bytes or
     truncation."""
@@ -232,11 +229,15 @@ def render_utf8(payload: bytes) -> str:
     return payload.decode("utf-8")
 
 
-#: evtnum -> payload renderer. 2000..9999 are handled by range in
-#: render_payload (display.go:43), not enumerated here.
+#: evtnum -> payload renderer, EXACTLY the cases the reference display path
+#: prints (display.go:41-76): EvMsgpack/EvMsgpKafka -> msgpack-to-JSON,
+#: EvJson -> verbatim. 2000..9999 are handled by range in render_payload
+#: (display.go:43). Deliberately NO EvUtf8 entry — display.go has no case
+#: for it and prints nothing. EvZebraPack needs the compiled-in app schema
+#: (the reference requires one too) and is documented out of scope.
+#: render_payload derives from this dict so the two cannot disagree.
 PAYLOAD_DECODERS = {
     9: render_msgpack,  # EvMsgpack
-    13: render_utf8,  # EvUtf8
     14: render_json,  # EvJson
     15: render_msgpack,  # EvMsgpKafka
 }
@@ -244,12 +245,9 @@ PAYLOAD_DECODERS = {
 
 def render_payload(evtnum: int, payload: bytes) -> str | None:
     """Display-path payload rendering: the string tfcat would append after
-    Frame.String(), or None when the reference prints nothing (display.go:
-    41-76; EvZebraPack needs the app schema and is out of scope — the
-    reference itself requires a compiled-in zebrapack schema for it)."""
+    Frame.String(), or None when the reference prints nothing."""
     ev = int(evtnum)
-    if ev == 14 or 2000 <= ev <= 9999:
+    if 2000 <= ev <= 9999:
         return render_json(payload)
-    if ev in (9, 15):
-        return render_msgpack(payload)
-    return None
+    fn = PAYLOAD_DECODERS.get(ev)
+    return fn(payload) if fn else None

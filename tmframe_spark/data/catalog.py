@@ -35,12 +35,25 @@ class Catalog:
         root: str,
         iceberg_catalog: str | None = None,
         bucket_n: int = 16,
+        day_col: str = "day",
     ):
         self.spark = spark
         self.root = root
         self.iceberg_catalog = iceberg_catalog
         self.bucket_n = bucket_n
+        self.day_col = day_col
         self.kind: dict[str, str] = {}
+
+    def _kind(self, name: str) -> str:
+        """Layout of ``name``, rediscovered for a fresh Catalog instance:
+        an existing catalog table means Iceberg; otherwise the parquet dir."""
+        if name not in self.kind:
+            try:
+                exists = self.spark.catalog.tableExists(self._ident(name))
+            except Exception:
+                exists = False
+            self.kind[name] = "iceberg" if exists else "parquet"
+        return self.kind[name]
 
     # -- identifiers --------------------------------------------------------
 
@@ -89,8 +102,21 @@ class Catalog:
                 f"TBLPROPERTIES ('format-version'='2')"
             )
             self.kind[name] = "iceberg"
-        except Exception:
-            # no Iceberg extension/jar in this runtime -> parquet layout
+        except Exception as e:
+            # fall back ONLY when the runtime genuinely lacks Iceberg; any
+            # other CREATE failure (metastore hiccup, bad transform) must
+            # surface, or writes would silently split across two layouts
+            msg = str(e)
+            if not any(
+                marker in msg
+                for marker in (
+                    "Failed to find data source: iceberg",
+                    "DATA_SOURCE_NOT_FOUND",
+                    "ClassNotFoundException",
+                    "Cannot find catalog plugin",
+                )
+            ):
+                raise
             self.kind[name] = "parquet"
         return self.kind[name]
 
@@ -99,7 +125,7 @@ class Catalog:
     def overwrite_day(self, name: str, df: DataFrame, day: str) -> None:
         """Idempotently replace one day partition (the resume-safe write
         unit: re-running a day after a crash overwrites, never duplicates)."""
-        if self.kind.get(name) == "iceberg":
+        if self._kind(name) == "iceberg":
             df.writeTo(self._ident(name)).overwritePartitions()
         else:
             df.write.mode("overwrite").parquet(
@@ -107,32 +133,36 @@ class Catalog:
             )
 
     def read(self, name: str) -> DataFrame:
-        if self.kind.get(name) == "iceberg":
+        if self._kind(name) == "iceberg":
             return self.spark.table(self._ident(name))
         path = self._path(name)
-        return self.spark.read.option("basePath", path).parquet(f"{path}/day=*")
+        return self.spark.read.option("basePath", path).parquet(
+            f"{path}/{self.day_col}=*"
+        )
 
     def read_day(self, name: str, day: str) -> DataFrame:
-        """Day-pruned read: Iceberg prunes on the days(ts) transform; the
-        parquet layout prunes on the day= directory — either way a
-        metadata-only selection, never a row scan."""
-        if self.kind.get(name) == "iceberg":
-            return self.spark.table(self._ident(name)).where(
-                F.to_date(F.col("ts")) == F.lit(day)
-            )
-        return self.read(name).where(F.col("day") == F.lit(day))
+        """Day-pruned read: Iceberg prunes on the ``day_col`` identity
+        partition; the parquet layout prunes on the day= directory — either
+        way a metadata-only selection, never a row scan."""
+        return self.read(name).where(F.col(self.day_col) == F.lit(day))
 
     def days(self, name: str) -> list[str]:
-        """Committed day partitions (metadata listing, no data read)."""
-        if self.kind.get(name) == "iceberg":
+        """Committed day partitions (metadata listing, no data read).
+
+        Iceberg: the .partitions metadata table exposes identity partition
+        sources as ``partition.<col>`` — this matches the tables this class
+        creates (identity ``day`` + bucket). Tables partitioned with a
+        days(ts) transform instead would appear as ``partition.ts_day``."""
+        if self._kind(name) == "iceberg":
             rows = self.spark.sql(
-                f"SELECT DISTINCT partition.ts_day AS d FROM "
+                f"SELECT DISTINCT partition.{self.day_col} AS d FROM "
                 f"{self._ident(name)}.partitions"
             ).collect()
             return sorted(str(r["d"]) for r in rows)
         path = self._path(name)
         if not os.path.isdir(path):
             return []
+        pre = f"{self.day_col}="
         return sorted(
-            p.split("=", 1)[1] for p in os.listdir(path) if p.startswith("day=")
+            p.split("=", 1)[1] for p in os.listdir(path) if p.startswith(pre)
         )

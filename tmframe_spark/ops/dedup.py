@@ -122,6 +122,7 @@ def count_window_dedup(
         ring: list = [None] * window_size
         refcount: dict = {}
         intern: dict = {}
+        next_gid = 0  # monotonic; ids are never reused, so pruning is safe
         i = 0
         for pdf in batches:
             n = len(pdf)
@@ -132,12 +133,11 @@ def count_window_dedup(
                 joined = joined + "\x1f" + pdf[c].fillna("").astype(str)
             codes, uniques = pd.factorize(joined)
             gids = np.empty(len(uniques), dtype=np.int64)
-            nxt = len(intern) and max(intern.values()) + 1
             for u, s in enumerate(uniques):
                 g = intern.get(s)
                 if g is None:
-                    intern[s] = g = nxt
-                    nxt += 1
+                    intern[s] = g = next_gid
+                    next_gid += 1
                 gids[u] = g
             contents = gids[codes].tolist()
             kdf = pdf[key_cols]

@@ -43,10 +43,15 @@ def go_float_str(v: float) -> str:
     """Go fmt %v of a float64: strconv shortest decimal, 'g'-style exponent
     switch at exp < -4 or exp >= 21 (Python's repr switches at 1e16, so the
     fixed/exponent boundary must be re-derived)."""
+    import math
+
     if v != v:
         return "NaN"
     if v in (float("inf"), float("-inf")):
         return "+Inf" if v > 0 else "-Inf"
+    if v == 0.0:
+        # Go prints the sign of negative zero; `v < 0` is False for -0.0
+        return "-0" if math.copysign(1.0, v) < 0 else "0"
     s = repr(float(v))  # shortest round-trip digits
     mant, _, exp_s = s.partition("e")
     if exp_s:  # python chose scientific

@@ -412,7 +412,11 @@ def q_msgpack_decode(spark, sf_dir):
 # index / tfgroup (S11, A1, A2)
 # --------------------------------------------------------------------------
 
-_NBYTES = "19 + length(role) + length(coalesce(tool, '')) + length(text)"
+# TMFRAME wire cost of a turn frame in BYTES (16B header+UDE + payload +
+# terminator; payload = role|US|tool|US|text UTF-8). octet_length (Spark) /
+# strlen (DuckDB) count bytes, so the oracles hold beyond ASCII corpora.
+_NBYTES = "19 + octet_length(role) + octet_length(coalesce(tool, '')) + octet_length(text)"
+_NBYTES_DD = "19 + strlen(role) + strlen(coalesce(tool, '')) + strlen(text)"
 
 
 def q_frame_sizes(spark, sf_dir):
@@ -884,8 +888,8 @@ f AS (SELECT conv_id, turn_idx, role, tool, text, {_T3339} AS t3339 FROM transcr
 SELECT conv_id, turn_idx,
   CASE CAST(turn_idx % 3 AS INTEGER)
     WHEN 0 THEN 'TMFRAME ' || t3339 || ' EVTNUM Ev.-1001 ['
-                || CAST({_NBYTES} AS VARCHAR) || ' bytes] (UCOUNT '
-                || CAST(3 + length(role) + length(coalesce(tool, '')) + length(text) AS VARCHAR) || ')'
+                || CAST({_NBYTES_DD} AS VARCHAR) || ' bytes] (UCOUNT '
+                || CAST(3 + strlen(role) + strlen(coalesce(tool, '')) + strlen(text) AS VARCHAR) || ')'
     WHEN 1 THEN 'TMFRAME ' || t3339 || ' EVTNUM EvOneInt64 [16 bytes] (UCOUNT 0) V1:'
                 || CAST(length(text) AS VARCHAR)
     ELSE 'TMFRAME ' || t3339 || ' EVTNUM EvZero [8 bytes] (UCOUNT 0)'
@@ -902,8 +906,8 @@ FROM transcripts
     o["display_json_payload"] = f"""
 SELECT event_id,
        'TMFRAME ' || {_T3339} || ' EVTNUM EvJson ['
-       || CAST(16 + length(props) + 1 AS VARCHAR) || ' bytes] (UCOUNT '
-       || CAST(length(props) + 1 AS VARCHAR) || ')  ' || props AS display
+       || CAST(16 + strlen(props) + 1 AS VARCHAR) || ' bytes] (UCOUNT '
+       || CAST(strlen(props) + 1 AS VARCHAR) || ')  ' || props AS display
 FROM events WHERE event_type = 'purchase' AND length(props) > 0
 """
 
@@ -956,15 +960,15 @@ FROM s LEFT JOIN h ON s.conv_id = h.conv_id AND s.bucket = h.bucket
 
     o["frame_sizes"] = f"""
 WITH {_T_CTE}
-SELECT conv_id, turn_idx, CAST({_NBYTES} AS BIGINT) AS frame_nbytes
+SELECT conv_id, turn_idx, CAST({_NBYTES_DD} AS BIGINT) AS frame_nbytes
 FROM transcripts
 """
 
     o["minute_index"] = f"""
 WITH {_T_CTE},
 f AS (
-  SELECT conv_id, ts, turn_idx, {_NBYTES} AS nb,
-         CAST(coalesce(sum({_NBYTES}) OVER (
+  SELECT conv_id, ts, turn_idx, {_NBYTES_DD} AS nb,
+         CAST(coalesce(sum({_NBYTES_DD}) OVER (
            PARTITION BY conv_id ORDER BY ts, turn_idx
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
            AS byte_offset

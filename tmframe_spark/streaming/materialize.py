@@ -8,12 +8,14 @@ rollup of everything older than the watermark.
 
 Semantics & idempotency:
 - append output mode => each (conv_id, bucket) row is emitted exactly once,
-  when the watermark passes its window end. Plain partitioned appends are
-  therefore correct (no upsert needed).
-- foreachBatch is at-least-once on failure/retry; each batch commits an
-  atomic per-batch manifest (the same rename-commit pattern as
-  ops/checkpoint) and a retried batch that finds its manifest skips the
-  write — end-to-end exactly-once into the table.
+  when the watermark passes its window end — no upsert needed.
+- foreachBatch is at-least-once on failure/retry, so each batch writes to
+  its OWN ``batch=<id>/`` subtree with mode=overwrite: a replayed batch
+  rewrites the same directory, so a crash at ANY point (including between
+  the data write and the manifest commit) cannot duplicate rows. The atomic
+  per-batch manifest (the ops/checkpoint rename pattern) then only records
+  metrics and lets clean replays skip recomputation. Readers glob
+  ``batch=*/day=*`` — day partition pruning still applies.
 - An Iceberg catalog upgrades this to update-mode MERGE for re-emitted
   refinements; with the parquet layout we stay in append mode by design.
 """
@@ -37,14 +39,22 @@ def _batch_writer(table_root: str, table: str):
         os.makedirs(man_dir, exist_ok=True)
         mpath = os.path.join(man_dir, f"batch-{batch_id}.json")
         if os.path.exists(mpath):
-            return  # retried batch already committed — exactly-once
-        with_day = df.withColumn("day", F.to_date("bucket"))
-        with_day.write.mode("append").partitionBy("day").parquet(out_dir)
-        n = df.count()
+            return  # clean replay: skip recomputation (overwrite would also be safe)
+        df = df.persist()  # one computation feeds both the write and the count
+        try:
+            with_day = df.withColumn("day", F.to_date("bucket"))
+            # overwrite of a batch-scoped directory = idempotent under
+            # at-least-once replays, even after a crash mid-write
+            with_day.write.mode("overwrite").partitionBy("day").parquet(
+                os.path.join(out_dir, f"batch={batch_id}")
+            )
+            n = df.count()
+        finally:
+            df.unpersist()
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"batch_id": batch_id, "rows": n}, f)
-        os.replace(tmp, mpath)  # atomic commit, as in ops/checkpoint
+        os.replace(tmp, mpath)  # atomic metrics commit, as in ops/checkpoint
 
     return write_batch
 
@@ -79,4 +89,4 @@ def materialize_continuous_rollup(
 
 def read_materialized(spark: SparkSession, table_root: str, table: str) -> DataFrame:
     path = os.path.join(table_root, table)
-    return spark.read.option("basePath", path).parquet(f"{path}/day=*")
+    return spark.read.option("basePath", path).parquet(f"{path}/batch=*/day=*")
