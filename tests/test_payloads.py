@@ -217,3 +217,38 @@ def test_msgpack_frame_roundtrip_spark(spark):
     out = decode_msgpack_frames(frame_msgpack_turns(df)).orderBy("conv_id", "turn_idx")
     got = [(r.conv_id, r.turn_idx, r.role, r.n_chars) for r in out.collect()]
     assert got == [("c0", 0, "user", 11), ("c0", 1, "assistant", 2), ("c1", 0, "user", 0)]
+
+
+def test_zebrapack_with_schema():
+    from tmframe_spark.codec.payloads import (
+        LOGENTRY_SCHEMA,
+        PAYLOAD_DECODERS,
+        register_zebrapack_schema,
+        render_zebrapack,
+    )
+
+    # LogEntry on the wire: msgpack map keyed by zid ints (testdata/logentry.go)
+    wire = mp_encode({0: 42, 1: "put", 2: {"k": "v"}})
+    assert (
+        render_zebrapack(wire, LOGENTRY_SCHEMA)
+        == '{"lsn":42,"op":"put","args":{"k":"v"}}'
+    )
+    # unknown zid -> placeholder name
+    assert render_zebrapack(mp_encode({9: 1}), LOGENTRY_SCHEMA) == '{"zid9":1}'
+
+    # without a registered schema the display path prints NOTHING for
+    # EvZebraPack (a schema-less reference build cannot render it either)
+    assert render_payload(16, wire) is None
+    ts = 1_500_000_000_000_000_000
+    line_before = render_frame_strings([_wire([ts], [16], data=[wire])], True)[0]
+    assert line_before.endswith("(UCOUNT %d)" % (len(wire) + 1))
+
+    register_zebrapack_schema(LOGENTRY_SCHEMA)
+    try:
+        assert render_payload(16, wire) == '{"lsn":42,"op":"put","args":{"k":"v"}}'
+        line = render_frame_strings([_wire([ts], [16], data=[wire])], True)[0]
+        # EvZebraPack: ONE space before the JSON (display.go:74)
+        assert line.endswith(') {"lsn":42,"op":"put","args":{"k":"v"}}')
+        assert " EVTNUM Ev.16 [" in line  # String() has no ZebraPack case
+    finally:
+        PAYLOAD_DECODERS.pop(16, None)

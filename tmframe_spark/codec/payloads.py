@@ -243,6 +243,34 @@ PAYLOAD_DECODERS = {
 }
 
 
+#: the reference test corpus's LogEntry zid->name mapping
+#: (/root/reference/testdata/logentry.go:9-13 zid/msg struct tags)
+LOGENTRY_SCHEMA = {0: "lsn", 1: "op", 2: "args"}
+
+
+def render_zebrapack(payload: bytes, field_names: dict[int, str]) -> str:
+    """ZebraPack-with-schema rendering: ZebraPack serializes a struct as a
+    msgpack map keyed by the integer ``zid`` field numbers; the schema
+    supplies the field names (the reference's ZebraToMsgp2 + CopyToJSON
+    pipeline, display.go:63-74 — which likewise requires a compiled-in
+    schema). Unknown field numbers render as ``zid<N>``."""
+    v = mp_decode(payload)
+    if isinstance(v, dict):
+        v = {
+            (field_names.get(k, f"zid{k}") if isinstance(k, int) else k): x
+            for k, x in v.items()
+        }
+    return _to_json(v)
+
+
+def register_zebrapack_schema(field_names: dict[int, str], evtnum: int = 16) -> None:
+    """Install a ZebraPack renderer for ``evtnum`` (default EvZebraPack=16)
+    into the display registry — the analog of compiling the app schema into
+    the reference's tfcat binary. Without registration, EvZebraPack payloads
+    print nothing (exactly as a schema-less reference build would fail)."""
+    PAYLOAD_DECODERS[int(evtnum)] = lambda p: render_zebrapack(p, field_names)
+
+
 def render_payload(evtnum: int, payload: bytes) -> str | None:
     """Display-path payload rendering: the string tfcat would append after
     Frame.String(), or None when the reference prints nothing."""
