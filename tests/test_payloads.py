@@ -252,3 +252,51 @@ def test_zebrapack_with_schema():
         assert " EVTNUM Ev.16 [" in line  # String() has no ZebraPack case
     finally:
         PAYLOAD_DECODERS.pop(16, None)
+
+
+def test_indent_json_go_style():
+    from tmframe_spark.ops.display import indent_json
+
+    assert indent_json('{"a":1,"b":[2,3]}') == (
+        '{\n          "a": 1,\n          "b": [\n              2,\n'
+        '              3\n          ]\n      }'
+    )
+    assert indent_json("{}") == "{}"
+    assert indent_json('{"s":"a,b:{c}"}') == '{\n          "s": "a,b:{c}"\n      }'
+    assert indent_json("not json") == "not json"  # Go Indent error passthrough
+
+
+def test_pretty_payload_rendering():
+    ts = 1_500_000_000_000_000_000
+    lines = render_frame_strings(
+        [_wire([ts], [14], data=[b'{"j":1}'])], include_payload=True, pretty=True
+    )
+    assert lines[0].endswith('(UCOUNT 8)  {\n          "j": 1\n      }')
+
+
+def test_stringify_for_r():
+    from tmframe_spark.ops.display import render_frame_strings_for_r
+
+    ts = 1_500_000_000_000_000_000
+    mp = mp_encode({"k": 1})
+    lines = render_frame_strings_for_r(
+        [
+            _wire([ts], [3], v0=[2.5], v1=[7]),
+            _wire([ts], [14], data=[b'{"j":1}']),
+            _wire([ts], [EV_MSGPACK], data=[mp]),
+        ]
+    )
+    # '%v evtnum %v' + ' V0 x V1 y' (spaces, not colons) — display.go:236-258
+    assert lines[0] == "2017-07-14T02:40:00Z evtnum EvTwo64 V0 2.5 V1 7"
+    assert lines[1] == '2017-07-14T02:40:00Z evtnum EvJson  {"j":1}'
+    # msgpack payload single-quoted after ONE space (display.go:276)
+    assert lines[2] == "2017-07-14T02:40:00Z evtnum EvMsgpack '{\"k\":1}'"
+
+
+def test_display_frames_r_style(spark):
+    from tmframe_spark.ops.display import display_frames
+
+    ts = 1_500_000_000_000_000_000
+    df = spark.createDataFrame([(1, _wire([ts], [1], v1=[9]))], "id long, frame binary")
+    got = display_frames(df, style="r").collect()[0]["display"]
+    assert got == "2017-07-14T02:40:00Z evtnum EvOneInt64 V1 9"

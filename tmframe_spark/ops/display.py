@@ -109,8 +109,93 @@ def _rfc3339nano(ts_ns: np.ndarray) -> list[str]:
     return out
 
 
-def render_frame_strings(wire: list[bytes], include_payload: bool = False) -> list[str]:
-    """Frame.String() (+ DisplayFrame payload conventions) per wire frame."""
+def indent_json(compact: str, prefix: str = "      ", indent: str = "    ") -> str:
+    """Go encoding/json.Indent over a compact JSON string: every element
+    starts a new line indented ``prefix + depth*indent``; the first line has
+    no prefix; string literals (incl. escapes) pass through untouched.
+    Mirrors tfcat -p's prettyPrintJson(display.go:121-133) which indents
+    with prefix six spaces and four-space steps."""
+    import json as _json
+
+    try:  # Go's Indent returns the input unchanged on invalid JSON
+        _json.loads(compact)
+    except ValueError:
+        return compact
+    out: list[str] = []
+    depth = 0
+    in_str = False
+    esc = False
+    i, n = 0, len(compact)
+    while i < n:
+        c = compact[i]
+        if in_str:
+            out.append(c)
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == '"':
+                in_str = False
+            i += 1
+            continue
+        if c == '"':
+            in_str = True
+            out.append(c)
+        elif c in "{[":
+            # empty composite stays on one line, as Go does
+            if i + 1 < n and compact[i + 1] in "}]":
+                out.append(c + compact[i + 1])
+                i += 2
+                continue
+            depth += 1
+            out.append(c + "\n" + prefix + indent * depth)
+        elif c in "}]":
+            depth -= 1
+            out.append("\n" + prefix + indent * depth + c)
+        elif c == ",":
+            out.append(",\n" + prefix + indent * depth)
+        elif c == ":":
+            out.append(": ")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def render_frame_strings_for_r(wire: list[bytes]) -> list[str]:
+    """Frame.StringifyForR() (display.go:236-280): R-consumable lines
+    '<RFC3339Nano> evtnum <name>' + ' V0 x V1 y' value suffixes, JSON
+    payloads after two spaces, msgpack payloads single-quoted after one."""
+    from tmframe_spark.codec.payloads import render_json, render_msgpack
+
+    fr = unmarshal_frames(b"".join(wire))
+    pti = get_pti(fr.prim)
+    evs = get_evtnum(fr.prim, fr.ude)
+    times = _rfc3339nano(tm_ns(fr.prim))
+    out = []
+    for i in range(len(fr.prim)):
+        ev = int(evs[i])
+        s = f"{times[i]} evtnum {evtnum_name(ev)}"
+        p = int(pti[i])
+        if p == PTI_ONE_INT64:
+            s += f" V1 {int(fr.ude[i])}"
+        elif p == PTI_ONE_FLOAT64:
+            s += f" V0 {go_float_str(float(fr.v0[i]))}"
+        elif p == PTI_TWO64:
+            s += f" V0 {go_float_str(float(fr.v0[i]))} V1 {int(fr.ude[i])}"
+        if ev == 14 or 2000 <= ev <= 9999:
+            s += "  " + render_json(fr.data[i])
+        elif ev in (9, 15):
+            s += f" '{render_msgpack(fr.data[i])}'"
+        out.append(s)
+    return out
+
+
+def render_frame_strings(
+    wire: list[bytes], include_payload: bool = False, pretty: bool = False
+) -> list[str]:
+    """Frame.String() (+ DisplayFrame payload conventions) per wire frame.
+    ``pretty`` applies the tfcat -p JSON indentation to rendered payloads."""
     fr = unmarshal_frames(b"".join(wire))
     pti = get_pti(fr.prim)
     evs = get_evtnum(fr.prim, fr.ude)
@@ -134,6 +219,8 @@ def render_frame_strings(wire: list[bytes], include_payload: bool = False) -> li
         if include_payload:
             rendered = render_payload(ev, fr.data[i])
             if rendered is not None:
+                if pretty:
+                    rendered = indent_json(rendered)
                 # display.go: two spaces before JSON payloads, one before
                 # msgpack-decoded JSON
                 sep = "  " if (ev == 14 or 2000 <= ev <= 9999) else " "
@@ -147,8 +234,16 @@ def display_frames(
     frame_col: str = "frame",
     out_col: str = "display",
     include_payload: bool = False,
+    pretty: bool = False,
+    style: str = "string",
 ) -> DataFrame:
-    """Append a Frame.String() render column decoded from wire bytes."""
+    """Append a render column decoded from wire bytes.
+
+    ``style='string'`` = Frame.String()/DisplayFrame (tfcat default;
+    ``pretty`` = tfcat -p JSON indenting); ``style='r'`` = StringifyForR
+    (tfcat -r, R-consumable lines)."""
+    if style not in ("string", "r"):
+        raise ValueError("style must be 'string' or 'r'")
     schema = StructType(df.schema.fields + [StructField(out_col, StringType())])
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -156,8 +251,11 @@ def display_frames(
             if len(pdf) == 0:
                 continue
             out = pdf.copy()
-            out[out_col] = render_frame_strings(
-                [bytes(x) for x in pdf[frame_col]], include_payload
+            wire = [bytes(x) for x in pdf[frame_col]]
+            out[out_col] = (
+                render_frame_strings_for_r(wire)
+                if style == "r"
+                else render_frame_strings(wire, include_payload, pretty)
             )
             yield out
 
