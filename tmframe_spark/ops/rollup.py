@@ -143,6 +143,86 @@ def rollup_tiers(transcripts: DataFrame, salt: int | None = None):
     }
 
 
+def ohlc(
+    transcripts: DataFrame, tier: str = "1h", value_col=None
+) -> DataFrame:
+    """OHLC (open/high/low/close) continuous aggregate per (conv, bucket) —
+    the classic timeseries candlestick rollup, here over per-turn token
+    volume. Open/close are first/last under the stable (ts, turn_idx) order
+    via min/max of a (ts, turn_idx, value) struct — one shuffle, no window.
+    All outputs integers, so the cross-engine value hash is exact."""
+    v = (value_col if value_col is not None else F.length("text")).cast("long")
+    bucket = F.date_trunc(TIER_TRUNC[tier], F.col("ts")).alias("bucket")
+    key = F.struct(
+        F.col("ts"), F.col("turn_idx"), v.alias("_v")
+    )
+    return transcripts.groupBy(F.col("conv_id"), bucket).agg(
+        F.min(key).getField("_v").alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max(key).getField("_v").alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def gap_fill_interpolate(
+    rolled: DataFrame, tier: str = "1m", col: str = "token_volume"
+) -> DataFrame:
+    """Gap-fill with LINEAR INTERPOLATION instead of zeros (the
+    TimescaleDB ``interpolate()`` companion to the zero-fill ``gap_fill``):
+    a missing bucket k steps into an n-step gap gets
+    ``prev + ((next - prev) * k) / n``.
+
+    Determinism: (next-prev)*k is exact integer arithmetic; the single
+    division and single addition are each one IEEE rounding on exact inputs,
+    so the value is identical across engines and partitionings (the
+    module-top float rules). Join-free spine generation as in gap_fill.
+    """
+    from pyspark.sql.window import Window
+
+    iv = TIER_INTERVAL[tier]
+    w = Window.partitionBy("conv_id").orderBy("bucket")
+    with_next = (
+        rolled.withColumn("_nb", F.lead("bucket").over(w))
+        .withColumn("_nv", F.lead(col).over(w))
+    )
+    step_s = {"1m": 60, "1h": 3600, "1d": 86400}[tier]
+    n_steps = (
+        F.unix_timestamp(F.col("_nb")) - F.unix_timestamp(F.col("bucket"))
+    ) / F.lit(step_s)
+    gaps = (
+        with_next.where(
+            F.col("_nb").isNotNull() & (F.col("_nb") > F.expr(f"bucket + {iv}"))
+        )
+        .withColumn("_n", n_steps.cast("long"))
+        .select(
+            "conv_id",
+            F.col(col).alias("_v"),
+            "_nv",
+            "_n",
+            F.posexplode(
+                F.expr(f"sequence(bucket + {iv}, _nb - {iv}, {iv})")
+            ).alias("_k0", "bucket"),
+        )
+        .select(
+            "conv_id",
+            "bucket",
+            (
+                F.col("_v").cast("double")
+                + ((F.col("_nv") - F.col("_v")) * (F.col("_k0") + 1)) / F.col("_n")
+            ).alias(col),
+            F.lit(True).alias("interpolated"),
+        )
+    )
+    base = with_next.select(
+        "conv_id",
+        "bucket",
+        F.col(col).cast("double").alias(col),
+        F.lit(False).alias("interpolated"),
+    )
+    return base.unionByName(gaps)
+
+
 def role_mix(transcripts: DataFrame, tier: str = "1h") -> DataFrame:
     """Role-mix continuous aggregate: per (conv, bucket, role) counts."""
     bucket = F.date_trunc(TIER_TRUNC[tier], F.col("ts")).alias("bucket")

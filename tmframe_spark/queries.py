@@ -112,6 +112,26 @@ def q_rollup_1m_salted(spark, sf_dir):
     return gap_fill(rollup(t, "1m", salt=8), "1m")
 
 
+def q_ohlc_1h(spark, sf_dir):
+    """OHLC candlestick rollup over per-turn token volume — open/close are
+    first/last under the stable (ts, turn_idx) order (struct-min/max, one
+    shuffle, no window)."""
+    from tmframe_spark.ops.rollup import ohlc
+
+    return ohlc(_t(spark, sf_dir), "1h")
+
+
+def q_interpolate_1m(spark, sf_dir):
+    """Gap-fill with LINEAR INTERPOLATION (the TimescaleDB interpolate()
+    companion to zero-fill): missing minute k of an n-minute gap gets
+    prev + ((next-prev)*k)/n — exact ints, one IEEE division, one addition,
+    so the double hashes identically across engines."""
+    from tmframe_spark.ops.rollup import gap_fill_interpolate
+
+    t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
+    return gap_fill_interpolate(rollup(t, "1m"), "1m", "token_volume")
+
+
 def q_role_mix_1h(spark, sf_dir):
     return role_mix(_t(spark, sf_dir), "1h")
 
@@ -728,6 +748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h_gapfill": q_rollup_1h_gapfill,
         "rollup_1d": q_rollup_1d,
         "role_mix_1h": q_role_mix_1h,
+        "ohlc_1h": q_ohlc_1h,
+        "interpolate_1m": q_interpolate_1m,
         "tool_rates_1d": q_tool_rates_1d,
         "asof_last_at_or_before": q_asof_last_at_or_before,
         "asof_first_at_or_before": q_asof_first_at_or_before,
@@ -798,6 +820,60 @@ SELECT tool, date_trunc('day', ts) AS bucket,
        count(*) AS calls, count(DISTINCT conv_id) AS convs
 FROM transcripts WHERE tool IS NOT NULL
 GROUP BY tool, date_trunc('day', ts)
+"""
+
+    o["ohlc_1h"] = f"""
+WITH {_T_CTE},
+x AS (
+  SELECT conv_id, date_trunc('hour', ts) AS bucket, length(text) AS v,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, date_trunc('hour', ts)
+                            ORDER BY ts, turn_idx) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, turn_idx DESC) AS rl
+  FROM transcripts
+)
+SELECT conv_id, bucket,
+       CAST(max(CASE WHEN rf = 1 THEN v END) AS BIGINT) AS open,
+       CAST(max(v) AS BIGINT) AS high,
+       CAST(min(v) AS BIGINT) AS low,
+       CAST(max(CASE WHEN rl = 1 THEN v END) AS BIGINT) AS close,
+       count(*) AS n
+FROM x GROUP BY conv_id, bucket
+"""
+
+    o["interpolate_1m"] = f"""
+WITH {_T_CTE},
+t AS (SELECT * FROM transcripts WHERE conv_id IN {_SUBSET_SQL}),
+m AS (
+  SELECT conv_id, date_trunc('minute', ts) AS bucket,
+         CAST(sum(length(text)) AS BIGINT) AS v
+  FROM t GROUP BY 1, 2
+),
+x AS (
+  SELECT conv_id, bucket, v,
+         lead(bucket) OVER (PARTITION BY conv_id ORDER BY bucket) AS nb,
+         lead(v) OVER (PARTITION BY conv_id ORDER BY bucket) AS nv
+  FROM m
+),
+g0 AS (
+  SELECT conv_id, bucket, v, nv, n,
+         unnest(generate_series(CAST(1 AS BIGINT), n - 1)) AS k
+  FROM (
+    SELECT conv_id, bucket, v, nv,
+           CAST((epoch(nb) - epoch(bucket)) // 60 AS BIGINT) AS n
+    FROM x WHERE nb IS NOT NULL AND nb > bucket + INTERVAL 1 MINUTE
+  )
+),
+gaps AS (
+  SELECT conv_id, bucket + k * INTERVAL 1 MINUTE AS bucket,
+         CAST(v AS DOUBLE) + ((nv - v) * k) / n AS token_volume,
+         TRUE AS interpolated
+  FROM g0
+)
+SELECT conv_id, bucket, CAST(v AS DOUBLE) AS token_volume, FALSE AS interpolated
+FROM x
+UNION ALL
+SELECT conv_id, bucket, token_volume, interpolated FROM gaps
 """
 
     o["asof_last_at_or_before"] = _asof_sql("last", False)
