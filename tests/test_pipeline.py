@@ -132,3 +132,27 @@ def test_unpack_inverts_pack_after_shuffle(spark):
     assert (a["ts_ns"].values == b["ts_ns"].values).all()
     assert (a["v0"].to_numpy().view(np.uint64) == b["v0"].to_numpy().view(np.uint64)).all()
     assert (a["v1"].values == b["v1"].values).all()
+
+
+def test_lttb_downsample_properties(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tmframe_spark.ops.rollup import lttb_downsample
+
+    # a V-shaped series with a sharp spike: LTTB must keep endpoints and
+    # the spike (it maximizes triangle area in its bucket)
+    n = 1000
+    vals = [abs(i - 500) for i in range(n)]
+    vals[333] = 5000  # spike
+    rows = [("c0", i * 60_000_000_000, int(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "conv_id string, ts_ns long, v long")
+    out = lttb_downsample(df, 50).orderBy("ts_ns").collect()
+    assert len(out) == 50
+    ts = [r["ts_ns"] for r in out]
+    assert ts[0] == 0 and ts[-1] == (n - 1) * 60_000_000_000  # endpoints kept
+    assert ts == sorted(ts)
+    assert any(r["v"] == 5000 for r in out), "spike lost"
+    # fewer points than buckets -> identity
+    small = lttb_downsample(df.limit(10), 50).count()
+    assert small == 10

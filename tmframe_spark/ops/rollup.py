@@ -223,6 +223,79 @@ def gap_fill_interpolate(
     return base.unionByName(gaps)
 
 
+def lttb_downsample(
+    points: DataFrame,
+    n_out: int,
+    by: str = "conv_id",
+    ts_col: str = "ts_ns",
+    v_col: str = "v",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013), the
+    standard viz-grade series thinning, in its PARALLEL fixed-anchor form:
+    triangle anchors are the neighboring buckets' centroids rather than the
+    previously *selected* point (classic LTTB is sequentially dependent;
+    the centroid variant is the accepted parallelization and differs only
+    marginally in practice). Per series: rank points, assign ``n_out``
+    equal-count buckets, keep the point per bucket maximizing the triangle
+    area against the neighbor centroids; first/last buckets keep their
+    first/last point as LTTB prescribes.
+
+    Fully shuffle-bounded: one window rank, one bucket aggregate, one
+    argmax — no per-row Python, no sequential pass.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(by).orderBy("_t")
+    cnt = Window.partitionBy(by)
+    pts = (
+        points.select(by, F.col(ts_col).alias("_t"), F.col(v_col).alias("_v"))
+        .withColumn("_r", F.row_number().over(w) - 1)
+        .withColumn("_cnt", F.count(F.lit(1)).over(cnt))
+        # equal-count buckets over the rank; guarded so n_out >= count
+        # degenerates to the identity
+        # explicit floor (not cast) so the SQL oracle can restate it exactly
+        .withColumn(
+            "_b", F.least(F.floor(F.col("_r") * n_out / F.col("_cnt")),
+                          F.lit(n_out - 1))
+        )
+    )
+    # centroids from EXACT decimal sums (a float avg would be partition-
+    # order dependent; int64 ts sums can overflow), then one double cast and
+    # one division — deterministic across engines and partitionings
+    def _cmean(c):
+        return (
+            F.sum(F.col(c).cast("decimal(38,0)")).cast("double") / F.count(F.lit(1))
+        )
+
+    cent = pts.groupBy(by, "_b").agg(
+        _cmean("_t").alias("_ct"), _cmean("_v").alias("_cv")
+    )
+    wb = Window.partitionBy(by).orderBy("_b")
+    cent = (
+        cent.withColumn("_pt", F.lag("_ct").over(wb))
+        .withColumn("_pv", F.lag("_cv").over(wb))
+        .withColumn("_nt", F.lead("_ct").over(wb))
+        .withColumn("_nv", F.lead("_cv").over(wb))
+    )
+    j = pts.join(cent, [by, "_b"])
+    # triangle area (x2) against the neighbor centroids
+    area = F.abs(
+        (F.col("_pt") - F.col("_nt")) * (F.col("_v") - F.col("_pv"))
+        - (F.col("_pt") - F.col("_t")) * (F.col("_nv") - F.col("_pv"))
+    )
+    first_last = F.col("_pt").isNull() | F.col("_nt").isNull()
+    # first bucket keeps its FIRST point, last bucket its LAST (LTTB ends)
+    edge_rank = F.when(F.col("_pt").isNull(), F.col("_r")).otherwise(-F.col("_r"))
+    ww = Window.partitionBy(by, "_b").orderBy(
+        F.when(first_last, edge_rank).otherwise(-area), F.col("_t")
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(ww))
+        .where(F.col("_rn") == 1)
+        .select(by, F.col("_t").alias(ts_col), F.col("_v").alias(v_col))
+    )
+
+
 def role_mix(transcripts: DataFrame, tier: str = "1h") -> DataFrame:
     """Role-mix continuous aggregate: per (conv, bucket, role) counts."""
     bucket = F.date_trunc(TIER_TRUNC[tier], F.col("ts")).alias("bucket")

@@ -132,6 +132,22 @@ def q_interpolate_1m(spark, sf_dir):
     return gap_fill_interpolate(rollup(t, "1m"), "1m", "token_volume")
 
 
+def q_lttb_downsample(spark, sf_dir):
+    """LTTB (largest-triangle-three-buckets) viz downsampling of the 1m
+    token-volume series to 200 points per conversation — parallel
+    fixed-anchor variant, exact-sum centroids so the selection is
+    deterministic across engines (full oracle)."""
+    from tmframe_spark.ops.rollup import lttb_downsample
+
+    t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
+    pts = rollup(t, "1m").select(
+        "conv_id",
+        F.expr("unix_micros(cast(bucket as timestamp)) * 1000").alias("ts_ns"),
+        F.col("token_volume").cast("long").alias("v"),
+    )
+    return lttb_downsample(pts, 200)
+
+
 def q_role_mix_1h(spark, sf_dir):
     return role_mix(_t(spark, sf_dir), "1h")
 
@@ -749,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d": q_rollup_1d,
         "role_mix_1h": q_role_mix_1h,
         "ohlc_1h": q_ohlc_1h,
+        "lttb_downsample": q_lttb_downsample,
         "interpolate_1m": q_interpolate_1m,
         "tool_rates_1d": q_tool_rates_1d,
         "asof_last_at_or_before": q_asof_last_at_or_before,
@@ -874,6 +891,55 @@ SELECT conv_id, bucket, CAST(v AS DOUBLE) AS token_volume, FALSE AS interpolated
 FROM x
 UNION ALL
 SELECT conv_id, bucket, token_volume, interpolated FROM gaps
+"""
+
+    o["lttb_downsample"] = f"""
+WITH {_T_CTE},
+t AS (SELECT * FROM transcripts WHERE conv_id IN {_SUBSET_SQL}),
+m AS (
+  SELECT conv_id, date_trunc('minute', ts) AS bucket,
+         CAST(sum(length(text)) AS BIGINT) AS v
+  FROM t GROUP BY 1, 2
+),
+p AS (
+  SELECT conv_id, epoch_us(bucket) * 1000 AS t, v,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY epoch_us(bucket)) - 1 AS r,
+         COUNT(*) OVER (PARTITION BY conv_id) AS cnt
+  FROM m
+),
+pb AS (SELECT *, LEAST(CAST(floor(r * 200 / cnt) AS BIGINT), 199) AS b FROM p),
+c AS (
+  SELECT conv_id, b,
+         CAST(sum(t) AS DOUBLE) / count(*) AS ct,
+         CAST(sum(v) AS DOUBLE) / count(*) AS cv
+  FROM pb GROUP BY 1, 2
+),
+cl AS (
+  SELECT conv_id, b,
+         lag(ct)  OVER (PARTITION BY conv_id ORDER BY b) AS pt,
+         lag(cv)  OVER (PARTITION BY conv_id ORDER BY b) AS pv,
+         lead(ct) OVER (PARTITION BY conv_id ORDER BY b) AS nt,
+         lead(cv) OVER (PARTITION BY conv_id ORDER BY b) AS nv
+  FROM c
+),
+scored AS (
+  SELECT pb.conv_id, pb.b, pb.t, pb.v, pb.r, cl.pt, cl.pv, cl.nt, cl.nv,
+         abs((cl.pt - cl.nt) * (pb.v - cl.pv) - (cl.pt - pb.t) * (cl.nv - cl.pv)) AS area
+  FROM pb JOIN cl ON pb.conv_id = cl.conv_id AND pb.b = cl.b
+),
+sel AS (
+  SELECT conv_id, t, v,
+         ROW_NUMBER() OVER (
+           PARTITION BY conv_id, b
+           ORDER BY CASE WHEN pt IS NULL OR nt IS NULL
+                         THEN CASE WHEN pt IS NULL THEN CAST(r AS DOUBLE)
+                                   ELSE -CAST(r AS DOUBLE) END
+                         ELSE -area END,
+                    t
+         ) AS rn
+  FROM scored
+)
+SELECT conv_id, CAST(t AS BIGINT) AS ts_ns, v FROM sel WHERE rn = 1
 """
 
     o["asof_last_at_or_before"] = _asof_sql("last", False)
