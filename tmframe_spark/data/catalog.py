@@ -3,13 +3,18 @@ parquet paths otherwise.
 
 The reference's physical layout is a day-partitioned archive directory tree
 (/root/reference/archiver/filemgr.go:94-104: one file per day, date in the
-path). The warehouse-native analog is an Iceberg table partitioned by
-``days(ts), bucket(N, conv_id)`` — day pruning for retention plus bucketed
-conv co-location so rollup/pack shuffles become partition-local. This
-module provides that DDL path when an Iceberg catalog is configured, and
-degrades to the same ``day=YYYY-MM-DD`` parquet directory convention
-otherwise (partition pruning still applies via Hive-style paths; bucketing
-is unavailable path-based and noted as such).
+path). The warehouse-native analog is an Iceberg table partitioned by an
+identity ``day`` column plus ``bucket(N, conv_id)`` — day pruning for
+retention plus bucketed conv co-location so rollup/pack shuffles become
+partition-local. This module provides that DDL path when an Iceberg catalog
+is configured, and degrades to the same ``day=YYYY-MM-DD`` parquet
+directory convention otherwise (partition pruning still applies via
+Hive-style paths; bucketing is unavailable path-based and noted as such).
+
+The layout CONTRACT is the identity ``day_col`` partition: every read path
+(read / read_day / days) is expressed against it, in both physical layouts.
+``partition_by`` accepts arbitrary extra transforms (e.g. ``days(ts)``) but
+must still include the identity ``day_col`` for the read paths to hold.
 
 Every writer in the engine (checkpointed rollup job, tier materialization)
 routes through ``Catalog`` so swapping the physical layer is one object.
@@ -24,6 +29,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+#: CREATE failures that mean "this runtime has no Iceberg" (anything else
+#: must surface — see ensure_table)
+_NO_ICEBERG_MARKERS = (
+    "Failed to find data source: iceberg",
+    "DATA_SOURCE_NOT_FOUND",
+    "ClassNotFoundException",
+    "Cannot find catalog plugin",
+)
 
 
 class Catalog:
@@ -44,16 +58,27 @@ class Catalog:
         self.day_col = day_col
         self.kind: dict[str, str] = {}
 
+    def _is_catalog_table(self, name: str) -> bool:
+        """True only for a real (non-temp) catalog table named ``name`` —
+        a same-named temp view must not be mistaken for an Iceberg table."""
+        try:
+            t = self.spark.catalog.getTable(self._ident(name))
+            return (t.tableType or "").upper() not in ("", "TEMPORARY", "TEMP_VIEW")
+        except Exception:
+            return False
+
     def _kind(self, name: str) -> str:
-        """Layout of ``name``, rediscovered for a fresh Catalog instance:
-        an existing catalog table means Iceberg; otherwise the parquet dir."""
-        if name not in self.kind:
-            try:
-                exists = self.spark.catalog.tableExists(self._ident(name))
-            except Exception:
-                exists = False
-            self.kind[name] = "iceberg" if exists else "parquet"
-        return self.kind[name]
+        """Layout of ``name`` for read paths. A fresh instance rediscovers an
+        existing Iceberg table via the catalog; a MISS is answered 'parquet'
+        but deliberately NOT cached, so a later ensure_table still attempts
+        the Iceberg CREATE (caching the miss would silently force parquet
+        forever on an Iceberg runtime)."""
+        if name in self.kind:
+            return self.kind[name]
+        if self._is_catalog_table(name):
+            self.kind[name] = "iceberg"
+            return "iceberg"
+        return "parquet"
 
     # -- identifiers --------------------------------------------------------
 
@@ -72,16 +97,15 @@ class Catalog:
         name: str,
         like: DataFrame,
         partition_by: tuple[str, ...] | None = None,
-        ts_col: str = "ts",
         bucket_col: str | None = "conv_id",
     ) -> str:
         """Create the table if missing; returns the chosen kind.
 
-        Iceberg DDL: ``PARTITIONED BY (days(ts), bucket(N, conv_id))`` by
-        default, or the explicit ``partition_by`` transforms (use a bare
-        column name for an identity transform, e.g. a precomputed ``day``
-        string). Parquet fallback: the directory is created lazily by the
-        first write; partitioning is the day= path convention.
+        Iceberg DDL: ``PARTITIONED BY (<day_col>, bucket(N, <bucket_col>))``
+        by default — the identity ``day_col`` partition is the layout
+        contract the read paths rely on. ``partition_by`` may override with
+        explicit transforms but should still include ``day_col``. Parquet
+        fallback: the directory is created lazily by the first write.
         """
         if name in self.kind:
             return self.kind[name]
@@ -91,7 +115,7 @@ class Catalog:
         if partition_by is not None:
             parts = list(partition_by)
         else:
-            parts = [f"days({ts_col})"]
+            parts = [self.day_col]
             if bucket_col:
                 parts.append(f"bucket({self.bucket_n}, {bucket_col})")
         ident = self._ident(name)  # validate BEFORE the fallback try
@@ -106,16 +130,7 @@ class Catalog:
             # fall back ONLY when the runtime genuinely lacks Iceberg; any
             # other CREATE failure (metastore hiccup, bad transform) must
             # surface, or writes would silently split across two layouts
-            msg = str(e)
-            if not any(
-                marker in msg
-                for marker in (
-                    "Failed to find data source: iceberg",
-                    "DATA_SOURCE_NOT_FOUND",
-                    "ClassNotFoundException",
-                    "Cannot find catalog plugin",
-                )
-            ):
+            if not any(m in str(e) for m in _NO_ICEBERG_MARKERS):
                 raise
             self.kind[name] = "parquet"
         return self.kind[name]
@@ -129,7 +144,7 @@ class Catalog:
             df.writeTo(self._ident(name)).overwritePartitions()
         else:
             df.write.mode("overwrite").parquet(
-                os.path.join(self._path(name), f"day={day}")
+                os.path.join(self._path(name), f"{self.day_col}={day}")
             )
 
     def read(self, name: str) -> DataFrame:
@@ -150,9 +165,9 @@ class Catalog:
         """Committed day partitions (metadata listing, no data read).
 
         Iceberg: the .partitions metadata table exposes identity partition
-        sources as ``partition.<col>`` — this matches the tables this class
-        creates (identity ``day`` + bucket). Tables partitioned with a
-        days(ts) transform instead would appear as ``partition.ts_day``."""
+        sources as ``partition.<col>`` — this matches the default layout
+        this class creates. A table created with custom transforms (e.g.
+        days(ts) -> partition.ts_day) needs its own listing."""
         if self._kind(name) == "iceberg":
             rows = self.spark.sql(
                 f"SELECT DISTINCT partition.{self.day_col} AS d FROM "

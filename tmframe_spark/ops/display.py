@@ -57,15 +57,7 @@ def go_float_str(v: float) -> str:
     if exp_s:  # python chose scientific
         exp = int(exp_s)
     else:
-        # decimal exponent of the leading digit
-        a = abs(float(v))
-        if a == 0.0:
-            return "0"
-        import math
-
-        exp = math.floor(math.log10(a))
-        # log10 can be off by one at powers of 10 boundaries; trust repr's
-        # digits instead for the fixed form below
+        exp = 0  # recomputed exactly from the fixed repr below
     digits = mant.replace("-", "").replace(".", "").lstrip("0").rstrip("0") or "0"
     neg = v < 0
     if not exp_s:
@@ -117,8 +109,13 @@ def indent_json(compact: str, prefix: str = "      ", indent: str = "    ") -> s
     with prefix six spaces and four-space steps."""
     import json as _json
 
-    try:  # Go's Indent returns the input unchanged on invalid JSON
-        _json.loads(compact)
+    def _reject(_):
+        raise ValueError("non-standard constant")
+
+    try:  # Go's Indent returns the input unchanged on invalid JSON —
+        # including NaN/Infinity, which Go's scanner rejects but Python's
+        # loads() would accept without parse_constant
+        _json.loads(compact, parse_constant=_reject)
     except ValueError:
         return compact
     out: list[str] = []
@@ -126,6 +123,12 @@ def indent_json(compact: str, prefix: str = "      ", indent: str = "    ") -> s
     in_str = False
     esc = False
     i, n = 0, len(compact)
+
+    def _next_token(j: int) -> str:
+        while j < n and compact[j] in " \t\n\r":
+            j += 1
+        return compact[j] if j < n else ""
+
     while i < n:
         c = compact[i]
         if in_str:
@@ -138,14 +141,19 @@ def indent_json(compact: str, prefix: str = "      ", indent: str = "    ") -> s
                 in_str = False
             i += 1
             continue
+        if c in " \t\n\r":
+            # Go's scanner drops insignificant whitespace entirely
+            i += 1
+            continue
         if c == '"':
             in_str = True
             out.append(c)
         elif c in "{[":
             # empty composite stays on one line, as Go does
-            if i + 1 < n and compact[i + 1] in "}]":
-                out.append(c + compact[i + 1])
-                i += 2
+            if _next_token(i + 1) in "}]":
+                close = "}" if c == "{" else "]"
+                out.append(c + close)
+                i = compact.index(close, i + 1) + 1
                 continue
             depth += 1
             out.append(c + "\n" + prefix + indent * depth)

@@ -253,22 +253,46 @@ def lttb_downsample(
         .withColumn("_cnt", F.count(F.lit(1)).over(cnt))
         # equal-count buckets over the rank; guarded so n_out >= count
         # degenerates to the identity
-        # explicit floor (not cast) so the SQL oracle can restate it exactly
+        # explicit floor (not cast) so the SQL oracle can restate it exactly;
+        # the rank is widened to 64-bit BEFORE the multiply (row_number is
+        # 32-bit — _r * n_out would wrap past ~2^31/n_out points)
         .withColumn(
-            "_b", F.least(F.floor(F.col("_r") * n_out / F.col("_cnt")),
-                          F.lit(n_out - 1))
+            "_b",
+            F.least(
+                F.floor(F.col("_r").cast("long") * n_out / F.col("_cnt")),
+                F.lit(n_out - 1),
+            ),
         )
     )
-    # centroids from EXACT decimal sums (a float avg would be partition-
-    # order dependent; int64 ts sums can overflow), then one double cast and
-    # one division — deterministic across engines and partitionings
-    def _cmean(c):
-        return (
-            F.sum(F.col(c).cast("decimal(38,0)")).cast("double") / F.count(F.lit(1))
+    # centroids from EXACT arithmetic, kept SMALL so every float step is
+    # exact or correctly rounded in BOTH engines: a plain decimal/hugeint
+    # sum of epoch-ns values exceeds 2^53 and its double cast is not
+    # correctly rounded in every engine (a 1-ulp centroid shift could flip
+    # an area argmax). Instead: mean = min + (sum - cnt*min)/cnt, where the
+    # relative sum is exact integer arithmetic of bucket-span magnitude
+    # (< 2^53 -> exact double), int64 min -> double is correctly rounded
+    # everywhere, and the division/addition are one rounding each.
+    def _cmean_exprs(c, mn, sm, cnt_):
+        rel = (F.col(sm).cast("decimal(38,0)") - F.col(cnt_).cast("decimal(38,0)") * F.col(mn)).cast(
+            "double"
         )
+        return F.col(mn).cast("double") + rel / F.col(cnt_)
 
-    cent = pts.groupBy(by, "_b").agg(
-        _cmean("_t").alias("_ct"), _cmean("_v").alias("_cv")
+    cent = (
+        pts.groupBy(by, "_b")
+        .agg(
+            F.min("_t").alias("_mt"),
+            F.sum(F.col("_t").cast("decimal(38,0)")).alias("_st"),
+            F.min("_v").alias("_mv"),
+            F.sum(F.col("_v").cast("decimal(38,0)")).alias("_sv"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+        .select(
+            by,
+            "_b",
+            _cmean_exprs("_t", "_mt", "_st", "_c").alias("_ct"),
+            _cmean_exprs("_v", "_mv", "_sv", "_c").alias("_cv"),
+        )
     )
     wb = Window.partitionBy(by).orderBy("_b")
     cent = (

@@ -909,9 +909,17 @@ p AS (
 ),
 pb AS (SELECT *, LEAST(CAST(floor(r * 200 / cnt) AS BIGINT), 199) AS b FROM p),
 c AS (
+  -- mean = min + (sum - cnt*min)/cnt: the relative sum is exact integer
+  -- arithmetic of bucket-span magnitude (< 2^53 -> exact double); a plain
+  -- HUGEINT-sum-to-double cast of epoch-ns values is NOT correctly rounded
+  -- and could flip the area argmax vs the engine by 1 ulp
   SELECT conv_id, b,
-         CAST(sum(t) AS DOUBLE) / count(*) AS ct,
-         CAST(sum(v) AS DOUBLE) / count(*) AS cv
+         CAST(min(t) AS DOUBLE)
+           + CAST(CAST(sum(t) AS HUGEINT) - CAST(count(*) AS HUGEINT) * min(t) AS DOUBLE)
+             / count(*) AS ct,
+         CAST(min(v) AS DOUBLE)
+           + CAST(CAST(sum(v) AS HUGEINT) - CAST(count(*) AS HUGEINT) * min(v) AS DOUBLE)
+             / count(*) AS cv
   FROM pb GROUP BY 1, 2
 ),
 cl AS (

@@ -40,17 +40,16 @@ def _batch_writer(table_root: str, table: str):
         mpath = os.path.join(man_dir, f"batch-{batch_id}.json")
         if os.path.exists(mpath):
             return  # clean replay: skip recomputation (overwrite would also be safe)
-        df = df.persist()  # one computation feeds both the write and the count
-        try:
-            with_day = df.withColumn("day", F.to_date("bucket"))
-            # overwrite of a batch-scoped directory = idempotent under
-            # at-least-once replays, even after a crash mid-write
-            with_day.write.mode("overwrite").partitionBy("day").parquet(
-                os.path.join(out_dir, f"batch={batch_id}")
-            )
-            n = df.count()
-        finally:
-            df.unpersist()
+        # eager localCheckpoint, not persist (repo rule): one computation
+        # feeds both the write and the count, blocks auto-release on GC
+        df = df.localCheckpoint(eager=True)
+        with_day = df.withColumn("day", F.to_date("bucket"))
+        # overwrite of a batch-scoped directory = idempotent under
+        # at-least-once replays, even after a crash mid-write
+        with_day.write.mode("overwrite").partitionBy("day").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        n = df.count()
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"batch_id": batch_id, "rows": n}, f)
