@@ -300,3 +300,17 @@ def test_display_frames_r_style(spark):
     df = spark.createDataFrame([(1, _wire([ts], [1], v1=[9]))], "id long, frame binary")
     got = display_frames(df, style="r").collect()[0]["display"]
     assert got == "2017-07-14T02:40:00Z evtnum EvOneInt64 V1 9"
+
+
+def test_indent_json_whitespace_and_constants():
+    from tmframe_spark.ops.display import indent_json
+
+    # Go's scanner drops insignificant whitespace from the source
+    assert indent_json('{"a": 1}') == '{\n          "a": 1\n      }'
+    assert indent_json('{ }') == "{}"
+    assert indent_json('[ ]') == "[]"
+    # Go rejects NaN/Infinity -> Indent errors -> verbatim passthrough
+    assert indent_json('{"a":NaN}') == '{"a":NaN}'
+    assert indent_json('[Infinity]') == "[Infinity]"
+    # whitespace INSIDE strings is significant and preserved
+    assert indent_json('{"s":"a b"}') == '{\n          "s": "a b"\n      }'
