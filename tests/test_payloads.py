@@ -314,3 +314,14 @@ def test_indent_json_whitespace_and_constants():
     assert indent_json('[Infinity]') == "[Infinity]"
     # whitespace INSIDE strings is significant and preserved
     assert indent_json('{"s":"a b"}') == '{\n          "s": "a b"\n      }'
+
+
+def test_indent_json_trailing_whitespace_and_depth():
+    from tmframe_spark.ops.display import indent_json
+
+    # Go's Indent preserves trailing whitespace of src verbatim
+    assert indent_json('{"a":1}\n') == '{\n          "a": 1\n      }\n'
+    assert indent_json("{} \t") == "{} \t"
+    # pathological nesting degrades to verbatim passthrough (Go errors too)
+    deep = "[" * 20000 + "]" * 20000  # past Go's depth-10000 scanner cap
+    assert indent_json(deep) == deep

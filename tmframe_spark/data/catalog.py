@@ -60,12 +60,21 @@ class Catalog:
 
     def _is_catalog_table(self, name: str) -> bool:
         """True only for a real (non-temp) catalog table named ``name`` —
-        a same-named temp view must not be mistaken for an Iceberg table."""
+        a same-named temp view must not be mistaken for an Iceberg table.
+        Only a definitive not-found answers False; bad names and transient
+        catalog errors SURFACE (a swallowed metastore hiccup would silently
+        reclassify an Iceberg table as parquet)."""
+        ident = self._ident(name)  # ValueError on bad names surfaces
         try:
-            t = self.spark.catalog.getTable(self._ident(name))
-            return (t.tableType or "").upper() not in ("", "TEMPORARY", "TEMP_VIEW")
-        except Exception:
-            return False
+            t = self.spark.catalog.getTable(ident)
+        except Exception as e:
+            msg = str(e)
+            if "TABLE_OR_VIEW_NOT_FOUND" in msg or "cannot be found" in msg or (
+                "Table" in msg and "not found" in msg
+            ):
+                return False
+            raise
+        return (t.tableType or "").upper() not in ("", "TEMPORARY", "TEMP_VIEW")
 
     def _kind(self, name: str) -> str:
         """Layout of ``name`` for read paths. A fresh instance rediscovers an

@@ -112,12 +112,41 @@ def indent_json(compact: str, prefix: str = "      ", indent: str = "    ") -> s
     def _reject(_):
         raise ValueError("non-standard constant")
 
+    # Go's scanner errors (-> Indent returns input verbatim) past nesting
+    # depth 10000; enforce the same cap with an iterative scan so behavior
+    # does not depend on the Python recursion limit
+    d = mx = 0
+    instr = skip = False
+    for ch in compact:
+        if instr:
+            if skip:
+                skip = False
+            elif ch == "\\":
+                skip = True
+            elif ch == '"':
+                instr = False
+        elif ch == '"':
+            instr = True
+        elif ch in "{[":
+            d += 1
+            mx = max(mx, d)
+        elif ch in "}]":
+            d -= 1
+    if mx > 10000:
+        return compact
     try:  # Go's Indent returns the input unchanged on invalid JSON —
         # including NaN/Infinity, which Go's scanner rejects but Python's
-        # loads() would accept without parse_constant
+        # loads() would accept without parse_constant. RecursionError covers
+        # deep-but-legal nesting when the Python limit is lower than Go's.
         _json.loads(compact, parse_constant=_reject)
-    except ValueError:
+    except (ValueError, RecursionError):
         return compact
+    # Go's Indent preserves TRAILING whitespace of src verbatim (doc:
+    # "trailing space characters at the end of src are preserved"); only
+    # internal insignificant whitespace is dropped
+    stripped = compact.rstrip(" \t\n\r")
+    trailing = compact[len(stripped) :]
+    compact = stripped
     out: list[str] = []
     depth = 0
     in_str = False
@@ -167,7 +196,7 @@ def indent_json(compact: str, prefix: str = "      ", indent: str = "    ") -> s
         else:
             out.append(c)
         i += 1
-    return "".join(out)
+    return "".join(out) + trailing
 
 
 def render_frame_strings_for_r(wire: list[bytes]) -> list[str]:
