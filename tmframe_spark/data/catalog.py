@@ -57,6 +57,10 @@ class Catalog:
         self.bucket_n = bucket_n
         self.day_col = day_col
         self.kind: dict[str, str] = {}
+        # schema recorded at ensure_table time; lets the parquet fallback
+        # answer an empty read before the first committed day (symmetric
+        # with Iceberg, where reading an empty table returns an empty DF)
+        self._schema: dict = {}
 
     def _is_catalog_table(self, name: str) -> bool:
         """True only for a real (non-temp) catalog table named ``name`` —
@@ -116,6 +120,7 @@ class Catalog:
         explicit transforms but should still include ``day_col``. Parquet
         fallback: the directory is created lazily by the first write.
         """
+        self._schema[name] = like.schema
         if name in self.kind:
             return self.kind[name]
         ddl_cols = ", ".join(
@@ -160,6 +165,22 @@ class Catalog:
         if self._kind(name) == "iceberg":
             return self.spark.table(self._ident(name))
         path = self._path(name)
+        if not self.days(name):
+            # a table that exists (ensure_table ran) but has no committed
+            # day yet: answer an empty DataFrame from the recorded schema
+            # instead of letting the day=* glob raise PATH_NOT_FOUND —
+            # symmetric with the Iceberg branch. Note the parquet layout
+            # stores day as a directory (string partition column).
+            schema = self._schema.get(name)
+            if schema is None:
+                raise FileNotFoundError(
+                    f"catalog table {name!r} has no committed partitions and "
+                    f"no recorded schema (ensure_table not called on this "
+                    f"Catalog instance); nothing to read at {path}"
+                )
+            if self.day_col not in schema.fieldNames():
+                schema = schema.add(self.day_col, "string")
+            return self.spark.createDataFrame([], schema)
         return self.spark.read.option("basePath", path).parquet(
             f"{path}/{self.day_col}=*"
         )

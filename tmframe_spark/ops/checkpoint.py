@@ -83,9 +83,11 @@ def checkpointed_rollup_run(
     through the table catalog + commit a manifest. Partition-at-a-time =
     bounded state, restart-safe, per-partition lineage & throughput metrics.
 
-    Writes route through ``data.catalog.Catalog`` (Iceberg
-    days(ts)/bucket(conv_id) DDL when available, day= parquet fallback);
-    the overwrite-day unit keeps re-runs idempotent either way.
+    Writes route through ``data.catalog.Catalog`` (Iceberg DDL partitioned
+    by the identity ``day`` column + ``bucket(16, conv_id)`` when available
+    — the identity day partition is the Catalog layout contract its read
+    paths rely on — with a ``day=`` parquet fallback); the overwrite-day
+    unit keeps re-runs idempotent either way.
     """
     from tmframe_spark import __version__
     from tmframe_spark.codec.udfs import pack_blocks

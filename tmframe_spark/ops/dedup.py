@@ -17,33 +17,12 @@ Streaming analog: dropDuplicatesWithinWatermark (tmframe_spark.streaming).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 from pyspark.sql.window import Window
-
-
-def frame_hash_col(cols: list[str]):
-    """BLAKE2b-64bit content hash of the given columns (vectorized).
-
-    Bit-compatible canonicalization with checksum_projection; for hot paths
-    where bit-compat with the reference hash is not asserted, prefer
-    F.xxhash64 (JVM-side, no Python roundtrip)."""
-
-    @F.pandas_udf("binary")
-    def b2b(*series: pd.Series) -> pd.Series:
-        joined = series[0].fillna("").astype(str)
-        for c in series[1:]:
-            joined = joined + "\x1f" + c.fillna("").astype(str)
-        return pd.Series(
-            [hashlib.blake2b(s.encode("utf-8"), digest_size=64).digest() for s in joined]
-        )
-
-    return b2b(*[F.col(c) for c in cols])
 
 
 def hash_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:

@@ -16,10 +16,7 @@ Catalyst pushes into the parquet scan.
 from __future__ import annotations
 
 from functools import reduce
-from typing import Iterator
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -46,34 +43,6 @@ def regex_extract(df: DataFrame, col: str, pattern: str, group: int = 1) -> Data
 def json_field(df: DataFrame, col: str, field: str, out: str = "field_value") -> DataFrame:
     """tfgrep: extract a JSON field from the payload column."""
     return df.withColumn(out, F.get_json_object(F.col(col), f"$.{field}"))
-
-
-def checksum_projection(df: DataFrame, payload_cols: list[str], ts_ns: str = "ts_ns") -> DataFrame:
-    """tfsum: project each record to (tm, EvOneInt64, v1=first 8 bytes of
-    BLAKE2b(canonical payload) as little-endian int64).
-
-    Arrow-batched pandas UDF (hashlib.blake2b is bit-compatible with the
-    reference's vendored blake2b). Payload canonicalization: unit-separator
-    join of the payload columns, UTF-8.
-    """
-    import hashlib
-
-    @F.pandas_udf("long")
-    def blake2b64(*cols: pd.Series) -> pd.Series:
-        joined = cols[0].fillna("").astype(str)
-        for c in cols[1:]:
-            joined = joined + "\x1f" + c.fillna("").astype(str)
-        out = np.empty(len(joined), dtype=np.int64)
-        for i, s in enumerate(joined):
-            d = hashlib.blake2b(s.encode("utf-8"), digest_size=64).digest()
-            out[i] = np.frombuffer(d[:8], dtype="<i8")[0]
-        return pd.Series(out)
-
-    return df.select(
-        F.col(ts_ns),
-        F.lit(1).alias("evtnum"),  # EvOneInt64
-        blake2b64(*[F.col(c) for c in payload_cols]).alias("v1"),
-    )
 
 
 def tfsum_frames(df: DataFrame, frame_col: str = "frame", ts_ns: str = "ts_ns") -> DataFrame:

@@ -60,9 +60,13 @@ def with_stable_pos(
     # if blocks are evicted (persist() would silently recompute and could
     # in principle re-sample); (b) the blocks are released by the
     # ContextCleaner when the DataFrame is GC'd — no manual unpersist, no
-    # cache leak across calls. Cluster note: localCheckpoint is lost with
+    # cache leak across calls. LAZY (eager=False): the count job below is
+    # the first action and materializes the checkpoint as it counts — one
+    # job instead of an eager-materialize job plus a count job; the frozen-
+    # partitioning guarantee is identical because the output job still reads
+    # only checkpointed blocks. Cluster note: localCheckpoint is lost with
     # an executor; use checkpoint(reliable dir) for long jobs there.
-    part = part.localCheckpoint(eager=True)
+    part = part.localCheckpoint(eager=False)
     counts = {r["_pid"]: r["count"] for r in part.groupBy("_pid").count().collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):

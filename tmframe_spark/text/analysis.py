@@ -1,6 +1,12 @@
 """Text analysis for training-data pipelines: tokens, quality, lang-id,
 fingerprints. All JVM-side built-ins (whole-stage codegen) — no Python UDFs
 in any of these hot paths.
+
+Every function here is oracle-exact: the registry queries `token_stats_by_lang`,
+`doc_quality`, `lang_id`, `bpe_token_count`, `doc_fingerprint` route through
+these and hash-match an independent DuckDB restatement, so the math is pinned
+to constructs both engines evaluate identically (code-point regex counts,
+token-array filters, single IEEE divisions of exact ints).
 """
 
 from __future__ import annotations
@@ -8,13 +14,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: tiny per-language stopword markers for the n-gram/lexicon heuristic.
+#: tiny per-language stopword markers for the lexicon heuristic; dict order
+#: is the deterministic tie priority (first listed wins ties).
 LANG_MARKERS = {
     "en": ["the", "and", "of"],
     "de": ["der", "und", "die"],
     "fr": ["le", "la", "et"],
     "es": ["el", "los", "que"],
 }
+
+#: stopwords for the quality pre-filter stats
+STOPWORDS = ("the", "a", "and", "of")
+
+
+def _words(col) -> "F.Column":
+    """Lowercased whitespace token array (empty-string element for blank
+    text — callers that need a count use token_count, which guards that)."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
 
 
 def token_count(col) -> "F.Column":
@@ -33,20 +49,32 @@ def bpe_ish_token_count(col) -> "F.Column":
     splitting on whitespace plus a boundary before/after every punctuation
     char (the lookaround form), but expressible without lookarounds so an
     RE2-based engine (DuckDB) can restate it for the oracle. Still pure
-    JVM-side regex."""
+    JVM-side regex. Both terms are regexp_extract_all MATCH COUNTS (one per
+    code point), never length() — Spark length() counts UTF-16 code units,
+    so an astral-plane punctuation char (emoji) would count 2 in Spark vs 1
+    in DuckDB and silently break the cross-engine oracle."""
     t = F.trim(col)
     words = F.size(F.regexp_extract_all(t, F.lit(r"\w+"), F.lit(0)))
-    punct = F.length(F.regexp_replace(t, r"[\w\s]", ""))
+    punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), F.lit(0)))
     return words + punct
 
 
-def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
-    """Adds n_tokens, n_chars, punct_chars, stopword_hits, quality_score."""
+def stopword_hits(col, stopwords: tuple[str, ...] = STOPWORDS) -> "F.Column":
+    """Count of stopword TOKENS (exact token membership over the whitespace
+    split — not substring counting, which would over-count e.g. 'them')."""
+    return F.size(F.filter(_words(col), lambda w: w.isin(*stopwords)))
+
+
+def with_text_stats(
+    df: DataFrame, col: str = "text", stopwords: tuple[str, ...] = STOPWORDS
+) -> DataFrame:
+    """Adds n_tokens, n_chars, punct_chars, stopword_hits, stop_ratio,
+    quality_score. All but quality_score are oracle-exact (ints / one IEEE
+    division of exact ints); quality_score is a float composite for ranking
+    only (never hash-compared)."""
     c = F.col(col)
-    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
-    stop = F.size(
-        F.filter(F.split(F.lower(c), r"\s+"), lambda w: w.isin("the", "a", "and", "of"))
-    )
+    punct = F.size(F.regexp_extract_all(F.trim(c), F.lit(r"[^\w\s]"), F.lit(0)))
+    stop = stopword_hits(c, stopwords)
     n_tok = token_count(c)
     # quality: bounded composite of length, punctuation restraint, stopword
     # presence — the classic cheap pre-filter for web-scale corpora
@@ -61,24 +89,25 @@ def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
         .withColumn("n_chars_calc", F.length(c).cast("long"))
         .withColumn("punct_chars", punct.cast("long"))
         .withColumn("stopword_hits", stop.cast("long"))
+        .withColumn("stop_ratio", F.col("stopword_hits") / F.col("n_tokens"))
         .withColumn("quality_score", quality)
     )
 
 
 def lang_id(df: DataFrame, col: str = "text", out: str = "pred_lang") -> DataFrame:
-    """Marker-lexicon language ID: count per-language stopword hits over the
-    token array, argmax with deterministic tie order (en<de<fr<es<und)."""
-    words = F.split(F.lower(F.col(col)), r"\s+")
-    scores = []
-    for lang, markers in LANG_MARKERS.items():
-        s = F.size(F.filter(words, lambda w: w.isin(*markers)))
-        scores.append((lang, s))
+    """Marker-lexicon language ID: count per-language stopword-token hits,
+    argmax with deterministic tie order = LANG_MARKERS listing order
+    (en > de > fr > es), 'und' when no marker hits at all.
+
+    Forward iteration with strict > keeps the FIRST-listed language on ties
+    (an incumbent is only displaced by a strictly higher score)."""
+    words = _words(F.col(col))
     best = F.lit("und")
     best_score = F.lit(0)
-    for lang, s in reversed(scores):
+    for lang, markers in LANG_MARKERS.items():
+        s = F.size(F.filter(words, lambda w: w.isin(*markers)))
         best = F.when(s > best_score, F.lit(lang)).otherwise(best)
         best_score = F.greatest(s, best_score)
-    # reversed() + strict > gives first-listed language priority on ties
     return df.withColumn(out, best)
 
 
