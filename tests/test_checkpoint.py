@@ -71,3 +71,48 @@ def test_catalog_falls_back_without_iceberg(spark, tmp_path):
     assert cat.read("t1").count() == 3
     with pytest.raises(ValueError):
         cat.ensure_table("bad name; drop", df)
+
+
+def test_catalog_empty_table_reads_empty(spark, tmp_path):
+    # ADVICE r2: a table that exists (ensure_table ran) but has no committed
+    # day yet must read as an empty DataFrame, symmetric with Iceberg —
+    # not raise PATH_NOT_FOUND from the day=* glob
+    from tmframe_spark.data.catalog import Catalog
+
+    df = spark.range(3).selectExpr(
+        "cast(id as string) AS conv_id", "'2024-01-01' AS day", "id AS v"
+    )
+    cat = Catalog(spark, str(tmp_path))
+    cat.ensure_table("t_empty", df, partition_by=("day", "bucket(16, conv_id)"))
+    empty = cat.read("t_empty")
+    assert empty.count() == 0
+    assert set(df.columns).issubset(set(empty.columns))
+    # a Catalog instance that never saw ensure_table has no schema to offer
+    cat2 = Catalog(spark, str(tmp_path))
+    with pytest.raises(FileNotFoundError):
+        cat2.read("t_never_created")
+    # after the first committed day the normal read path takes over
+    cat.overwrite_day("t_empty", df, "2024-01-01")
+    assert cat.read("t_empty").count() == 3
+
+
+def test_catalog_read_day_is_partition_pruned(spark, tmp_path):
+    # the archive->serve loop (q_archive_asof_serving) reads through
+    # Catalog.read_day; the day predicate must land on the partition
+    # directory (metadata-only selection), never a row scan
+    from tmframe_spark.data.catalog import Catalog
+
+    df = spark.range(4).selectExpr(
+        "cast(id as string) AS conv_id", "id AS v"
+    )
+    cat = Catalog(spark, str(tmp_path))
+    cat.ensure_table("t_pruned", df.selectExpr("*", "'x' AS day"),
+                     partition_by=("day", "bucket(16, conv_id)"))
+    for d in ("2024-01-01", "2024-01-02", "2024-01-03"):
+        cat.overwrite_day("t_pruned", df, d)
+    one = cat.read_day("t_pruned", "2024-01-02")
+    assert one.count() == 4
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    seg = plan.split("PartitionFilters", 1)[1][:300]
+    assert "day" in seg, seg

@@ -72,3 +72,24 @@ def test_evtnum_names():
     # reference Evtnum.String() has no case for 16 → "Ev.16" (frame.go:448-486)
     assert evtnum_name(16) == "Ev.16"
     assert evtnum_name(-1000) == "Ev.-1000"
+
+
+def test_window_one_is_adjacent_dup_removal(spark):
+    # the count_window_dedup_w1 oracle's claim: at window=1 every row enters
+    # the 1-slot ring, so only the immediately preceding row can mask —
+    # [A,A,A] keeps one A (masked dup still drops), [A,B,A] keeps all three
+    values = ["A", "A", "A", "B", "A", "A", "C", "C", "A"]
+    rows = [("c", i, "u", v, None, i) for i, v in enumerate(values)]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts long",
+    )
+    got = [
+        r["text"]
+        for r in count_window_dedup(df, 1, ["conv_id"], ["ts", "turn_idx"], ["text"])
+        .orderBy("turn_idx")
+        .collect()
+    ]
+    want = [v for i, v in enumerate(values) if i == 0 or v != values[i - 1]]
+    assert got == want == ["A", "B", "A", "C", "A"]
+    assert got == python_ring_dedup(values, 1)

@@ -41,3 +41,36 @@ def test_fused_equals_compositional_all_tiers(spark):
         bad = [k for k in comp if fused[k] != comp[k]]
         assert not bad, f"{tier}: {len(bad)} blocks differ, e.g. {bad[:3]}"
     m.unpersist()
+
+
+def test_ten_year_conversation_pack_carry_bound(spark):
+    # verdict r2 #5 guard: the mapInPandas carry buffer is O(one
+    # conversation's ROLLUP rows) — data-sized, bounded by calendar, never
+    # the spine. A decade-long sparse conversation (one 1d rollup row per
+    # month, 120 rows) must pack into per-year blocks whose gap-filled
+    # spine (3653 days) exists only inside the encoder, and decode back
+    # losslessly.
+    import pandas as pd
+
+    from tmframe_spark.codec.udfs import unpack_blocks
+
+    months = pd.date_range("2015-01-01", "2024-12-01", freq="MS")  # 120
+    rows = [
+        ("conv-decade", ts.to_pydatetime(), 3, 1000 + i)
+        for i, ts in enumerate(months)
+    ]
+    rolled = spark.createDataFrame(
+        rows, "conv_id string, bucket timestamp, turns long, token_volume long"
+    )
+    blocks = pack_rollup_blocks(rolled, "1d", "year")
+    got = blocks.select("grp", "n_points").orderBy("grp").collect()
+    assert len(got) == 10  # one block per calendar year
+    # spine = every day from 2015-01-01 to 2024-12-01 inclusive
+    assert sum(r["n_points"] for r in got) == (
+        pd.Timestamp("2024-12-01") - pd.Timestamp("2015-01-01")
+    ).days + 1
+    pts = unpack_blocks(blocks, ["conv_id", "grp"], v0="v0", v1="v1").toPandas()
+    assert len(pts) == sum(r["n_points"] for r in got)
+    nz = pts[pts["v1"] > 0].sort_values("ts_ns").reset_index(drop=True)
+    assert len(nz) == 120 and (nz["v1"] == 3).all()
+    assert nz["v0"].tolist() == [1000.0 + i for i in range(120)]

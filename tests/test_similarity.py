@@ -106,3 +106,48 @@ def test_lsh_exhaustive_probe_equals_exact(emb):
     assert len(tight) == 10
     cs = [r["cosine"] for r in tight]
     assert cs == sorted(cs, reverse=True)
+
+
+def test_ivf_train_driver_collect_bounded(spark):
+    # verdict r2 #7: the Lloyd update must route <= nlist*dim (cell, pos)
+    # rows per iteration through the driver — measured via the stats hook
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stats = []
+    cents = ivf_train(df, nlist=64, iters=2, stats_out=stats)
+    assert len(stats) == 2 and all(s <= 64 * 64 for s in stats), stats
+    assert len(cents) == 64 and all(len(c) == 64 for c in cents)
+
+
+def test_ivf_train_cap_raises(emb, monkeypatch):
+    import tmframe_spark.vec.similarity as sim
+
+    monkeypatch.setattr(sim, "IVF_DRIVER_CELL_CAP", 8)
+    with pytest.raises(ValueError, match="nlist\\*dim"):
+        sim.ivf_train(emb, nlist=4, iters=1)
+
+
+def test_ivf_written_index_serves_pruned_and_bit_equal(emb, tmp_path):
+    # the persisted cell-partitioned index must (a) answer bit-identically
+    # to the inline operator and (b) scan only the probed cells — partition
+    # pruning visible in the physical plan
+    from tmframe_spark.vec.similarity import ivf_build_index, ivf_topk_from_index
+
+    spark = emb.sparkSession
+    path = str(tmp_path / "ivf_idx")
+    cents = ivf_build_index(emb, path, nlist=8, iters=3)
+    qv = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+    served = ivf_topk_from_index(
+        spark, path, cents, qv, k=10, nprobe=4, exclude_id=0
+    )
+    inline = ivf_ann_topk(emb, 0, k=10, nlist=8, nprobe=4)
+    assert [(r["vec_id"], r["cosine"]) for r in served.collect()] == [
+        (r["vec_id"], r["cosine"]) for r in inline.collect()
+    ]
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    seg = plan.split("PartitionFilters", 1)[1][:300]
+    assert "cell" in seg, seg

@@ -56,3 +56,57 @@ def test_stateful_dedup_across_microbatches(spark):
     # values[9]==1 reappears because its entries expired — both depend on
     # ring+refcount state surviving the batch boundary
     assert got == [1, 2, 3, 4, 2, 5, 1, 6, 3, 7, 1, 8]
+
+
+def test_stateful_dedup_live_incremental_trigger(spark):
+    # REAL incremental trigger (verdict r2 #8): the second file lands only
+    # AFTER the first micro-batch has committed — unlike availableNow's
+    # backlog drain, the query is live when new data arrives, so the ring
+    # + refcount state must survive an actual trigger boundary
+    values = [1, 2, 1, 3, 1, 4, 2, 2, 5, 1, 6, 3, 3, 7, 1, 8]
+    rows = pd.DataFrame(
+        {
+            "conv_id": "c0",
+            "turn_idx": range(len(values)),
+            "role": "user",
+            "text": [str(v) for v in values],
+            "tool": None,
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(range(len(values)), "s"),
+        }
+    )
+    rows["tool"] = rows["tool"].astype("string")
+    rows["ts"] = rows["ts"].astype("datetime64[us]")
+    src = tempfile.mkdtemp(prefix="tmframe_stateful_live_")
+    half = len(values) // 2
+    rows.iloc[:half].to_parquet(os.path.join(src, "a.parquet"))
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    dd = stream_count_window_dedup(stream, window_size=3, hash_cols=("text",))
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("stateful_dedup_live")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # micro-batch 1: first half only
+        got1 = [
+            int(r["text"])
+            for r in spark.sql(
+                "select * from stateful_dedup_live order by turn_idx"
+            ).collect()
+        ]
+        assert got1 == python_ring_dedup(values[:half], 3)
+
+        rows.iloc[half:].to_parquet(os.path.join(src, "b.parquet"))
+        q.processAllAvailable()  # micro-batch 2: state carried over
+    finally:
+        q.stop()
+    got = [
+        int(r["text"])
+        for r in spark.sql(
+            "select * from stateful_dedup_live order by turn_idx"
+        ).collect()
+    ]
+    assert got == python_ring_dedup(values, 3) == [1, 2, 3, 4, 2, 5, 1, 6, 3, 7, 1, 8]

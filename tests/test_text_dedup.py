@@ -165,3 +165,24 @@ def test_exact_dedup_keeps_lowest_id(docs):
     for b in range(30):
         assert 3 * b in kept and 3 * b + 2 not in kept  # dup dropped
         assert 3 * b + 1 in kept  # near-dup kept (not exact)
+
+
+def test_rolling_fingerprints_shingles(spark):
+    from tmframe_spark.text.analysis import rolling_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),        # 6 words, k=5 -> 2 shingles
+            (1, "a b c d e f"),        # identical -> identical shingles
+            (2, "a b c d e g"),        # differs in last word -> shares 1 of 2
+            (3, "x y"),                # shorter than k -> 1 (padded) shingle
+        ],
+        "doc_id long, text string",
+    )
+    fp = rolling_fingerprints(df, "text", k=5)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r["shingle_hash"])
+    assert len(by_doc[0]) == 2 and by_doc[0] == by_doc[1]
+    assert len(set(by_doc[0]) & set(by_doc[2])) == 1
+    assert len(by_doc[3]) == 1

@@ -260,6 +260,12 @@ def pack_rollup_blocks(
     cols = ["conv_id", "grp", "n_points", "ts_first", "ts_last", "raw_nbytes", "frame"]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # carry = the open (possibly batch-spanning) conversation's ROLLUP
+        # rows — data-sized and bounded by calendar (a Y-year conversation
+        # holds at most Y*525k 1m rows, and proportionally fewer at coarser
+        # tiers), never the gap-filled spine, which only exists as numpy
+        # arrays inside pack_conv one block at a time. Guarded by the
+        # decade-long-conversation test in tests/test_pack_fused.py.
         carry: pd.DataFrame | None = None
         for pdf in batches:
             if carry is not None:

@@ -22,6 +22,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 from tmframe_spark.codec.frames import (
@@ -273,12 +274,19 @@ def display_frames(
     include_payload: bool = False,
     pretty: bool = False,
     style: str = "string",
+    index_col: str | None = None,
 ) -> DataFrame:
     """Append a render column decoded from wire bytes.
 
     ``style='string'`` = Frame.String()/DisplayFrame (tfcat default;
     ``pretty`` = tfcat -p JSON indenting); ``style='r'`` = StringifyForR
-    (tfcat -r, R-consumable lines)."""
+    (tfcat -r, R-consumable lines).
+
+    ``index_col``: when given, each line is prefixed with the tfcat running
+    frame index as '%06d ' (DisplayFrame's i >= 0 branch, display.go:36-40;
+    tfcat passes the stream position, cmd/tfcat/tfcat.go:114). Compose with
+    ops.merge.with_stable_pos to produce the stable global position — the
+    prefix itself is a JVM-side format_string, no Python."""
     if style not in ("string", "r"):
         raise ValueError("style must be 'string' or 'r'")
     schema = StructType(df.schema.fields + [StructField(out_col, StringType())])
@@ -296,4 +304,10 @@ def display_frames(
             )
             yield out
 
-    return df.mapInPandas(fn, schema)
+    out = df.mapInPandas(fn, schema)
+    if index_col is not None:
+        out = out.withColumn(
+            out_col,
+            F.concat(F.format_string("%06d ", F.col(index_col)), F.col(out_col)),
+        )
+    return out

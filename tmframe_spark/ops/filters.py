@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from functools import reduce
 
+import numpy as np
+import pandas as pd  # noqa: F401 — pandas_udf resolves 'pd.Series' hints via module globals
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -52,9 +54,6 @@ def tfsum_frames(df: DataFrame, frame_col: str = "frame", ts_ns: str = "ts_ns") 
     (wire words + payload WITHOUT the zero terminator, frame.go:532-564),
     computed by unmarshalling the wire frames batch-wise through the numpy
     codec and hashing with hashlib.blake2b (bit-compatible)."""
-    import numpy as np
-    import pandas as pd
-
     from tmframe_spark.codec.frames import blake2b_frames, unmarshal_frames
 
     @F.pandas_udf("long")

@@ -403,6 +403,25 @@ def q_frame_display(spark, sf_dir):
     return display_frames(framed, "frame").select("conv_id", "turn_idx", "display")
 
 
+def q_frame_display_indexed(spark, sf_dir):
+    """tfcat's running frame-index prefix (DisplayFrame i>=0 branch,
+    display.go:36-40; tfcat.go:114 passes the stream position): the same
+    mixed-evtnum render as `frame_display`, prefixed '%06d ' with the stable
+    global position under (ts_ns, conv_id, turn_idx) — with_stable_pos
+    composed with display_frames(index_col=...)."""
+    from tmframe_spark.codec.udfs import frame_mixed_fixture
+    from tmframe_spark.ops.display import display_frames
+    from tmframe_spark.ops.merge import with_stable_pos
+
+    t = with_ts_ns(_t(spark, sf_dir))
+    framed = with_stable_pos(
+        frame_mixed_fixture(t), ["ts_ns", "conv_id", "turn_idx"], pos_col="frame_idx"
+    )
+    return display_frames(framed, "frame", index_col="frame_idx").select(
+        "conv_id", "turn_idx", "display"
+    )
+
+
 def q_display_json_payload(spark, sf_dir):
     """tfcat WITH payload (display.go:41-45): EvJson frames render their
     payload after two spaces. Purchase events' props (JSON strings) are
@@ -896,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_field": q_json_field,
         "checksum_projection": q_checksum_projection,
         "frame_display": q_frame_display,
+        "frame_display_indexed": q_frame_display_indexed,
         "msgpack_decode": q_msgpack_decode,
         "display_json_payload": q_display_json_payload,
         "archive_1h_reaggregate": q_archive_1h_reaggregate,
@@ -1158,19 +1178,33 @@ FROM transcripts
         "CASE WHEN strftime(ts, '%f') = '000000' THEN '' "
         "ELSE '.' || rtrim(strftime(ts, '%f'), '0') END || 'Z'"
     )
-    o["frame_display"] = f"""
-WITH {_T_CTE},
-f AS (SELECT conv_id, turn_idx, role, tool, text, {_T3339} AS t3339 FROM transcripts)
-SELECT conv_id, turn_idx,
-  CASE CAST(turn_idx % 3 AS INTEGER)
+    _DISPLAY_CASE = f"""CASE CAST(turn_idx % 3 AS INTEGER)
     WHEN 0 THEN 'TMFRAME ' || t3339 || ' EVTNUM Ev.-1001 ['
                 || CAST({_NBYTES_DD} AS VARCHAR) || ' bytes] (UCOUNT '
                 || CAST(3 + strlen(role) + strlen(coalesce(tool, '')) + strlen(text) AS VARCHAR) || ')'
     WHEN 1 THEN 'TMFRAME ' || t3339 || ' EVTNUM EvOneInt64 [16 bytes] (UCOUNT 0) V1:'
                 || CAST(length(text) AS VARCHAR)
     ELSE 'TMFRAME ' || t3339 || ' EVTNUM EvZero [8 bytes] (UCOUNT 0)'
-  END AS display
+  END"""
+
+    o["frame_display"] = f"""
+WITH {_T_CTE},
+f AS (SELECT conv_id, turn_idx, role, tool, text, {_T3339} AS t3339 FROM transcripts)
+SELECT conv_id, turn_idx, {_DISPLAY_CASE} AS display
 FROM f
+"""
+
+    # same render, '%06d ' running-index prefix under the stable stream
+    # order (ts, conv_id, turn_idx) — DisplayFrame's i>=0 branch
+    o["frame_display_indexed"] = f"""
+WITH {_T_CTE},
+f AS (SELECT conv_id, turn_idx, role, tool, text, ts, {_T3339} AS t3339 FROM transcripts),
+x AS (
+  SELECT conv_id, turn_idx, {_DISPLAY_CASE} AS disp,
+         ROW_NUMBER() OVER (ORDER BY ts, conv_id, turn_idx) - 1 AS idx
+  FROM f
+)
+SELECT conv_id, turn_idx, printf('%06d ', idx) || disp AS display FROM x
 """
 
     o["msgpack_decode"] = f"""

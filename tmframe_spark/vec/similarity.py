@@ -69,12 +69,23 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+#: hard bound on the Lloyd-update driver collect: nlist x dim (cell, pos)
+#: aggregate rows per iteration (~16 B of long payload each — ≤ ~32 MB at
+#: the cap). The RESULT (the centroid table) is small, but the per-iteration
+#: update itself routes nlist x dim rows through the driver; past this cap
+#: the update must move to a distributed strategy (e.g. write the per-cell
+#: sums to a table and stream changed cells), so we fail loudly instead of
+#: silently melting the driver at production nlist/dim.
+IVF_DRIVER_CELL_CAP = 1 << 20
+
+
 def ivf_train(
     embeddings: DataFrame,
     nlist: int = 16,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stats_out: list | None = None,
 ) -> list[list[float]]:
     """Deterministic IVF coarse quantizer: k-means with Lloyd iterations.
 
@@ -86,13 +97,25 @@ def ivf_train(
       new centroids are exact integer means — bit-identical across runs,
       partitionings and engines; empty cells keep their previous centroid.
 
-    Driver state is only the nlist x dim centroid table (the classic IVF
-    "index model" — a few KB even at nlist=4096, dim=1024).
+    Scale note: each Lloyd update collects exactly the (cell, pos) aggregate
+    — at most nlist x dim rows per iteration — through the driver; this is
+    bounded by IVF_DRIVER_CELL_CAP (a ValueError past it, never a silent
+    melt). The returned centroid table itself is nlist x dim floats.
+    ``stats_out``, when given, receives the actual per-iteration collected
+    row count (test hook for the bound).
     """
     cents = [
         [float(x) for x in r[vec_col]]
         for r in embeddings.orderBy(id_col).limit(nlist).collect()
     ]
+    dim = len(cents[0]) if cents else 0
+    if nlist * dim > IVF_DRIVER_CELL_CAP:
+        raise ValueError(
+            f"ivf_train Lloyd update would collect up to nlist*dim = "
+            f"{nlist * dim} (cell, pos) rows per iteration through the "
+            f"driver (cap {IVF_DRIVER_CELL_CAP}); use a distributed "
+            f"centroid update at this scale"
+        )
     for _ in range(iters):
         assigned = ivf_assign(embeddings, cents, vec_col)
         sums = (
@@ -104,6 +127,8 @@ def ivf_train(
             )
             .collect()
         )
+        if stats_out is not None:
+            stats_out.append(len(sums))
         by_cell: dict[int, dict[int, float]] = {}
         for r in sums:
             by_cell.setdefault(r["cell"], {})[r["pos"]] = (r["s"] / r["n"]) / _Q
@@ -154,7 +179,8 @@ def ivf_ann_topk(
     written PARTITIONED BY cell — a query then scans nprobe/nlist of the
     data via partition pruning, no shuffle; the probe-cell choice is a
     driver-side argmin over the tiny centroid table. Here train + assign run
-    inline so the operator is self-contained.
+    inline so the operator is self-contained; the written-artifact pair is
+    ivf_build_index / ivf_topk_from_index (bit-identical scoring).
     """
     cents = ivf_train(embeddings, nlist, iters, id_col, vec_col)
     qv = [
@@ -177,6 +203,81 @@ def ivf_ann_topk(
             (
                 _qdot(F.col(vec_col), F.col("_qv"))
                 / F.sqrt(F.col("_qn").cast("double") * _qnorm2(F.col(vec_col)).cast("double"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_build_index(
+    embeddings: DataFrame,
+    path: str,
+    nlist: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Build the PERSISTED IVF index: train the coarse quantizer, assign
+    every vector, and write the assigned table ``PARTITIONED BY (cell)`` —
+    the serving artifact the docstring of ivf_ann_topk promises. A query
+    then reads nprobe/nlist of the data via partition (directory) pruning,
+    no shuffle. Returns the centroid table (nlist x dim, driver-side)."""
+    cents = ivf_train(embeddings, nlist, iters, id_col, vec_col)
+    ivf_assign(embeddings, cents, vec_col).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+    return cents
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    cents: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve IVF top-k from the written cell-partitioned index.
+
+    Probe-cell choice is a driver-side argmin over the tiny centroid table;
+    the ``cell IN (probe)`` predicate lands on the partition column, so the
+    scan is pruned to nprobe directories (PartitionFilters in the plan —
+    asserted by tests/test_similarity.py). Scoring matches ivf_ann_topk
+    bit-for-bit: the query vector is fixed-point-quantized driver-side with
+    the same floor(x * 2^20) rule, so dot products and norms are identical
+    exact integers."""
+    import math
+
+    qv = [float(x) for x in query_vec]
+    dists = [
+        (sum((a - b) ** 2 for a, b in zip(qv, cent)), c) for c, cent in enumerate(cents)
+    ]
+    probe = [c for _, c in sorted(dists)[:nprobe]]
+    qf = [int(math.floor(x * _Q)) for x in qv]
+    qn = sum(v * v for v in qf)
+    qarr = F.array(*[F.lit(v) for v in qf])
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            qarr,
+            lambda x, h: F.floor(x.cast("double") * _Q).cast("long") * h.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    idx = spark.read.parquet(path).where(F.col("cell").isin(*probe))
+    if exclude_id is not None:
+        idx = idx.where(F.col(id_col) != exclude_id)
+    return (
+        idx.select(
+            F.col(id_col),
+            (
+                dot
+                / F.sqrt(F.lit(float(qn)) * _qnorm2(F.col(vec_col)).cast("double"))
             ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
