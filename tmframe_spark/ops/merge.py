@@ -20,7 +20,6 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def merge_streams(dfs: list[DataFrame], order_cols: list[str]) -> DataFrame:
@@ -44,9 +43,10 @@ def with_stable_pos(
 ) -> DataFrame:
     """Add a 0-based global position under a stable total order.
 
-    Scalable two-pass enumeration: repartitionByRange(order) +
-    sortWithinPartitions, count rows per partition (small collect:
-    one row per partition), then pos = partition_offset + local row_number.
+    Scalable two-pass enumeration over ONE materialization:
+    repartitionByRange(order) + sortWithinPartitions + localCheckpoint,
+    count rows per partition (small collect: one row per partition), then
+    pos = partition_offset + local row index.
     """
     n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     part = (
@@ -78,10 +78,21 @@ def with_stable_pos(
         )
     else:
         mapping = F.create_map()
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    # local row index WITHOUT a window: the checkpointed blocks are already
+    # range-partitioned and in-partition sorted, and a scan of an RDD
+    # checkpoint exposes no outputPartitioning/ordering to Catalyst — a
+    # row_number() window here re-shuffled and RE-SORTED the whole dataset
+    # in the output job (measured in the executed plan: Exchange
+    # hashpartitioning(_pid) + Sort). monotonically_increasing_id() is
+    # (partition_index << 33) + row-counter over exactly the checkpointed
+    # iteration order, so local index = mid - (_pid << 33) — zero exchanges,
+    # zero sorts in the output job. (Counter width bounds a partition at
+    # 2^33 rows — repartitionByRange sizing keeps partitions far below.)
+    local = F.monotonically_increasing_id() - F.shiftleft(
+        F.col("_pid").cast("long"), 33
+    )
     out = part.withColumn(
-        pos_col,
-        (F.element_at(mapping, F.col("_pid")) + F.row_number().over(w) - 1).cast("long"),
+        pos_col, (F.element_at(mapping, F.col("_pid")) + local).cast("long")
     ).drop("_pid")
     return out
 
