@@ -151,3 +151,10 @@ def test_ivf_written_index_serves_pruned_and_bit_equal(emb, tmp_path):
     assert "PartitionFilters" in plan, plan
     seg = plan.split("PartitionFilters", 1)[1][:300]
     assert "cell" in seg, seg
+
+
+def test_embedding_near_dup_exact_refuses_corpus_scale(emb):
+    from tmframe_spark.vec.similarity import embedding_near_dup_exact
+
+    with pytest.raises(ValueError, match="embedding_near_dup_lsh"):
+        embedding_near_dup_exact(emb, max_vecs=10)

@@ -186,3 +186,18 @@ def test_rolling_fingerprints_shingles(spark):
     assert len(by_doc[0]) == 2 and by_doc[0] == by_doc[1]
     assert len(set(by_doc[0]) & set(by_doc[2])) == 1
     assert len(by_doc[3]) == 1
+
+
+def test_jaccard_pairs_refuses_corpus_scale(spark):
+    # the exact O(n^2) oracle must refuse a beyond-cap input loudly
+    import pytest as _pytest
+
+    from tmframe_spark.text.dedup import jaccard_pairs
+
+    docs = spark.range(50).selectExpr(
+        "id AS doc_id", "concat('w', cast(id % 7 as string)) AS text"
+    )
+    with _pytest.raises(ValueError, match="jaccard_pairs_capped"):
+        jaccard_pairs(docs, "doc_id", max_docs=10)
+    # under the cap (and with max_docs=None) it still runs
+    assert jaccard_pairs(docs, "doc_id", max_docs=None).count() >= 0

@@ -799,21 +799,13 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact, quantized dot products
-    so the score is order/engine independent)."""
-    from tmframe_spark.vec.similarity import _qdot, _qnorm2
+    """Embedding-cosine near-duplicate pairs — the exact O(n^2) oracle twin
+    of embedding_near_dup_lsh, guarded against corpus-scale inputs inside
+    the library op (max_vecs refusal)."""
+    from tmframe_spark.vec.similarity import embedding_near_dup_exact
 
     register_tables(spark, sf_dir)
-    e = spark.table("embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = _qdot(F.col("va"), F.col("vb")) / F.sqrt(
-        _qnorm2(F.col("va")).cast("double") * _qnorm2(F.col("vb")).cast("double")
-    )
-    return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
-        F.col("cosine") > 0.63
-    )
+    return embedding_near_dup_exact(spark.table("embeddings"), threshold=0.63)
 
 
 def q_embedding_near_dup_lsh(spark, sf_dir):

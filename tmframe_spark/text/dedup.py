@@ -52,15 +52,27 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
 
 def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str = "text", threshold: float = 0.5,
-    shingle_k: int = 1,
+    shingle_k: int = 1, max_docs: int | None = 100_000,
 ) -> DataFrame:
     """Exact token-set Jaccard for every pair sharing >= 1 token.
 
-    Output: id_a, id_b (a<b), jaccard (rounded to 6dp). The intersection
-    count comes from a self-join on exploded distinct tokens — at corpus
-    scale the hot tokens must be stop-word-filtered or df-capped first; this
-    exact form is the small-scale verification oracle for the LSH path.
+    Output: id_a, id_b (a<b), jaccard. The intersection count comes from a
+    self-join on exploded distinct tokens — O(hot-token-df^2), so this exact
+    form is strictly the small-scale verification ORACLE for the LSH path.
+    To keep a naive caller from launching it against a corpus, it refuses
+    inputs beyond ``max_docs`` (one cheap count — negligible next to the
+    quadratic join it prevents) and points at the scale paths:
+    ``jaccard_pairs_capped`` (df-capped exact) / ``minhash_lsh_pairs``
+    (banded LSH). Pass ``max_docs=None`` to force it anyway.
     """
+    if max_docs is not None:
+        n = df.count()
+        if n > max_docs:
+            raise ValueError(
+                f"jaccard_pairs is the O(n^2) verification oracle; input has "
+                f"{n} docs > max_docs={max_docs}. Use jaccard_pairs_capped "
+                f"or minhash_lsh_pairs at scale (or pass max_docs=None)."
+            )
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), shingle_k)).alias("w")
     )

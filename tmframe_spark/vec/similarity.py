@@ -310,6 +310,39 @@ def lsh_buckets(df: DataFrame, vec_col: str = "embedding", n_planes: int = 8):
     return df.withColumn("bucket", bucket.cast("int"))
 
 
+def embedding_near_dup_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.63,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_vecs: int | None = 100_000,
+) -> DataFrame:
+    """Exact all-pairs embedding-cosine near-duplicates (quantized dot
+    products, so the score is order/engine independent).
+
+    O(n^2) BY DESIGN: this is the verification oracle twin of
+    ``embedding_near_dup_lsh`` (the bucketed 100 TB path). It refuses
+    inputs beyond ``max_vecs`` (one cheap count vs the quadratic join it
+    prevents); pass ``max_vecs=None`` to force."""
+    if max_vecs is not None:
+        n = embeddings.count()
+        if n > max_vecs:
+            raise ValueError(
+                f"embedding_near_dup_exact is the O(n^2) verification "
+                f"oracle; input has {n} vectors > max_vecs={max_vecs}. Use "
+                f"embedding_near_dup_lsh at scale (or pass max_vecs=None)."
+            )
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _qdot(F.col("va"), F.col("vb")) / F.sqrt(
+        _qnorm2(F.col("va")).cast("double") * _qnorm2(F.col("vb")).cast("double")
+    )
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
+        F.col("cosine") > threshold
+    )
+
+
 def embedding_near_dup_lsh(
     embeddings: DataFrame,
     threshold: float = 0.63,
