@@ -169,8 +169,13 @@ class Catalog:
             # a table that exists (ensure_table ran) but has no committed
             # day yet: answer an empty DataFrame from the recorded schema
             # instead of letting the day=* glob raise PATH_NOT_FOUND —
-            # symmetric with the Iceberg branch. Note the parquet layout
-            # stores day as a directory (string partition column).
+            # symmetric with the Iceberg branch. Type caveat: when the
+            # recorded schema carries no day column, the post-commit read
+            # infers day from the day=YYYY-MM-DD directory names, which
+            # Spark types as DATE — so the synthesized column is DATE here
+            # to keep the pre/post-commit schemas identical. (When the data
+            # files DO carry a day column — the checkpointed-rollup layout —
+            # the data column and its recorded type win on both sides.)
             schema = self._schema.get(name)
             if schema is None:
                 raise FileNotFoundError(
@@ -179,7 +184,7 @@ class Catalog:
                     f"Catalog instance); nothing to read at {path}"
                 )
             if self.day_col not in schema.fieldNames():
-                schema = schema.add(self.day_col, "string")
+                schema = schema.add(self.day_col, "date")
             return self.spark.createDataFrame([], schema)
         return self.spark.read.option("basePath", path).parquet(
             f"{path}/{self.day_col}=*"

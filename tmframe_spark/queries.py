@@ -36,7 +36,8 @@ from tmframe_spark.ops.rollup import (
 
 # conversations used where full-population gap-fill would be needlessly huge
 SUBSET = ("conv-0", "conv-1", "conv-2")
-_SUBSET_SQL = "('conv-0', 'conv-1', 'conv-2')"
+_SUBSET_SQL = "(" + ", ".join(repr(c) for c in SUBSET) + ")"
+_SUBSET_LIST = "[" + ", ".join(repr(c) for c in SUBSET) + "]"  # DuckDB list literal
 
 _T_CTE = "transcripts AS (" + TRANSCRIPTS_FROM_EVENTS_SQL.format(events="events") + ")"
 
@@ -1238,7 +1239,6 @@ FROM s LEFT JOIN m ON s.conv_id = m.conv_id AND s.bucket = m.bucket
     # archive_asof_serving: probes = 24 hourly instants on the subset's
     # earliest day; matched point = last gap-filled 1m point at-or-before,
     # status per the reference's SearchStatus (series.go:37-43)
-    _SUBSET_LIST = "['conv-0', 'conv-1', 'conv-2']"
     o["archive_asof_serving"] = f"""
 WITH {_T_CTE},
 t AS (SELECT * FROM transcripts WHERE conv_id IN {_SUBSET_SQL}),

@@ -104,18 +104,22 @@ def ivf_train(
     ``stats_out``, when given, receives the actual per-iteration collected
     row count (test hook for the bound).
     """
+    # cap check BEFORE the nlist-row init collect (the init itself is the
+    # first thing that would melt the driver at huge nlist*dim); dim comes
+    # from a 1-row sample, not from collecting the init set
+    first = embeddings.select(vec_col).limit(1).collect()
+    dim = len(first[0][0]) if first and first[0][0] is not None else 0
+    if nlist * max(dim, 1) > IVF_DRIVER_CELL_CAP:
+        raise ValueError(
+            f"ivf_train would route up to nlist*dim = {nlist * max(dim, 1)} "
+            f"values through the driver (init collect + per-iteration "
+            f"Lloyd update; cap {IVF_DRIVER_CELL_CAP}); use a distributed "
+            f"centroid update at this scale"
+        )
     cents = [
         [float(x) for x in r[vec_col]]
         for r in embeddings.orderBy(id_col).limit(nlist).collect()
     ]
-    dim = len(cents[0]) if cents else 0
-    if nlist * dim > IVF_DRIVER_CELL_CAP:
-        raise ValueError(
-            f"ivf_train Lloyd update would collect up to nlist*dim = "
-            f"{nlist * dim} (cell, pos) rows per iteration through the "
-            f"driver (cap {IVF_DRIVER_CELL_CAP}); use a distributed "
-            f"centroid update at this scale"
-        )
     for _ in range(iters):
         assigned = ivf_assign(embeddings, cents, vec_col)
         sums = (
