@@ -1,0 +1,90 @@
+"""Zone-map range serving: prune-before-decode over packed block tables.
+
+The serving contract: ``serve_range`` must return exactly the same points
+as decode-everything-then-filter, while the zone-map predicate (a) actually
+removes non-overlapping blocks before the decode UDF and (b) reaches the
+parquet scan as a pushed filter when the block table is read from storage —
+the property that makes a time-range probe on a 100 TB archive touch only
+the overlapping blocks' row groups.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tmframe_spark.codec.udfs import pack_blocks, unpack_blocks
+from tmframe_spark.data.transcripts import load_transcripts
+from tmframe_spark.ops.rollup import gap_fill, rollup, with_ts_ns
+from tmframe_spark.ops.serve import blocks_overlapping, serve_range
+
+
+def _blocks(spark):
+    t = with_ts_ns(load_transcripts(spark, SF_DIR))
+    m = gap_fill(rollup(t, "1h"), "1h")
+    pts = m.select(
+        "conv_id",
+        F.date_trunc("day", "bucket").alias("day"),
+        F.expr("(unix_micros(cast(bucket as timestamp)) * 1000) & -8").alias("ts_ns"),
+        F.col("token_volume").cast("double").alias("v0"),
+        F.col("turns").cast("long").alias("v1"),
+    )
+    return pack_blocks(pts, ["conv_id", "day"], v0="v0", v1="v1")
+
+
+def test_serve_range_equals_decode_then_filter(spark):
+    blocks = _blocks(spark).localCheckpoint()
+    span = blocks.agg(
+        F.min("ts_first").alias("lo"), F.max("ts_last").alias("hi")
+    ).collect()[0]
+    # a mid-archive window ~1/3 wide, deliberately NOT aligned to any block
+    lo = int(span["lo"] + (span["hi"] - span["lo"]) // 3 + 12345)
+    hi = int(span["hi"] - (span["hi"] - span["lo"]) // 3 + 67)
+
+    got = (
+        serve_range(blocks, ["conv_id", "day"], lo, hi, v0="v0", v1="v1")
+        .orderBy("conv_id", "ts_ns")
+        .toPandas()
+    )
+    want = (
+        unpack_blocks(blocks, ["conv_id", "day"], v0="v0", v1="v1")
+        .where((F.col("ts_ns") >= lo) & (F.col("ts_ns") <= hi))
+        .orderBy("conv_id", "ts_ns")
+        .toPandas()
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+
+    # the zone map really pruned: the window excludes at least the first and
+    # last day's blocks, so strictly fewer blocks enter the decode
+    total = blocks.count()
+    survived = blocks_overlapping(blocks, lo, hi).count()
+    assert 0 < survived < total
+
+
+def test_serve_range_boundaries_inclusive_and_empty(spark):
+    blocks = _blocks(spark).localCheckpoint()
+    row = blocks.orderBy("ts_first").limit(1).collect()[0]
+    # probing exactly one stored bound returns that point (inclusive ends)
+    one = serve_range(
+        blocks, ["conv_id", "day"], int(row["ts_first"]), int(row["ts_first"])
+    )
+    assert one.where(F.col("conv_id") == row["conv_id"]).count() >= 1
+    # a range strictly before the archive decodes nothing
+    assert blocks_overlapping(blocks, 0, int(row["ts_first"]) - 1).where(
+        F.col("conv_id") == row["conv_id"]
+    ).count() == 0
+    with pytest.raises(ValueError, match="empty range"):
+        blocks_overlapping(blocks, 10, 9)
+
+
+def test_zone_filter_pushes_to_parquet_scan(spark, tmp_path):
+    path = str(tmp_path / "blocks")
+    _blocks(spark).write.parquet(path)
+    stored = spark.read.parquet(path)
+    plan = blocks_overlapping(stored, 1_000, 2_000)._jdf.queryExecution().executedPlan().toString()
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    assert "ts_last" in pushed[0] and "ts_first" in pushed[0], pushed[0]

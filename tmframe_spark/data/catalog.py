@@ -196,6 +196,51 @@ class Catalog:
         way a metadata-only selection, never a row scan."""
         return self.read(name).where(F.col(self.day_col) == F.lit(day))
 
+    def compact_day(self, name: str, day: str, target_files: int = 1) -> dict:
+        """Rewrite one committed day partition into ``target_files`` files.
+
+        Maintenance twin of ``overwrite_day``: each checkpointed commit
+        writes a task-count's worth of files into its day, and at archive
+        scale (10^5 days x many commits) the small files dominate open/seek
+        cost long before data size does. Compaction is day-scoped — the same
+        resume unit as the writes — so it can run day-by-day behind the
+        ingest frontier without touching open days.
+
+        The day's rows are pinned with an eager ``localCheckpoint`` before
+        the overwrite (the parquet layout would otherwise overwrite the very
+        files the plan is still reading; Iceberg versions snapshots, but the
+        pin keeps one code path and one read of the old files). Returns
+        ``{"files_before": n, "files_after": m, "rows": r}``.
+
+        Iceberg runtimes with maintenance procedures can use
+        ``rewrite_data_files`` instead; this method is the engine-portable
+        form (reference analog: the archiver's one-file-per-day invariant,
+        /root/reference/archiver/filemgr.go:94-104).
+        """
+        if target_files < 1:
+            raise ValueError(f"target_files must be >= 1, got {target_files}")
+        before = self._day_file_count(name, day)
+        df = self.read_day(name, day).localCheckpoint()
+        rows = df.count()
+        self.overwrite_day(name, df.repartition(target_files), day)
+        return {
+            "files_before": before,
+            "files_after": self._day_file_count(name, day),
+            "rows": rows,
+        }
+
+    def _day_file_count(self, name: str, day: str) -> int:
+        """Data files currently serving one day partition."""
+        if self._kind(name) == "iceberg":
+            return self.spark.sql(
+                f"SELECT count(*) AS n FROM {self._ident(name)}.files "
+                f"WHERE partition.{self.day_col} = '{day}'"
+            ).collect()[0]["n"]
+        d = os.path.join(self._path(name), f"{self.day_col}={day}")
+        if not os.path.isdir(d):
+            return 0
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
     def days(self, name: str) -> list[str]:
         """Committed day partitions (metadata listing, no data read).
 
