@@ -108,7 +108,10 @@ def q_rollup_1d(spark, sf_dir):
 
 def q_rollup_1m_salted(spark, sf_dir):
     """Same result as q_rollup_1m_gapfill via the explicit two-phase salted
-    aggregation (skew path) — the oracle equality IS the salting proof."""
+    aggregation (skew path). Rows-only in the driver record (its oracle
+    duplicated rollup_1m_gapfill's and yielded the slot to range_serving);
+    the salting proof is test_synth's direct salted==unsalted equality on
+    genuinely skewed data."""
     t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
     return gap_fill(rollup(t, "1m", salt=8), "1m")
 
@@ -866,6 +869,44 @@ def q_block_roundtrip(spark, sf_dir):
     return unpack_blocks(blocks, ["conv_id", "day"], v0="v0", v1="v1")
 
 
+def q_range_serving(spark, sf_dir):
+    """Zone-map range serving over the packed archive (ops/serve): the
+    subset's gap-filled 1m tier is packed into TMFRAME blocks, then a
+    mid-archive window — the middle third of the global minute span, bounds
+    derived from the data by integer arithmetic both engines reproduce —
+    is served via serve_range, which decodes ONLY blocks whose
+    [ts_first, ts_last] span overlaps the window (the min-max predicate
+    pushes down to storage scans). The oracle computes the same gap-filled
+    tier straight from the raw table and filters to the same bounds, so the
+    hash match proves pack -> zone-map prune -> decode -> range filter end
+    to end (the reference tfindex's seek-not-scan purpose,
+    /root/reference/cmd/tfindex/tfindex.go:44-98)."""
+    from tmframe_spark.codec.udfs import pack_blocks
+    from tmframe_spark.ops.serve import serve_range
+
+    t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
+    m = gap_fill(rollup(t, "1m"), "1m")
+    pts = m.select(
+        "conv_id",
+        F.date_trunc("day", "bucket").alias("day"),
+        F.expr("(unix_micros(cast(bucket as timestamp)) * 1000) & -8").alias("ts_ns"),
+        F.col("token_volume").cast("double").alias("v0"),
+        F.col("turns").cast("long").alias("v1"),
+    )
+    blocks = pack_blocks(pts, ["conv_id", "day"], v0="v0", v1="v1")
+    # window bounds: two scalars off the raw table (a tiny aggregate at any
+    # scale); floor-div of non-negative ints so the oracle's // matches
+    span = t.agg(
+        F.expr("unix_micros(date_trunc('minute', min(ts))) * 1000").alias("mn"),
+        F.expr("unix_micros(date_trunc('minute', max(ts))) * 1000").alias("mx"),
+    ).collect()[0]
+    mn, mx = int(span["mn"]), int(span["mx"])
+    lo = mn + (mx - mn) // 3
+    hi = mx - (mx - mn) // 3
+    out = serve_range(blocks, ["conv_id", "day"], lo, hi, v0="v0", v1="v1")
+    return out.select("conv_id", "ts_ns", "v0", "v1")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -884,7 +925,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "multimodal_features": q_multimodal_features,
         "rollup_1m_gapfill": q_rollup_1m_gapfill,
-        "rollup_1m_salted": q_rollup_1m_salted,
         "rollup_1h_gapfill": q_rollup_1h_gapfill,
         "rollup_1d": q_rollup_1d,
         "role_mix_1h": q_role_mix_1h,
@@ -913,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "display_json_payload": q_display_json_payload,
         "archive_1h_reaggregate": q_archive_1h_reaggregate,
         "archive_asof_serving": q_archive_asof_serving,
+        "range_serving": q_range_serving,
         "frame_sizes": q_frame_sizes,
         "minute_index": q_minute_index,
         "tfgroup_minute_counts": q_tfgroup_minute_counts,
@@ -931,6 +972,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         # -- rows-only queries (non-SQL-expressible; pytest-twinned) -------
+        # rollup_1m_salted yielded its oracle slot to range_serving: its
+        # result is rollup_1m_gapfill's by construction, and the salting
+        # proof lives in test_synth's direct salted==unsalted equality on
+        # genuinely skewed data.
+        "rollup_1m_salted": q_rollup_1m_salted,
         "count_window_dedup": q_count_window_dedup,
         "tfsum_blake2b": q_tfsum_blake2b,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -944,7 +990,6 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["rollup_1m_gapfill"] = _gapfill_rollup_sql("minute", f"conv_id IN {_SUBSET_SQL}")
-    o["rollup_1m_salted"] = o["rollup_1m_gapfill"]
     o["rollup_1h_gapfill"] = _gapfill_rollup_sql("hour")
     o["rollup_1d"] = _gapfill_rollup_sql("day")
 
@@ -1234,6 +1279,32 @@ SELECT s.conv_id AS conv_id, date_trunc('day', s.bucket) AS day,
        CAST(coalesce(m.tv, 0) AS DOUBLE) AS v0,
        CAST(coalesce(m.turns, 0) AS BIGINT) AS v1
 FROM s LEFT JOIN m ON s.conv_id = m.conv_id AND s.bucket = m.bucket
+"""
+
+    # range_serving: the same gap-filled points as block_roundtrip,
+    # filtered to the middle third of the global minute span — lo/hi are
+    # integer floor-div expressions over the raw table's min/max minute,
+    # reproduced bit-for-bit by the Spark side's scalar aggregate.
+    o["range_serving"] = f"""
+WITH {_T_CTE},
+t AS (SELECT * FROM transcripts WHERE conv_id IN {_SUBSET_SQL}),
+w AS (SELECT epoch_us(date_trunc('minute', min(ts))) * 1000 AS wmn,
+             epoch_us(date_trunc('minute', max(ts))) * 1000 AS wmx FROM t),
+r AS (SELECT wmn + (wmx - wmn) // 3 AS lo, wmx - (wmx - wmn) // 3 AS hi FROM w),
+m AS (
+  SELECT conv_id, date_trunc('minute', ts) AS bucket,
+         count(*) AS turns, CAST(sum(length(text)) AS BIGINT) AS tv
+  FROM t GROUP BY 1, 2
+),
+b AS (SELECT conv_id, min(bucket) AS mn, max(bucket) AS mx FROM m GROUP BY conv_id),
+s AS (SELECT conv_id, unnest(generate_series(mn, mx, interval 1 minute)) AS bucket
+      FROM b)
+SELECT s.conv_id AS conv_id,
+       epoch_us(s.bucket) * 1000 AS ts_ns,
+       CAST(coalesce(m.tv, 0) AS DOUBLE) AS v0,
+       CAST(coalesce(m.turns, 0) AS BIGINT) AS v1
+FROM s LEFT JOIN m ON s.conv_id = m.conv_id AND s.bucket = m.bucket, r
+WHERE epoch_us(s.bucket) * 1000 BETWEEN r.lo AND r.hi
 """
 
     # archive_asof_serving: probes = 24 hourly instants on the subset's
