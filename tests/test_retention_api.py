@@ -37,3 +37,39 @@ def test_unbounded_tier_keeps_everything(spark):
     assert DEFAULT_POLICY["1d"] is None
     assert retained(t, "1d", as_of).count() == t.count()
     assert expired(t, "1d", as_of).count() == 0
+
+
+def test_vacuum_expired_days_matches_retained(spark, tmp_path):
+    """vacuum_expired_days drops exactly the partitions expired() selects:
+    after the vacuum, the catalog holds precisely retained()'s rows — and
+    nothing was row-scanned to get there (day listing + partition drops)."""
+    from tmframe_spark.data.catalog import Catalog
+    from tmframe_spark.ops.retention import vacuum_expired_days
+
+    t = _tier(spark).withColumn("day", F.to_date("bucket"))
+    cat = Catalog(spark, str(tmp_path))
+    cat.ensure_table("tier1m", t)
+    for d in [r["day"].isoformat() for r in t.select("day").distinct().collect()]:
+        cat.overwrite_day("tier1m", t.where(F.col("day") == F.lit(d)), d)
+    assert len(cat.days("tier1m")) == 30
+
+    dropped = vacuum_expired_days(
+        cat, "tier1m", "1m", "2024-03-01", policy={"1m": 7}
+    )
+    assert dropped == sorted(dropped) and len(dropped) == 22
+    assert cat.days("tier1m") == [
+        f"2024-02-{dd}" for dd in range(23, 30)
+    ] + ["2024-03-01"]
+
+    want = retained(t, "1m", F.lit("2024-03-01"), policy={"1m": 7})
+    got = cat.read("tier1m")
+    assert got.count() == want.count() == 8
+    assert sorted(r["day"] for r in got.select("day").collect()) == sorted(
+        r["day"] for r in want.select(F.to_date("bucket").alias("day")).collect()
+    )
+
+    # idempotent: nothing left to drop at the same as-of
+    assert vacuum_expired_days(cat, "tier1m", "1m", "2024-03-01", policy={"1m": 7}) == []
+    # unbounded tier never drops; missing-day drop reports False
+    assert vacuum_expired_days(cat, "tier1m", "1d", "2030-01-01") == []
+    assert cat.drop_day("tier1m", "1999-01-01") is False

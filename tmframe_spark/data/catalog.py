@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -240,6 +241,27 @@ class Catalog:
         if not os.path.isdir(d):
             return 0
         return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    def drop_day(self, name: str, day: str) -> bool:
+        """Drop one committed day partition; True if it existed.
+
+        The vacuum primitive behind the retention tiers: because the layout
+        contract is the identity ``day_col`` partition, expiring a day is a
+        partition-aligned DELETE (Iceberg rewrites only manifests — a
+        metadata operation) or a directory remove (parquet fallback) —
+        never a row scan, at any archive size.
+        """
+        existed = day in self.days(name)
+        if not existed:
+            return False
+        if self._kind(name) == "iceberg":
+            self.spark.sql(
+                f"DELETE FROM {self._ident(name)} "
+                f"WHERE {self.day_col} = '{day}'"
+            )
+        else:
+            shutil.rmtree(os.path.join(self._path(name), f"{self.day_col}={day}"))
+        return True
 
     def days(self, name: str) -> list[str]:
         """Committed day partitions (metadata listing, no data read).

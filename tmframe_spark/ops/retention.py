@@ -10,6 +10,8 @@ never a row scan.
 
 from __future__ import annotations
 
+from datetime import date, timedelta
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -59,3 +61,26 @@ def expired(tier_df: DataFrame, tier: str, as_of, policy=None) -> DataFrame:
         return tier_df.limit(0)
     cutoff = F.date_sub(F.to_date(as_of), days)
     return tier_df.where(F.to_date(F.col("bucket")) < cutoff)
+
+
+def vacuum_expired_days(cat, name: str, tier: str, as_of_day: str, policy=None) -> list[str]:
+    """Execute the retention policy against a Catalog tier table: drop every
+    whole day partition older than the tier's cutoff. Returns the dropped
+    days (ISO strings), oldest first.
+
+    The executable form of ``expired``: the day list comes from the
+    catalog's metadata listing (``Catalog.days``) and each drop is a
+    partition-aligned delete (``Catalog.drop_day``) — no row is ever
+    scanned, at any archive size. Cutoff semantics match ``retained``
+    exactly: day >= as_of - days is kept, so day < cutoff is dropped
+    (ISO-8601 strings order like the dates they name). Idempotent: a crashed
+    vacuum re-run re-lists and re-drops only what remains.
+    """
+    keep_days = (policy or DEFAULT_POLICY)[tier]
+    if keep_days is None:
+        return []
+    cutoff = (date.fromisoformat(as_of_day) - timedelta(days=keep_days)).isoformat()
+    dropped = [d for d in cat.days(name) if d < cutoff]
+    for d in dropped:
+        cat.drop_day(name, d)
+    return dropped
