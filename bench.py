@@ -89,6 +89,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "sessionize",
         "count_window_dedup",
         "msgpack_decode",
+        "range_serving",
     ]
     out = {}
     reg = Q.queries()
