@@ -49,3 +49,47 @@ def test_compact_day_validates_target(spark, tmp_path):
     cat = _fixture_table(spark, tmp_path)
     with pytest.raises(ValueError, match="target_files"):
         cat.compact_day("blk", "2024-03-01", target_files=0)
+
+
+def test_maintenance_job_vacuum_then_compact(spark, tmp_path, capsys):
+    """The spark-submit maintenance entry point end-to-end (in-process:
+    main() picks up the session via getOrCreate): vacuum drops the expired
+    day, compaction merges the older surviving day, and the newest
+    (frontier) day is left untouched for ingest."""
+    import json
+    import sys
+
+    sys.path.insert(0, "jobs")
+    try:
+        from maintenance_job import main
+    finally:
+        sys.path.pop(0)
+
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(0, 600).selectExpr(
+        "cast(id as string) AS conv_id",
+        "cast(id % 7 as long) AS v",
+        "date'2024-02-20' + cast(id % 3 AS int) * 5 AS day",  # 02-20, 02-25, 03-01
+    )
+    cat.ensure_table("blk", df)
+    for day in ("2024-02-20", "2024-02-25", "2024-03-01"):
+        cat.overwrite_day("blk", df.where(f"day = date'{day}'").repartition(4), day)
+
+    rc = main([
+        "--root", str(tmp_path), "--table", "blk",
+        "--vacuum-as-of", "2024-03-01", "--tier", "1m", "--keep-days", "7",
+        "--compact", "--target-files", "1", "--behind-days", "1",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    summary = lines[-1]
+    # 02-20 is older than 7 days before 03-01 -> vacuumed; 02-25 kept+compacted
+    assert summary == {
+        "table": "blk", "days_vacuumed": 1, "days_compacted": 1,
+        "days_remaining": 2,
+    }
+    assert {"action": "vacuum", "table": "blk", "day": "2024-02-20"} in lines
+    assert cat.days("blk") == ["2024-02-25", "2024-03-01"]
+    assert cat._day_file_count("blk", "2024-02-25") == 1   # compacted
+    assert cat._day_file_count("blk", "2024-03-01") == 4   # frontier untouched
+    assert cat.read("blk").count() == 400  # rows of the two surviving days
