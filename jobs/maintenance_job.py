@@ -28,7 +28,8 @@ def main(argv=None) -> int:
     p.add_argument("--root", required=True, help="Catalog warehouse root")
     p.add_argument("--table", required=True)
     p.add_argument("--vacuum-as-of", default=None, help="retention as-of day (ISO); enables the vacuum pass")
-    p.add_argument("--tier", default="1m", help="retention tier key (1m/1h/1d)")
+    p.add_argument("--tier", default="1m", choices=("1m", "1h", "1d"),
+                   help="retention tier key")
     p.add_argument("--keep-days", type=int, default=None, help="override the tier's default retention days")
     p.add_argument("--compact", action="store_true", help="enable the compaction pass")
     p.add_argument("--target-files", type=int, default=1)
@@ -58,9 +59,17 @@ def main(argv=None) -> int:
 
     if args.compact:
         days = cat.days(args.table)
-        frontier = days[len(days) - args.behind_days:] if args.behind_days > 0 else []
+        frontier = (
+            set(days[max(0, len(days) - args.behind_days):])
+            if args.behind_days > 0 else set()
+        )
         for d in days:
             if d in frontier:
+                continue
+            # already-compact days are skipped entirely (a file count is a
+            # metadata stat) — the steady-state daily run touches only the
+            # days that newly left the frontier, not the whole archive
+            if cat.day_file_count(args.table, d) <= args.target_files:
                 continue
             stats = cat.compact_day(args.table, d, target_files=args.target_files)
             if stats["files_before"] > stats["files_after"]:

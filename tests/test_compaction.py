@@ -40,7 +40,7 @@ def test_compact_day_merges_files_preserving_rows(spark, tmp_path):
     after = cat.read_day("blk", "2024-03-01").orderBy("conv_id").collect()
     assert after == before
     # the sibling day is untouched — compaction is day-scoped like the writes
-    assert cat._day_file_count("blk", "2024-03-02") == 8
+    assert cat.day_file_count("blk", "2024-03-02") == 8
     assert cat.read_day("blk", "2024-03-02").orderBy("conv_id").collect() == other_before
     assert cat.days("blk") == ["2024-03-01", "2024-03-02"]
 
@@ -90,6 +90,36 @@ def test_maintenance_job_vacuum_then_compact(spark, tmp_path, capsys):
     }
     assert {"action": "vacuum", "table": "blk", "day": "2024-02-20"} in lines
     assert cat.days("blk") == ["2024-02-25", "2024-03-01"]
-    assert cat._day_file_count("blk", "2024-02-25") == 1   # compacted
-    assert cat._day_file_count("blk", "2024-03-01") == 4   # frontier untouched
+    assert cat.day_file_count("blk", "2024-02-25") == 1   # compacted
+    assert cat.day_file_count("blk", "2024-03-01") == 4   # frontier untouched
     assert cat.read("blk").count() == 400  # rows of the two surviving days
+
+    # steady-state re-run: nothing to vacuum, already-compact days skipped
+    # (no rewrite), frontier still untouched
+    rc = main([
+        "--root", str(tmp_path), "--table", "blk",
+        "--vacuum-as-of", "2024-03-01", "--tier", "1m", "--keep-days", "7",
+        "--compact", "--target-files", "1", "--behind-days", "1",
+    ])
+    assert rc == 0
+    rerun = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rerun == [{
+        "table": "blk", "days_vacuumed": 0, "days_compacted": 0,
+        "days_remaining": 2,
+    }]
+    # behind_days larger than the archive protects everything (no negative
+    # slice wrap): a compact-everything-protected run rewrites nothing
+    rc = main([
+        "--root", str(tmp_path), "--table", "blk",
+        "--compact", "--target-files", "1", "--behind-days", "99",
+    ])
+    assert rc == 0
+    wide = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert wide[-1]["days_compacted"] == 0
+    assert cat.day_file_count("blk", "2024-03-01") == 4
+
+
+def test_compact_day_missing_day_raises(spark, tmp_path):
+    cat = _fixture_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="phantom"):
+        cat.compact_day("blk", "2099-01-01")

@@ -213,24 +213,34 @@ class Catalog:
         pin keeps one code path and one read of the old files). Returns
         ``{"files_before": n, "files_after": m, "rows": r}``.
 
-        Iceberg runtimes with maintenance procedures can use
-        ``rewrite_data_files`` instead; this method is the engine-portable
-        form (reference analog: the archiver's one-file-per-day invariant,
+        Iceberg caveat: on the default bucketed layout (day +
+        bucket(N, conv_id)) the physical floor is one file per populated
+        bucket, so ``files_after`` lands at ~N regardless of
+        ``target_files`` — the rewrite still consolidates the many
+        per-commit files within each bucket. Iceberg runtimes with
+        maintenance procedures should prefer ``rewrite_data_files``; this
+        method is the engine-portable form (reference analog: the
+        archiver's one-file-per-day invariant,
         /root/reference/archiver/filemgr.go:94-104).
         """
         if target_files < 1:
             raise ValueError(f"target_files must be >= 1, got {target_files}")
-        before = self._day_file_count(name, day)
+        if day not in self.days(name):
+            raise ValueError(
+                f"no committed day {day!r} in table {name!r}; compacting a "
+                f"missing day would create a phantom empty partition"
+            )
+        before = self.day_file_count(name, day)
         df = self.read_day(name, day).localCheckpoint()
         rows = df.count()
         self.overwrite_day(name, df.repartition(target_files), day)
         return {
             "files_before": before,
-            "files_after": self._day_file_count(name, day),
+            "files_after": self.day_file_count(name, day),
             "rows": rows,
         }
 
-    def _day_file_count(self, name: str, day: str) -> int:
+    def day_file_count(self, name: str, day: str) -> int:
         """Data files currently serving one day partition."""
         if self._kind(name) == "iceberg":
             return self.spark.sql(
@@ -249,19 +259,45 @@ class Catalog:
         contract is the identity ``day_col`` partition, expiring a day is a
         partition-aligned DELETE (Iceberg rewrites only manifests — a
         metadata operation) or a directory remove (parquet fallback) —
-        never a row scan, at any archive size.
+        never a row scan, at any archive size. For bulk expiry prefer
+        ``drop_days_before`` (one metadata listing + one ranged DELETE,
+        instead of per-day existence checks).
         """
-        existed = day in self.days(name)
-        if not existed:
-            return False
         if self._kind(name) == "iceberg":
+            if day not in self.days(name):
+                return False
             self.spark.sql(
                 f"DELETE FROM {self._ident(name)} "
                 f"WHERE {self.day_col} = '{day}'"
             )
-        else:
-            shutil.rmtree(os.path.join(self._path(name), f"{self.day_col}={day}"))
+            return True
+        d = os.path.join(self._path(name), f"{self.day_col}={day}")
+        if not os.path.isdir(d):
+            return False
+        shutil.rmtree(d)
         return True
+
+    def drop_days_before(self, name: str, cutoff_day: str) -> list[str]:
+        """Drop every committed day partition older than ``cutoff_day``
+        (exclusive); returns the dropped days, oldest first.
+
+        One metadata listing decides the set; Iceberg then expires the whole
+        range in a single partition-aligned ranged DELETE (one manifest
+        rewrite for K days, not K), the parquet fallback removes each day
+        directory. ISO-8601 day strings order like the dates they name.
+        """
+        dropped = [d for d in self.days(name) if d < cutoff_day]
+        if not dropped:
+            return []
+        if self._kind(name) == "iceberg":
+            self.spark.sql(
+                f"DELETE FROM {self._ident(name)} "
+                f"WHERE {self.day_col} < '{cutoff_day}'"
+            )
+        else:
+            for d in dropped:
+                shutil.rmtree(os.path.join(self._path(name), f"{self.day_col}={d}"))
+        return dropped
 
     def days(self, name: str) -> list[str]:
         """Committed day partitions (metadata listing, no data read).

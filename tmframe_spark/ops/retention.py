@@ -68,19 +68,16 @@ def vacuum_expired_days(cat, name: str, tier: str, as_of_day: str, policy=None) 
     whole day partition older than the tier's cutoff. Returns the dropped
     days (ISO strings), oldest first.
 
-    The executable form of ``expired``: the day list comes from the
-    catalog's metadata listing (``Catalog.days``) and each drop is a
-    partition-aligned delete (``Catalog.drop_day``) — no row is ever
-    scanned, at any archive size. Cutoff semantics match ``retained``
-    exactly: day >= as_of - days is kept, so day < cutoff is dropped
-    (ISO-8601 strings order like the dates they name). Idempotent: a crashed
-    vacuum re-run re-lists and re-drops only what remains.
+    The executable form of ``expired``: one metadata listing decides the
+    set and ``Catalog.drop_days_before`` expires it (a single ranged
+    partition-aligned DELETE on Iceberg; directory removes in the parquet
+    fallback) — no row is ever scanned, at any archive size. Cutoff
+    semantics match ``retained`` exactly: day >= as_of - days is kept, so
+    day < cutoff is dropped. Idempotent: a crashed vacuum re-run re-lists
+    and re-drops only what remains.
     """
     keep_days = (policy or DEFAULT_POLICY)[tier]
     if keep_days is None:
         return []
     cutoff = (date.fromisoformat(as_of_day) - timedelta(days=keep_days)).isoformat()
-    dropped = [d for d in cat.days(name) if d < cutoff]
-    for d in dropped:
-        cat.drop_day(name, d)
-    return dropped
+    return cat.drop_days_before(name, cutoff)
