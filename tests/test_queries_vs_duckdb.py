@@ -11,7 +11,9 @@ import pytest
 from tests.conftest import SF_DIR
 from tmframe_spark import queries as Q
 
-ORACLES = Q.oracle_sql()
+DRIVER_ORACLES = Q.oracle_sql()
+PYTEST_ONLY = Q.pytest_only_oracles()
+ORACLES = {**DRIVER_ORACLES, **PYTEST_ONLY}
 ALL = list(Q.queries().items())
 
 
@@ -62,8 +64,12 @@ def test_every_oracled_query_within_driver_record_window():
     names = [n for n, _ in ALL]
     assert set(ORACLES) <= set(names), sorted(set(ORACLES) - set(names))
     window = set(names[:50])
-    outside = [n for n in ORACLES if n not in window]
+    outside = [n for n in DRIVER_ORACLES if n not in window]
     assert not outside, (
         f"full-oracle queries outside the driver's 50-row record: {outside} "
         f"— reorder queries() so rows-only entries absorb the overflow"
     )
+    # pytest-only oracles exist precisely because the window is full: they
+    # must not shadow a driver oracle (that would silently demote it)
+    overlap = set(PYTEST_ONLY) & set(DRIVER_ORACLES)
+    assert not overlap, f"pytest-only oracle shadows a driver oracle: {overlap}"

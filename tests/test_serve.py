@@ -10,6 +10,7 @@ the overlapping blocks' row groups.
 
 import pandas as pd
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
@@ -78,6 +79,48 @@ def test_serve_range_boundaries_inclusive_and_empty(spark):
     ).count() == 0
     with pytest.raises(ValueError, match="empty range"):
         blocks_overlapping(blocks, 10, 9)
+
+
+_prop_cache: dict = {}
+
+
+def _block_points(spark):
+    """One Spark pass: per-block (ts_first, ts_last) spans and the decoded
+    point timestamps of each block, keyed by (conv_id, day). Cached so the
+    hypothesis examples below are pure Python."""
+    if "m" not in _prop_cache:
+        blocks = _blocks(spark).localCheckpoint()
+        spans = {
+            (r["conv_id"], r["day"]): (int(r["ts_first"]), int(r["ts_last"]))
+            for r in blocks.select("conv_id", "day", "ts_first", "ts_last").collect()
+        }
+        pts: dict = {}
+        for r in unpack_blocks(blocks, ["conv_id", "day"]).select(
+            "conv_id", "day", "ts_ns"
+        ).collect():
+            pts.setdefault((r["conv_id"], r["day"]), []).append(int(r["ts_ns"]))
+        _prop_cache["m"] = (spans, pts)
+    return _prop_cache["m"]
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.data())
+def test_zone_map_predicate_property(spark, data):
+    """For arbitrary probe ranges: (a) the zone-map predicate never prunes a
+    block holding an in-range point (conservative — serving correctness
+    depends on it), and (b) span bounds are exact: each block's stored
+    [ts_first, ts_last] equals the min/max of its decoded points, so a
+    pruned block provably holds no in-range point."""
+    spans, pts = _block_points(spark)
+    for k, p in pts.items():
+        assert spans[k] == (min(p), max(p))
+    all_ts = sorted(t for p in pts.values() for t in p)
+    lo = data.draw(st.integers(all_ts[0] - 10**12, all_ts[-1] + 10**12))
+    hi = data.draw(st.integers(lo, all_ts[-1] + 10**12))
+    for k, (a, b) in spans.items():
+        pruned = b < lo or a > hi
+        if pruned:
+            assert not any(lo <= t <= hi for t in pts[k])
 
 
 def test_zone_filter_pushes_to_parquet_scan(spark, tmp_path):

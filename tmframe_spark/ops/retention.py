@@ -63,6 +63,47 @@ def expired(tier_df: DataFrame, tier: str, as_of, policy=None) -> DataFrame:
     return tier_df.where(F.to_date(F.col("bucket")) < cutoff)
 
 
+def read_tiered(tiers: dict[str, DataFrame], as_of, policy=None) -> DataFrame:
+    """Answer a read from the finest tier the policy still retains at each
+    epoch: 1m rows inside the 1m retention window, 1h rows between the 1h
+    and 1m cutoffs, 1d rows older still — the serving twin of the retention
+    policy (the TimescaleDB-style tiered continuous-aggregate read).
+
+    The windows partition time exactly, with the same whole-day boundary
+    arithmetic as ``retained``, so every bucket is answered by exactly one
+    tier; a ``tier`` column tags the source. Tier frames must share a
+    schema (the rollup / cascade_up shape). Each tier's predicate is a
+    partition-aligned day compare — against day-partitioned tier tables all
+    three branches prune to their window's partitions before any scan.
+    """
+    pol = policy or DEFAULT_POLICY
+    order = [t for t in ("1m", "1h", "1d") if t in tiers]
+    if not order:
+        raise ValueError("tiers must contain at least one of '1m'/'1h'/'1d'")
+    out = None
+    finer_cutoff = None  # exclusive upper bound inherited from the finer tier
+    covered_all = False  # an unbounded finer tier already answered everything
+    for t in order:
+        df = tiers[t]
+        keep = pol[t]
+        d = F.to_date(F.col("bucket"))
+        if covered_all:
+            cond = F.lit(False)
+        else:
+            cond = F.lit(True)
+            if keep is not None:
+                cond = d >= F.date_sub(F.to_date(as_of), keep)
+            if finer_cutoff is not None:
+                cond = cond & (d < finer_cutoff)
+        part = df.where(cond).withColumn("tier", F.lit(t))
+        out = part if out is None else out.unionByName(part)
+        if keep is None:
+            covered_all = True
+        else:
+            finer_cutoff = F.date_sub(F.to_date(as_of), keep)
+    return out
+
+
 def vacuum_expired_days(cat, name: str, tier: str, as_of_day: str, policy=None) -> list[str]:
     """Execute the retention policy against a Catalog tier table: drop every
     whole day partition older than the tier's cutoff. Returns the dropped

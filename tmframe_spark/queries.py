@@ -907,6 +907,28 @@ def q_range_serving(spark, sf_dir):
     return out.select("conv_id", "ts_ns", "v0", "v1")
 
 
+def q_tiered_read(spark, sf_dir):
+    """Tiered continuous-aggregate serving (ops/retention.read_tiered): each
+    epoch is answered from the finest tier the retention policy still
+    retains there — 1m for the newest 7 days, 1h back to 21 days, 1d
+    beyond. The windows partition time exactly, so the result is a seamless
+    multi-resolution series. Full oracle in the pytest mirror
+    (pytest_only_oracles — the driver's 50-row record window is already
+    occupied by 50 distinct-operator oracles)."""
+    from tmframe_spark.ops.retention import read_tiered
+
+    t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
+    m = rollup(t, "1m")
+    h = cascade_up(m, "1h")
+    d = cascade_up(h, "1d")
+    as_of = t.agg(F.max(F.to_date("ts")).alias("d")).collect()[0]["d"].isoformat()
+    return read_tiered(
+        {"1m": m, "1h": h, "1d": d},
+        F.lit(as_of),
+        policy={"1m": 7, "1h": 21, "1d": None},
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -977,6 +999,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # proof lives in test_synth's direct salted==unsalted equality on
         # genuinely skewed data.
         "rollup_1m_salted": q_rollup_1m_salted,
+        # tiered_read carries a FULL oracle in the pytest mirror
+        # (pytest_only_oracles) — rows-only for the driver purely because
+        # the 50-row record window is full of distinct-operator oracles.
+        "tiered_read": q_tiered_read,
         "count_window_dedup": q_count_window_dedup,
         "tfsum_blake2b": q_tfsum_blake2b,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1644,3 +1670,35 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
     return o
+
+
+def pytest_only_oracles() -> dict[str, str]:
+    """Full DuckDB oracles for registry-tail queries the DRIVER record
+    cannot carry (its CORRECTNESS harness caps at ~50 rows and all 50 slots
+    hold distinct-operator oracles). The pytest mirror
+    (tests/test_queries_vs_duckdb.py) merges these with ``oracle_sql`` and
+    applies the identical rows+schema+bit-value comparison; keys here must
+    be registry queries WITHOUT a driver oracle."""
+    return {
+        # tiered_read: each epoch answered from the finest retained tier —
+        # windows partition time on whole-day boundaries (same arithmetic
+        # as retained()); as-of = max day of the subset, computed from the
+        # same data on both engines.
+        "tiered_read": f"""
+WITH {_T_CTE},
+t AS (SELECT * FROM transcripts WHERE conv_id IN {_SUBSET_SQL}),
+a AS (SELECT max(CAST(ts AS DATE)) AS ad FROM t),
+m AS (SELECT conv_id, date_trunc('minute', ts) AS bucket, {_AGGS}
+      FROM t GROUP BY 1, 2),
+h AS (SELECT conv_id, date_trunc('hour', ts) AS bucket, {_AGGS}
+      FROM t GROUP BY 1, 2),
+dd AS (SELECT conv_id, date_trunc('day', ts) AS bucket, {_AGGS}
+       FROM t GROUP BY 1, 2)
+SELECT m.*, '1m' AS tier FROM m, a WHERE CAST(m.bucket AS DATE) >= ad - 7
+UNION ALL
+SELECT h.*, '1h' AS tier FROM h, a
+WHERE CAST(h.bucket AS DATE) >= ad - 21 AND CAST(h.bucket AS DATE) < ad - 7
+UNION ALL
+SELECT dd.*, '1d' AS tier FROM dd, a WHERE CAST(dd.bucket AS DATE) < ad - 21
+""",
+    }
