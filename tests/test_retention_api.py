@@ -73,3 +73,41 @@ def test_vacuum_expired_days_matches_retained(spark, tmp_path):
     # unbounded tier never drops; missing-day drop reports False
     assert vacuum_expired_days(cat, "tier1m", "1d", "2030-01-01") == []
     assert cat.drop_day("tier1m", "1999-01-01") is False
+
+
+def test_read_tiered_over_catalog_prunes_each_tier(spark, tmp_path):
+    """read_tiered against day-partitioned Catalog tier tables: every
+    bucket is answered by exactly one tier, and each tier branch's day
+    predicate reaches the parquet source as a PartitionFilter — a tiered
+    read of a 10^5-day archive opens only each tier's own window."""
+    from tmframe_spark.data.catalog import Catalog
+    from tmframe_spark.ops.retention import read_tiered
+
+    base = _tier(spark).withColumn("day", F.to_date("bucket"))
+    cat = Catalog(spark, str(tmp_path))
+    for name in ("t1m", "t1h", "t1d"):
+        cat.ensure_table(name, base)
+        for d in [r["day"].isoformat() for r in base.select("day").distinct().collect()]:
+            cat.overwrite_day(name, base.where(F.col("day") == F.lit(d)), d)
+
+    tiers = {"1m": cat.read("t1m"), "1h": cat.read("t1h"), "1d": cat.read("t1d")}
+    policy = {"1m": 7, "1h": 21, "1d": None}
+    out = read_tiered(tiers, F.lit("2024-03-01"), policy=policy)
+
+    rows = out.select("bucket", "tier").collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["tier"])
+    # exact partition of time: each bucket from exactly one tier
+    assert all(len(v) == 1 for v in by_bucket.values())
+    assert len(by_bucket) == 30
+    tiers_of = {b.date().isoformat(): v[0] for b, v in by_bucket.items()}
+    assert tiers_of["2024-03-01"] == "1m" and tiers_of["2024-02-23"] == "1m"
+    assert tiers_of["2024-02-22"] == "1h" and tiers_of["2024-02-09"] == "1h"
+    assert tiers_of["2024-02-08"] == "1d" and tiers_of["2024-02-01"] == "1d"
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # all three scans carry a day PartitionFilter (1d's is day < cutoff_1h)
+    segs = plan.split("PartitionFilters")[1:]
+    with_day = [s for s in segs if "day" in s[:300]]
+    assert len(with_day) >= 3, plan

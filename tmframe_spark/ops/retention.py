@@ -63,7 +63,9 @@ def expired(tier_df: DataFrame, tier: str, as_of, policy=None) -> DataFrame:
     return tier_df.where(F.to_date(F.col("bucket")) < cutoff)
 
 
-def read_tiered(tiers: dict[str, DataFrame], as_of, policy=None) -> DataFrame:
+def read_tiered(
+    tiers: dict[str, DataFrame], as_of, policy=None, day_col: str = "day"
+) -> DataFrame:
     """Answer a read from the finest tier the policy still retains at each
     epoch: 1m rows inside the 1m retention window, 1h rows between the 1h
     and 1m cutoffs, 1d rows older still — the serving twin of the retention
@@ -72,9 +74,15 @@ def read_tiered(tiers: dict[str, DataFrame], as_of, policy=None) -> DataFrame:
     The windows partition time exactly, with the same whole-day boundary
     arithmetic as ``retained``, so every bucket is answered by exactly one
     tier; a ``tier`` column tags the source. Tier frames must share a
-    schema (the rollup / cascade_up shape). Each tier's predicate is a
-    partition-aligned day compare — against day-partitioned tier tables all
-    three branches prune to their window's partitions before any scan.
+    schema (the rollup / cascade_up shape).
+
+    Pruning: when a tier frame carries ``day_col`` (the Catalog layout
+    contract, where day == to_date(bucket)), the window predicate targets
+    that column and reaches the source as a PARTITION filter — a
+    metadata-only selection that never opens out-of-window files. Without
+    it the predicate falls back to ``to_date(bucket)``, which Catalyst
+    still pushes as a bucket min/max data filter (row-group skipping —
+    file-stat pruning, one level weaker).
     """
     pol = policy or DEFAULT_POLICY
     order = [t for t in ("1m", "1h", "1d") if t in tiers]
@@ -86,7 +94,11 @@ def read_tiered(tiers: dict[str, DataFrame], as_of, policy=None) -> DataFrame:
     for t in order:
         df = tiers[t]
         keep = pol[t]
-        d = F.to_date(F.col("bucket"))
+        d = (
+            F.to_date(F.col(day_col))
+            if day_col and day_col in df.columns
+            else F.to_date(F.col("bucket"))
+        )
         if covered_all:
             cond = F.lit(False)
         else:
