@@ -12,6 +12,9 @@ glycerine/tmframe reference (Go, at /root/reference) on Spark DataFrames:
   retention tiers with gap-fill of missing windows
 - as-of point lookups (4 tie variants), time-ordered merge, windowed dedup
 - skew salting + AQE for hot conversations; per-partition checkpoint manifests
+- archive lifecycle: zone-map range serving (decode only overlapping blocks),
+  tiered continuous-aggregate reads, retention vacuum via partition-aligned
+  deletes, day compaction behind the ingest frontier (jobs/maintenance_job.py)
 """
 
 __version__ = "0.1.0"
