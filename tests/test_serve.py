@@ -81,6 +81,61 @@ def test_serve_range_boundaries_inclusive_and_empty(spark):
         blocks_overlapping(blocks, 10, 9)
 
 
+def test_serve_asof_equals_decode_all_asof(spark):
+    """Two-level as-of (metadata seek -> decode one block per probe) must
+    return exactly what decode-everything asof_join returns — matched
+    timestamp, values, AND SearchStatus — for every strict/tie variant, at
+    probe instants before the archive, on block boundaries, unaligned
+    mid-archive, and past the end."""
+    from tmframe_spark.ops.asof import asof_join
+    from tmframe_spark.ops.serve import blocks_for_asof, serve_asof
+
+    blocks = _blocks(spark).localCheckpoint()
+    span = blocks.agg(
+        F.min("ts_first").alias("lo"), F.max("ts_last").alias("hi")
+    ).collect()[0]
+    lo, hi = int(span["lo"]), int(span["hi"])
+    convs = [r["conv_id"] for r in blocks.select("conv_id").distinct().collect()]
+    instants = [
+        lo - 1,                      # before every series -> InPast
+        lo,                          # exactly the first stored instant
+        lo + (hi - lo) // 3 + 12345, # unaligned mid-archive
+        lo + 2 * (hi - lo) // 3,
+        hi,                          # exactly the last stored instant
+        hi + 10**15,                 # far future -> InFuture
+    ]
+    probes = spark.createDataFrame(
+        [(c, t) for c in convs for t in instants], "conv_id string, ts_ns long"
+    )
+    pts_all = unpack_blocks(blocks, ["conv_id", "day"]).withColumn(
+        "_pseq", F.col("ts_ns")
+    )
+    order = ["conv_id", "ts_ns"]
+    for strict in (False, True):
+        for tie in ("last", "first"):
+            got = (
+                serve_asof(
+                    blocks, ["conv_id", "day"], ["conv_id"], probes,
+                    tie=tie, strict=strict,
+                ).orderBy(order).toPandas()
+            )
+            want = (
+                asof_join(
+                    probes, pts_all, on="ts_ns", by=["conv_id"], seq="_pseq",
+                    value_cols=["v0", "v1"], tie=tie, strict=strict, prefix="m_",
+                ).drop("m__pseq").orderBy(order).toPandas()
+            )
+            pd.testing.assert_frame_equal(
+                got[sorted(got.columns)].reset_index(drop=True),
+                want[sorted(want.columns)].reset_index(drop=True),
+            )
+    # the seek really pruned: far fewer blocks decoded than the archive holds
+    selected = blocks_for_asof(blocks, ["conv_id"], probes, "ts_ns").count()
+    total = blocks.count()
+    assert 0 < selected < total
+    assert selected <= len(convs) * len(instants)
+
+
 _prop_cache: dict = {}
 
 
