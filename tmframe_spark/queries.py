@@ -477,17 +477,18 @@ def q_archive_asof_serving(spark, sf_dir):
     earliest day's 1m tier for the conv subset is packed into TMFRAME blocks,
     WRITTEN through the table Catalog, read back via the day-pruned
     Catalog.read_day path, decoded from the wire, and served through the
-    engine's as-of join (LastAtOrBefore) at 24 hourly probes. The oracle
-    answers the same probes straight from the raw table, so the hash match
-    proves aggregate->encode->catalog-write->pruned-read->decode->asof
-    end to end — the reference's archive->tfcat->series flow
-    (archiver/filemgr.go:94-104 + series.go:202-244)."""
+    engine's TWO-LEVEL as-of (serve_asof: metadata seek picks one block per
+    probe, only those decode — LastAtOrBefore) at 24 hourly probes. The
+    oracle answers the same probes straight from the raw table, so the hash
+    match proves aggregate->encode->catalog-write->pruned-read->seek->
+    decode->asof end to end — the reference's archive->tfcat->series flow
+    (archiver/filemgr.go:94-104 + tfindex.go:44-98 + series.go:202-244)."""
     import hashlib
     import os
 
-    from tmframe_spark.codec.udfs import pack_blocks, unpack_blocks
+    from tmframe_spark.codec.udfs import pack_blocks
     from tmframe_spark.data.catalog import Catalog
-    from tmframe_spark.ops.asof import asof_join
+    from tmframe_spark.ops.serve import serve_asof
 
     t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
     # the served day: earliest day of the subset — a 1-row scalar collect,
@@ -517,26 +518,24 @@ def q_archive_asof_serving(spark, sf_dir):
     cat.overwrite_day("asof_blocks", blocks, day)
 
     served = cat.read_day("asof_blocks", day)  # metadata-pruned day read
-    dec = unpack_blocks(served, ["conv_id", "day"], v0="v0", v1="v1")
-    build = dec.select(
-        "conv_id",
-        F.expr("timestamp_micros(CAST(ts_ns DIV 1000 AS LONG))").alias("ts"),
-        "ts_ns",
-        "v0",
-        "v1",
-    )
     probes = (
         spark.createDataFrame([(c,) for c in SUBSET], "conv_id string")
         .select("conv_id", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("probe_hour"))
         .select(
             "conv_id",
             F.col("probe_hour").cast("long").alias("probe_hour"),
-            F.expr(f"timestamp'{day} 00:00:00' + probe_hour * interval 1 hour").alias("ts"),
+            F.expr(
+                f"unix_micros(timestamp'{day} 00:00:00' + probe_hour * interval 1 hour)"
+                " * 1000"
+            ).alias("ts_ns"),
         )
     )
-    out = asof_join(
-        probes, build, on="ts", by=["conv_id"], seq="ts_ns",
-        value_cols=["v0", "v1"], tie="last", strict=False, prefix="m_",
+    # two-level as-of (ops/serve.serve_asof): metadata seek selects one
+    # block per probe, only those decode — so the oracle hash-match also
+    # proves the seek path, not just decode-everything
+    out = serve_asof(
+        served, ["conv_id", "day"], ["conv_id"], probes,
+        on="ts_ns", tie="last", strict=False,
     )
     return out.select(
         "conv_id",
