@@ -5,6 +5,7 @@ covers). The reference analog is day-partition aging of the archive tree
 
 from datetime import date
 
+import pytest
 from pyspark.sql import functions as F
 
 from tmframe_spark.ops.retention import DEFAULT_POLICY, expired, retained
@@ -73,6 +74,30 @@ def test_vacuum_expired_days_matches_retained(spark, tmp_path):
     # unbounded tier never drops; missing-day drop reports False
     assert vacuum_expired_days(cat, "tier1m", "1d", "2030-01-01") == []
     assert cat.drop_day("tier1m", "1999-01-01") is False
+
+
+def test_read_tiered_rejects_bad_policies(spark):
+    from tmframe_spark.ops.retention import read_tiered
+
+    t = _tier(spark)
+    # coarser tier retaining LESS than a finer one would double-serve
+    with pytest.raises(ValueError, match="non-decreasing"):
+        read_tiered(
+            {"1m": t, "1h": t, "1d": t},
+            F.lit("2024-03-01"),
+            policy={"1m": 30, "1h": 7, "1d": None},
+        ).count()
+    # a policy that omits a passed tier fails with a clear message
+    with pytest.raises(ValueError, match="no retention entry"):
+        read_tiered({"1m": t, "1h": t}, F.lit("2024-03-01"), policy={"1m": 7})
+    # equal keeps are fine (the coarser window is empty, not double-served);
+    # an unbounded finer tier makes later keeps irrelevant (never served)
+    assert read_tiered(
+        {"1m": t, "1h": t}, F.lit("2024-03-01"), policy={"1m": 7, "1h": 7}
+    ).where("tier = '1h'").count() == 0
+    assert read_tiered(
+        {"1m": t, "1h": t}, F.lit("2024-03-01"), policy={"1m": None, "1h": 3}
+    ).where("tier = '1h'").count() == 0
 
 
 def test_read_tiered_over_catalog_prunes_each_tier(spark, tmp_path):

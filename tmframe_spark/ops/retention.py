@@ -88,12 +88,32 @@ def read_tiered(
     order = [t for t in ("1m", "1h", "1d") if t in tiers]
     if not order:
         raise ValueError("tiers must contain at least one of '1m'/'1h'/'1d'")
+    missing = [t for t in order if t not in pol]
+    if missing:
+        raise ValueError(
+            f"policy has no retention entry for tiers {missing} "
+            f"(every tier passed in `tiers` needs one; None = keep forever)"
+        )
     out = None
     finer_cutoff = None  # exclusive upper bound inherited from the finer tier
+    finer_keep = None  # that tier's retention days (for monotonicity check)
     covered_all = False  # an unbounded finer tier already answered everything
     for t in order:
         df = tiers[t]
         keep = pol[t]
+        # the exactly-one-tier invariant requires retention to grow (or stay)
+        # fine -> coarse; a coarser tier retaining LESS than a finer one
+        # would re-serve the finer tier's window and double-count downstream
+        if (
+            not covered_all
+            and finer_keep is not None
+            and keep is not None
+            and keep < finer_keep
+        ):
+            raise ValueError(
+                f"retention must be non-decreasing fine->coarse: tier {t!r} "
+                f"keeps {keep} days, less than the finer tier's {finer_keep}"
+            )
         d = (
             F.to_date(F.col(day_col))
             if day_col and day_col in df.columns
@@ -113,6 +133,7 @@ def read_tiered(
             covered_all = True
         else:
             finer_cutoff = F.date_sub(F.to_date(as_of), keep)
+            finer_keep = keep
     return out
 
 
