@@ -137,3 +137,108 @@ def test_continuous_rollup_materializes_finalized_windows(spark, landed):
     # per-batch manifests committed (the exactly-once evidence)
     mans = os.listdir(os.path.join(root, "_rollup_1h_stream_batches"))
     assert any(m.startswith("batch-") for m in mans)
+
+
+def test_streaming_archiver_blocks_match_batch_and_serve(spark, landed):
+    """The streaming ARCHIVER (materialize_continuous_blocks): after
+    draining, decoding the streamed block archive equals the batch rollup
+    of every closed window, AND the archive is directly servable — the
+    two-level as-of seek answers probes over it, which also proves the
+    cross-batch blocks of each conversation kept disjoint, time-ordered
+    spans (the invariant serve_asof relies on)."""
+    import os
+    import tempfile
+    import time
+
+    from tmframe_spark.codec.udfs import unpack_blocks
+    from tmframe_spark.ops.asof import asof_join
+    from tmframe_spark.ops.serve import serve_asof
+    from tmframe_spark.streaming.materialize import (
+        materialize_continuous_blocks,
+        read_materialized,
+    )
+
+    src_dir, schema, t = landed
+    d = tempfile.mkdtemp(prefix="tmframe_sarch_src_")
+    t.write.mode("overwrite").parquet(d)
+    time.sleep(1.1)  # file-source orders batches by mtime: flush comes last
+    mx = t.agg(F.max("ts")).collect()[0][0]
+    flush = spark.createDataFrame(
+        [("__flush__", 0, "system", "flush", None, mx)], schema
+    ).withColumn(
+        "ts",
+        (F.col("ts").cast("timestamp") + F.expr("interval 2 days")).cast(
+            schema["ts"].dataType
+        ),
+    )
+    flush.write.mode("append").parquet(d)
+
+    root = tempfile.mkdtemp(prefix="tmframe_sarch_tbl_")
+    q = materialize_continuous_blocks(
+        spark, d, schema, root, tier="1h", watermark="10 minutes", max_files=4
+    )
+    q.awaitTermination(300)
+
+    blocks = (
+        read_materialized(spark, root, "blocks_1h_stream")
+        .where(F.col("conv_id") != "__flush__")
+        .localCheckpoint()
+    )
+    got = (
+        unpack_blocks(blocks, ["conv_id", "day"], v0="v0", v1="v1")
+        .select("conv_id", "ts_ns", "v0", "v1")
+        .toPandas()
+    )
+    want = (
+        t.groupBy("conv_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("v1"),
+            F.sum(F.length("text")).cast("double").alias("v0"),
+        )
+        .select(
+            "conv_id",
+            F.expr("(unix_micros(cast(bucket as timestamp)) * 1000) & -8").alias(
+                "ts_ns"
+            ),
+            "v0",
+            "v1",
+        )
+        .toPandas()
+    )
+    key = ["conv_id", "ts_ns"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w) and len(g) > 0, (len(g), len(w))
+    for c in ("ts_ns", "v0", "v1"):
+        assert (g[c].to_numpy() == w[c].to_numpy()).all(), c
+
+    # serve the streaming-built archive through the two-level seek and
+    # compare against decode-everything asof over the same blocks
+    span = blocks.agg(
+        F.min("ts_first").alias("lo"), F.max("ts_last").alias("hi")
+    ).collect()[0]
+    mid = int(span["lo"] + (span["hi"] - span["lo"]) // 2) + 999
+    probes = blocks.select("conv_id").distinct().withColumn("ts_ns", F.lit(mid))
+    served = (
+        serve_asof(blocks, ["conv_id", "day"], ["conv_id"], probes)
+        .orderBy("conv_id")
+        .toPandas()
+    )
+    full = (
+        asof_join(
+            probes,
+            unpack_blocks(blocks, ["conv_id", "day"]).withColumn(
+                "_pseq", F.col("ts_ns")
+            ),
+            on="ts_ns", by=["conv_id"], seq="_pseq",
+            value_cols=["v0", "v1"], tie="last", strict=False, prefix="m_",
+        )
+        .drop("m__pseq")
+        .orderBy("conv_id")
+        .toPandas()
+    )
+    cols = sorted(served.columns)
+    assert (served[cols].to_numpy() == full[cols].to_numpy()).all()
+
+    mans = os.listdir(os.path.join(root, "_blocks_1h_stream_batches"))
+    assert any(m.startswith("batch-") for m in mans)

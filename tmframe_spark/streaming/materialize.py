@@ -89,3 +89,92 @@ def materialize_continuous_rollup(
 def read_materialized(spark: SparkSession, table_root: str, table: str) -> DataFrame:
     path = os.path.join(table_root, table)
     return spark.read.option("basePath", path).parquet(f"{path}/batch=*/day=*")
+
+
+def _block_batch_writer(table_root: str, table: str):
+    out_dir = os.path.join(table_root, table)
+    man_dir = os.path.join(table_root, f"_{table}_batches")
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        from tmframe_spark.codec.udfs import pack_blocks
+
+        os.makedirs(man_dir, exist_ok=True)
+        mpath = os.path.join(man_dir, f"batch-{batch_id}.json")
+        if os.path.exists(mpath):
+            return
+        pts = df.select(
+            "conv_id",
+            F.to_date("bucket").alias("day"),
+            F.expr("(unix_micros(cast(bucket as timestamp)) * 1000) & -8").alias(
+                "ts_ns"
+            ),
+            F.col("token_volume").cast("double").alias("v0"),
+            F.col("turns").cast("long").alias("v1"),
+        )
+        blocks = pack_blocks(pts, ["conv_id", "day"], v0="v0", v1="v1")
+        # one computation feeds the write and the metrics (repo rule:
+        # eager localCheckpoint, never persist)
+        blocks = blocks.localCheckpoint(eager=True)
+        blocks.write.mode("overwrite").partitionBy("day").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        stats = blocks.agg(
+            F.count(F.lit(1)).alias("blocks"),
+            F.coalesce(F.sum("n_points"), F.lit(0)).alias("points"),
+        ).collect()[0]
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "batch_id": batch_id,
+                    "blocks": int(stats["blocks"]),
+                    "points": int(stats["points"]),
+                },
+                f,
+            )
+        os.replace(tmp, mpath)
+
+    return write_batch
+
+
+def materialize_continuous_blocks(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    table_root: str,
+    tier: str = "1m",
+    watermark: str = "10 minutes",
+    table: str | None = None,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    max_files: int = 64,
+):
+    """The streaming ARCHIVER: finalized rollup windows are packed into
+    delta-of-delta/Gorilla TMFRAME blocks as they close and appended to a
+    day-partitioned block table — streaming ingest straight to the
+    compressed, servable archive (the reference archiver's always-on loop,
+    archiver/filemgr.go:94-104, with tfindex-style serving on top).
+
+    Exactly-once by the same two mechanisms as the rollup materialization:
+    append mode emits each (conv, bucket) window once when the watermark
+    passes it, and each batch overwrites its own ``batch=<id>/`` subtree
+    with an atomic manifest. Because finalized windows only move forward,
+    the blocks of one conversation across batches have disjoint,
+    time-ordered point spans — exactly the invariant the serving layer
+    (ops/serve.serve_range / serve_asof) relies on, so the streaming-built
+    archive is served by the same code paths as a batch-built one.
+
+    Returns the StreamingQuery.
+    """
+    table = table or f"blocks_{tier}_stream"
+    checkpoint = checkpoint or os.path.join(table_root, f"_{table}_checkpoint")
+    stream = read_transcript_stream(spark, source_path, schema, max_files)
+    rolled = stream_rollup(stream, tier, watermark)
+    writer = (
+        rolled.writeStream.foreachBatch(_block_batch_writer(table_root, table))
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
