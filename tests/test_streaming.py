@@ -242,3 +242,84 @@ def test_streaming_archiver_blocks_match_batch_and_serve(spark, landed):
 
     mans = os.listdir(os.path.join(root, "_blocks_1h_stream_batches"))
     assert any(m.startswith("batch-") for m in mans)
+
+
+def test_consolidated_stream_archive_bit_equals_batch_pack(spark, landed, tmp_path):
+    """Consolidation converges the streamed archive to the batch archive
+    EXACTLY: after folding the per-batch partial blocks into canonical
+    per-(conv, day) blocks through the Catalog, every frame's wire bytes
+    equal a single batch pack of the same points — the encoder's
+    partitioning-independence carried through the whole streaming path."""
+    import tempfile
+    import time
+
+    from tmframe_spark.codec.udfs import pack_blocks
+    from tmframe_spark.data.catalog import Catalog
+    from tmframe_spark.streaming.materialize import (
+        consolidate_stream_blocks,
+        materialize_continuous_blocks,
+    )
+
+    src_dir, schema, t = landed
+    d = tempfile.mkdtemp(prefix="tmframe_cons_src_")
+    t.write.mode("overwrite").parquet(d)
+    time.sleep(1.1)
+    mx = t.agg(F.max("ts")).collect()[0][0]
+    spark.createDataFrame(
+        [("__flush__", 0, "system", "flush", None, mx)], schema
+    ).withColumn(
+        "ts",
+        (F.col("ts").cast("timestamp") + F.expr("interval 2 days")).cast(
+            schema["ts"].dataType
+        ),
+    ).write.mode("append").parquet(d)
+
+    root = tempfile.mkdtemp(prefix="tmframe_cons_tbl_")
+    q = materialize_continuous_blocks(
+        spark, d, schema, root, tier="1h", watermark="10 minutes", max_files=4
+    )
+    q.awaitTermination(300)
+
+    cat = Catalog(spark, str(tmp_path))
+    stats = consolidate_stream_blocks(
+        spark, root, "blocks_1h_stream", cat, "archive"
+    )
+    assert stats and sum(stats.values()) > 0
+
+    got = (
+        cat.read("archive")
+        .where(F.col("conv_id") != "__flush__")
+        .select("conv_id", F.col("day").cast("string").alias("day"),
+                "n_points", "frame")
+        .collect()
+    )
+    # the batch-built reference archive over the same closed windows
+    want_pts = (
+        t.groupBy("conv_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("v1"),
+            F.sum(F.length("text")).cast("double").alias("v0"),
+        )
+        .select(
+            "conv_id",
+            F.to_date("bucket").alias("day"),
+            F.expr("(unix_micros(cast(bucket as timestamp)) * 1000) & -8").alias(
+                "ts_ns"
+            ),
+            "v0",
+            "v1",
+        )
+    )
+    want = {
+        (r["conv_id"], str(r["day"])): (r["n_points"], bytes(r["frame"]))
+        for r in pack_blocks(want_pts, ["conv_id", "day"], v0="v0", v1="v1")
+        .select("conv_id", F.col("day").cast("string").alias("day"),
+                "n_points", "frame")
+        .collect()
+    }
+    assert len(got) == len(want) > 0
+    for r in got:
+        k = (r["conv_id"], r["day"])
+        n, frame = want[k]
+        assert r["n_points"] == n, k
+        assert bytes(r["frame"]) == frame, f"wire bytes differ for {k}"

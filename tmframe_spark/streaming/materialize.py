@@ -137,6 +137,48 @@ def _block_batch_writer(table_root: str, table: str):
     return write_batch
 
 
+def consolidate_stream_blocks(
+    spark: SparkSession,
+    table_root: str,
+    table: str,
+    cat,
+    name: str,
+    days: list[str] | None = None,
+):
+    """Fold the streamed ``batch=*/day=*`` block table into the canonical
+    day-partitioned Catalog archive.
+
+    A streaming archiver necessarily fragments: each micro-batch packs only
+    the windows the watermark closed in it, so a (conv, day) group
+    accumulates several partial blocks across batches. Consolidation
+    decodes them and re-packs ONE canonical block per (conv, day) — and
+    because the block encoder is deterministic over the sorted point set
+    (partitioning-independence is a tested invariant, tests/test_blocks),
+    the result is BYTE-IDENTICAL to an archive built by a single batch
+    pack of the same points: the streamed archive converges to the batch
+    archive exactly.
+
+    Day-scoped and idempotent like ``Catalog.compact_day`` (overwrite_day
+    per day), so it runs behind the streaming frontier day by day. Returns
+    ``{day: canonical_block_count}``.
+    """
+    from tmframe_spark.codec.udfs import pack_blocks, unpack_blocks
+
+    blocks = read_materialized(spark, table_root, table)
+    if days is not None:
+        blocks = blocks.where(F.col("day").cast("string").isin([str(d) for d in days]))
+    pts = unpack_blocks(blocks, ["conv_id", "day"], v0="v0", v1="v1")
+    canonical = pack_blocks(pts, ["conv_id", "day"], v0="v0", v1="v1").localCheckpoint()
+    cat.ensure_table(name, canonical)
+    out: dict[str, int] = {}
+    day_rows = canonical.groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()
+    for r in sorted(day_rows, key=lambda r: str(r["day"])):
+        d = str(r["day"])
+        cat.overwrite_day(name, canonical.where(F.col("day").cast("string") == d), d)
+        out[d] = int(r["n"])
+    return out
+
+
 def materialize_continuous_blocks(
     spark: SparkSession,
     source_path: str,
