@@ -78,3 +78,32 @@ def test_empty_inputs_round2_operators(spark):
 
     empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert embedding_near_dup_lsh(empty_emb).count() == 0
+
+
+def test_empty_inputs_round3_serving_operators(spark):
+    """Round-3 serving/lifecycle ops on empty inputs: empty archives serve
+    empty ranges, as-of probes report InPast, tiered reads return the
+    empty union — never an error."""
+    from tmframe_spark.ops.retention import read_tiered
+    from tmframe_spark.ops.serve import blocks_overlapping, serve_asof, serve_range
+
+    blocks = spark.createDataFrame(
+        [],
+        "conv_id string, day string, n_points long, ts_first long, "
+        "ts_last long, raw_nbytes long, frame binary",
+    )
+    assert blocks_overlapping(blocks, 0, 10).count() == 0
+    assert serve_range(blocks, ["conv_id", "day"], 0, 10).count() == 0
+
+    probes = spark.createDataFrame([("c", 100)], "conv_id string, ts_ns long")
+    out = serve_asof(blocks, ["conv_id", "day"], ["conv_id"], probes).collect()
+    assert len(out) == 1 and out[0]["status"] == "InPast"
+    assert out[0]["m_ts_ns"] is None
+
+    tier = spark.createDataFrame([], "conv_id string, bucket timestamp, turns long")
+    t = read_tiered(
+        {"1m": tier, "1h": tier, "1d": tier},
+        F.lit("2024-03-01"),
+        policy={"1m": 7, "1h": 21, "1d": None},
+    )
+    assert t.count() == 0 and "tier" in t.columns
