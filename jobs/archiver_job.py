@@ -1,0 +1,88 @@
+"""Streaming-archiver entry point: spark-submit --py-files tmframe_spark.zip \\
+        jobs/archiver_job.py --source <landing-parquet-dir> --root <table-root> \\
+        [--tier 1m] [--watermark "10 minutes"] [--continuous] \\
+        [--consolidate --warehouse <catalog-root> --archive-table <name>]
+
+The reference archiver's always-on loop (archiver/filemgr.go) on Structured
+Streaming: tail the landing directory, roll up per-conversation windows,
+and pack each watermark-finalized window set into delta-of-delta/Gorilla
+TMFRAME blocks, exactly-once (append-mode single emission + per-batch
+overwrite dirs + atomic manifests — streaming/materialize.py).
+
+By default the job DRAINS what has landed (availableNow) and exits —
+resumable: the stream checkpoint under --root carries offsets across runs.
+``--continuous`` keeps it running until killed. ``--consolidate`` then
+folds the accumulated per-batch partial blocks into the canonical
+one-block-per-(conv, day) Catalog archive (byte-identical to a batch-built
+pack; run it behind the frontier like compaction).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--source", required=True, help="landing dir of transcript parquet")
+    p.add_argument("--root", required=True, help="streamed block-table root")
+    p.add_argument("--tier", default="1m", choices=("1m", "1h", "1d"))
+    p.add_argument("--watermark", default="10 minutes")
+    p.add_argument("--table", default=None)
+    p.add_argument("--max-files", type=int, default=64, help="files per micro-batch")
+    p.add_argument("--continuous", action="store_true",
+                   help="run until killed instead of draining what has landed")
+    p.add_argument("--consolidate", action="store_true",
+                   help="after draining, fold partial blocks into the Catalog archive")
+    p.add_argument("--warehouse", default=None, help="Catalog root for --consolidate")
+    p.add_argument("--archive-table", default="archive")
+    args = p.parse_args(argv)
+    if args.consolidate and not args.warehouse:
+        p.error("--consolidate requires --warehouse")
+    if args.consolidate and args.continuous:
+        p.error("--consolidate only makes sense after a drain (omit --continuous)")
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("tmframe-archiver").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    from tmframe_spark.streaming.materialize import (
+        consolidate_stream_blocks,
+        materialize_continuous_blocks,
+    )
+
+    schema = spark.read.parquet(args.source).schema
+    table = args.table or f"blocks_{args.tier}_stream"
+    q = materialize_continuous_blocks(
+        spark, args.source, schema, args.root,
+        tier=args.tier, watermark=args.watermark, table=table,
+        available_now=not args.continuous, max_files=args.max_files,
+    )
+    q.awaitTermination()
+    print(json.dumps({"action": "drained", "table": table}))
+
+    if args.consolidate:
+        from tmframe_spark.data.catalog import Catalog
+
+        cat = Catalog(spark, args.warehouse)
+        stats = consolidate_stream_blocks(
+            spark, args.root, table, cat, args.archive_table
+        )
+        for day in sorted(stats):
+            print(json.dumps({
+                "action": "consolidate", "table": args.archive_table,
+                "day": day, "blocks": stats[day],
+            }))
+        print(json.dumps({
+            "table": args.archive_table,
+            "days_consolidated": len(stats),
+            "canonical_blocks": sum(stats.values()),
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

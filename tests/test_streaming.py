@@ -323,3 +323,57 @@ def test_consolidated_stream_archive_bit_equals_batch_pack(spark, landed, tmp_pa
         n, frame = want[k]
         assert r["n_points"] == n, k
         assert bytes(r["frame"]) == frame, f"wire bytes differ for {k}"
+
+
+def test_archiver_job_drain_and_consolidate(spark, landed, tmp_path, capsys):
+    """The spark-submit archiver entry point end-to-end (in-process main():
+    getOrCreate picks up the session): drain the landing dir into the
+    streamed block table, consolidate into the Catalog archive, and report
+    JSON action lineage. A second run drains nothing new (the stream
+    checkpoint carries offsets) and re-consolidates idempotently."""
+    import json
+    import sys
+    import tempfile
+    import time
+
+    sys.path.insert(0, "jobs")
+    try:
+        from archiver_job import main
+    finally:
+        sys.path.pop(0)
+
+    src_dir, schema, t = landed
+    d = tempfile.mkdtemp(prefix="tmframe_ajob_src_")
+    t.write.mode("overwrite").parquet(d)
+    time.sleep(1.1)
+    mx = t.agg(F.max("ts")).collect()[0][0]
+    spark.createDataFrame(
+        [("__flush__", 0, "system", "flush", None, mx)], schema
+    ).withColumn(
+        "ts",
+        (F.col("ts").cast("timestamp") + F.expr("interval 2 days")).cast(
+            schema["ts"].dataType
+        ),
+    ).write.mode("append").parquet(d)
+
+    root = str(tmp_path / "stream_root")
+    wh = str(tmp_path / "warehouse")
+    argv = [
+        "--source", d, "--root", root, "--tier", "1h",
+        "--consolidate", "--warehouse", wh, "--archive-table", "archive",
+    ]
+    assert main(argv) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0] == {"action": "drained", "table": "blocks_1h_stream"}
+    summary = lines[-1]
+    assert summary["table"] == "archive" and summary["canonical_blocks"] > 0
+
+    # resume: nothing new to drain, consolidation is idempotent
+    assert main(argv) == 0
+    again = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert again[-1] == summary
+
+    from tmframe_spark.data.catalog import Catalog
+
+    cat = Catalog(spark, wh)
+    assert len(cat.days("archive")) == summary["days_consolidated"]
