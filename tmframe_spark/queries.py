@@ -928,6 +928,31 @@ def q_tiered_read(spark, sf_dir):
     )
 
 
+def q_role_mix_archive(spark, sf_dir):
+    """Role-mix continuous aggregates THROUGH the archive: the 1h role-mix
+    tier is packed into TMFRAME blocks keyed (conv_id, role, day) — the
+    same codec under a different series key — and decoded back from the
+    wire; the oracle recomputes the tier from the raw table. Proves the
+    block format serves any series key (per-role, per-tool, ...) with zero
+    codec change. Full oracle in the pytest mirror (pytest_only_oracles —
+    the driver window is full)."""
+    from tmframe_spark.codec.udfs import pack_blocks, unpack_blocks
+    from tmframe_spark.ops.rollup import role_mix
+
+    t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
+    pts = role_mix(t, "1h").select(
+        "conv_id",
+        "role",
+        F.date_trunc("day", "bucket").alias("day"),
+        F.expr("(unix_micros(cast(bucket as timestamp)) * 1000) & -8").alias("ts_ns"),
+        F.col("token_volume").cast("double").alias("v0"),
+        F.col("turns").cast("long").alias("v1"),
+    )
+    blocks = pack_blocks(pts, ["conv_id", "role", "day"], v0="v0", v1="v1")
+    out = unpack_blocks(blocks, ["conv_id", "role", "day"], v0="v0", v1="v1")
+    return out.select("conv_id", "role", "ts_ns", "v0", "v1")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1002,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (pytest_only_oracles) — rows-only for the driver purely because
         # the 50-row record window is full of distinct-operator oracles.
         "tiered_read": q_tiered_read,
+        "role_mix_archive": q_role_mix_archive,
         "count_window_dedup": q_count_window_dedup,
         "tfsum_blake2b": q_tfsum_blake2b,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1699,5 +1725,17 @@ SELECT h.*, '1h' AS tier FROM h, a
 WHERE CAST(h.bucket AS DATE) >= ad - 21 AND CAST(h.bucket AS DATE) < ad - 7
 UNION ALL
 SELECT dd.*, '1d' AS tier FROM dd, a WHERE CAST(dd.bucket AS DATE) < ad - 21
+""",
+        # role_mix_archive: the 1h role-mix tier straight from the raw
+        # table; hour-boundary epoch ns are 8-divisible so &-8 is a no-op
+        # on the Spark side.
+        "role_mix_archive": f"""
+WITH {_T_CTE},
+t AS (SELECT * FROM transcripts WHERE conv_id IN {_SUBSET_SQL})
+SELECT conv_id, role,
+       epoch_us(date_trunc('hour', ts)) * 1000 AS ts_ns,
+       CAST(CAST(sum(length(text)) AS BIGINT) AS DOUBLE) AS v0,
+       count(*) AS v1
+FROM t GROUP BY conv_id, role, date_trunc('hour', ts)
 """,
     }
