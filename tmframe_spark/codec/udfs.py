@@ -321,8 +321,15 @@ def unpack_blocks(
 ) -> DataFrame:
     """Explode framed blocks back into point rows (keys..., ts_ns [, v0][, v1]).
 
-    mapInPandas: each Arrow batch of block rows yields one DataFrame of
-    decoded points — decode parallelism = block count, no shuffle.
+    mapInPandas: decode parallelism = block count, no shuffle. Worker
+    memory is BOUNDED: an Arrow input batch can carry up to
+    maxRecordsPerBatch block rows, and a naive one-frame-per-batch yield
+    would materialize batch-rows x points-per-block rows at once (measured:
+    a whole-archive decode at 580k blocks x ~1.4k pts killed workers).
+    The fn therefore splits each input batch on the cumulative ``n_points``
+    column so every yielded frame holds at most ~2M decoded points, and
+    assembles each slice with one ``np.concatenate`` per column instead of
+    one pandas DataFrame per block.
     """
     fields = _key_fields(blocks, keys) + [StructField("ts_ns", LongType())]
     from pyspark.sql.types import DoubleType
@@ -333,28 +340,55 @@ def unpack_blocks(
         fields.append(StructField(v1, LongType()))
     out_schema = StructType(fields)
 
+    PTS_BUDGET = 2_000_000  # max decoded points per yielded frame
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 continue
-            # one vectorized unmarshal over the concatenated wire frames
-            fr = unmarshal_frames(b"".join(bytes(x) for x in pdf[frame_col]))
-            evs = get_evtnum(fr.prim, fr.ude)
-            if (evs != EV_BLOCK).any():
-                bad = int(evs[(evs != EV_BLOCK).argmax()])
-                raise ValueError(f"expected EV_BLOCK frame, got evtnum {bad}")
-            parts = []
-            key_cols = {k: pdf[k].to_numpy() for k in keys}
-            for i in range(len(pdf)):
-                ts, a0, a1 = decode_block(fr.data[i])
-                d = {k: np.repeat(key_cols[k][i : i + 1], len(ts)) for k in keys}
-                d["ts_ns"] = ts
+            csum = (
+                pdf["n_points"].to_numpy(np.int64).cumsum()
+                if "n_points" in pdf.columns
+                else None
+            )
+            start = 0
+            while start < n:
+                if csum is None:
+                    end = min(start + 2048, n)  # projected input: bound by rows
+                else:
+                    base = int(csum[start - 1]) if start else 0
+                    end = int(np.searchsorted(csum, base + PTS_BUDGET, side="right"))
+                    end = min(max(end, start + 1), n)  # an oversize block rides alone
+                sl = pdf.iloc[start:end]
+                start = end
+                # one vectorized unmarshal over the slice's wire frames
+                fr = unmarshal_frames(b"".join(bytes(x) for x in sl[frame_col]))
+                evs = get_evtnum(fr.prim, fr.ude)
+                if (evs != EV_BLOCK).any():
+                    bad = int(evs[(evs != EV_BLOCK).argmax()])
+                    raise ValueError(f"expected EV_BLOCK frame, got evtnum {bad}")
+                key_cols = {k: sl[k].to_numpy() for k in keys}
+                ts_l, v0_l, v1_l, reps = [], [], [], []
+                for i in range(len(sl)):
+                    ts, a0, a1 = decode_block(fr.data[i])
+                    ts_l.append(ts)
+                    reps.append(len(ts))
+                    if v0:
+                        v0_l.append(
+                            a0 if a0 is not None else np.full(len(ts), np.nan)
+                        )
+                    if v1:
+                        v1_l.append(
+                            a1 if a1 is not None else np.zeros(len(ts), np.int64)
+                        )
+                d = {k: np.repeat(key_cols[k], reps) for k in keys}
+                d["ts_ns"] = np.concatenate(ts_l) if ts_l else np.array([], np.int64)
                 if v0:
-                    d[v0] = a0 if a0 is not None else np.nan
+                    d[v0] = np.concatenate(v0_l)
                 if v1:
-                    d[v1] = a1 if a1 is not None else 0
-                parts.append(pd.DataFrame(d))
-            yield pd.concat(parts, ignore_index=True)
+                    d[v1] = np.concatenate(v1_l)
+                yield pd.DataFrame(d)
 
     return blocks.mapInPandas(fn, out_schema)
 
