@@ -136,3 +136,42 @@ def test_read_tiered_over_catalog_prunes_each_tier(spark, tmp_path):
     segs = plan.split("PartitionFilters")[1:]
     with_day = [s for s in segs if "day" in s[:300]]
     assert len(with_day) >= 3, plan
+
+
+def test_vacuum_then_tiered_read_loses_nothing(spark, tmp_path):
+    """The retention lifecycle is closed: after vacuuming every tier to the
+    SAME policy the tiered read uses, read_tiered returns exactly what it
+    returned before the vacuum — each tier is only ever read inside its
+    retained window, so dropping expired partitions never leaves a hole."""
+    from tmframe_spark.data.catalog import Catalog
+    from tmframe_spark.ops.retention import read_tiered, vacuum_expired_days
+
+    base = _tier(spark).withColumn("day", F.to_date("bucket"))
+    cat = Catalog(spark, str(tmp_path))
+    for name in ("t1m", "t1h", "t1d"):
+        cat.ensure_table(name, base)
+        for d in [r["day"].isoformat() for r in base.select("day").distinct().collect()]:
+            cat.overwrite_day(name, base.where(F.col("day") == F.lit(d)), d)
+
+    policy = {"1m": 7, "1h": 21, "1d": None}
+    as_of = "2024-03-01"
+
+    def tiers():
+        return {"1m": cat.read("t1m"), "1h": cat.read("t1h"), "1d": cat.read("t1d")}
+
+    before = sorted(
+        (r["tier"], r["bucket"].isoformat())
+        for r in read_tiered(tiers(), F.lit(as_of), policy=policy)
+        .select("tier", "bucket").collect()
+    )
+    dropped_1m = vacuum_expired_days(cat, "t1m", "1m", as_of, policy=policy)
+    dropped_1h = vacuum_expired_days(cat, "t1h", "1h", as_of, policy=policy)
+    dropped_1d = vacuum_expired_days(cat, "t1d", "1d", as_of, policy=policy)
+    assert len(dropped_1m) == 22 and len(dropped_1h) == 8 and dropped_1d == []
+
+    after = sorted(
+        (r["tier"], r["bucket"].isoformat())
+        for r in read_tiered(tiers(), F.lit(as_of), policy=policy)
+        .select("tier", "bucket").collect()
+    )
+    assert after == before and len(after) == 30
