@@ -160,3 +160,16 @@ def test_hash_dedup_and_counts(spark):
     assert sorted(r["turn_idx"] for r in kept.collect()) == [0, 1, 3]
     dc = {r["text"]: r["occurrences"] for r in dup_counts(df, ["text"]).collect()}
     assert dc == {"5": 3, "6": 2}
+
+
+def test_has_window_dups_detect_only(spark):
+    """tfdedup detectOnly (dedup.go:26-31): boolean sweep for any in-window
+    duplicate, nothing written."""
+    from tmframe_spark.ops.dedup import has_window_dups
+
+    kw = dict(window_size=3, by=["conv_id"], order_cols=["ts", "turn_idx"],
+              hash_cols=["text"])
+    assert has_window_dups(_df(spark, [1, 2, 1, 3]), **kw) is True
+    assert has_window_dups(_df(spark, [1, 2, 3, 4]), **kw) is False
+    # a dup farther apart than the window is NOT an in-window duplicate
+    assert has_window_dups(_df(spark, [1, 2, 3, 4, 1]), **kw) is False

@@ -175,3 +175,24 @@ def count_window_dedup(
         *sort_cols
     )
     return part.mapInPandas(fn, out_schema)
+
+
+def has_window_dups(
+    df: DataFrame,
+    window_size: int,
+    by: list[str],
+    order_cols: list[str],
+    hash_cols: list[str],
+) -> bool:
+    """The reference's ``detectOnly`` mode (dedup.go:26-31): scan and stop
+    at the first in-window duplicate, writing nothing — tfdedup uses it to
+    sweep a filesystem for files that contain duplicates at all.
+
+    Spark-native form: the dups side-channel under ``isEmpty()``, which
+    runs an incremental limit-1 job — Spark launches partitions in waves
+    and cancels the scan as soon as one duplicate row is produced, the
+    distributed analog of returning DupDetectedErr at the first hit.
+    """
+    return not count_window_dedup(
+        df, window_size, by, order_cols, hash_cols, emit="dups"
+    ).isEmpty()
