@@ -38,6 +38,13 @@ def main(argv=None) -> int:
                    help="after draining, fold partial blocks into the Catalog archive")
     p.add_argument("--warehouse", default=None, help="Catalog root for --consolidate")
     p.add_argument("--archive-table", default="archive")
+    p.add_argument("--behind-days", type=int, default=1,
+                   help="leave the newest N streamed days unconsolidated (the open "
+                        "frontier ingest may still append to); 0 = consolidate all")
+    p.add_argument("--schema-from", default=None,
+                   help="parquet path to read the transcript schema from; lets the "
+                        "--continuous archiver start on an EMPTY landing dir "
+                        "(default: infer from --source, which requires landed data)")
     args = p.parse_args(argv)
     if args.consolidate and not args.warehouse:
         p.error("--consolidate requires --warehouse")
@@ -52,9 +59,19 @@ def main(argv=None) -> int:
     from tmframe_spark.streaming.materialize import (
         consolidate_stream_blocks,
         materialize_continuous_blocks,
+        read_materialized,
     )
 
-    schema = spark.read.parquet(args.source).schema
+    try:
+        schema = spark.read.parquet(args.schema_from or args.source).schema
+    except Exception as e:
+        if args.schema_from is None and "UNABLE_TO_INFER_SCHEMA" in str(e):
+            p.error(
+                "--source has no landed data to infer the schema from; pass "
+                "--schema-from <parquet with the transcript schema> to start "
+                "the archiver before the first file lands"
+            )
+        raise
     table = args.table or f"blocks_{args.tier}_stream"
     q = materialize_continuous_blocks(
         spark, args.source, schema, args.root,
@@ -68,8 +85,26 @@ def main(argv=None) -> int:
         from tmframe_spark.data.catalog import Catalog
 
         cat = Catalog(spark, args.warehouse)
+        # consolidate only days behind the open frontier — the newest
+        # streamed days may still receive windows from a later drain, and
+        # the canonical archive must never hold a day that then mutates
+        all_days = sorted(
+            str(r["day"])
+            for r in read_materialized(spark, args.root, table)
+            .select("day").distinct().collect()
+        )
+        cut = len(all_days) - max(args.behind_days, 0)
+        days = all_days[: max(cut, 0)]
+        if not days:
+            print(json.dumps({
+                "table": args.archive_table, "days_consolidated": 0,
+                "canonical_blocks": 0,
+                "note": f"all {len(all_days)} streamed days inside the "
+                        f"--behind-days {args.behind_days} frontier",
+            }))
+            return 0
         stats = consolidate_stream_blocks(
-            spark, args.root, table, cat, args.archive_table
+            spark, args.root, table, cat, args.archive_table, days=days
         )
         for day in sorted(stats):
             print(json.dumps({

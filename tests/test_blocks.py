@@ -99,3 +99,37 @@ def test_property_roundtrip(ts_raw, v0_raw):
     np.testing.assert_array_equal(ts, ts2)
     np.testing.assert_array_equal(v0.view(np.uint64), v02.view(np.uint64))
     np.testing.assert_array_equal(v1, v12)
+
+
+def test_unpack_projected_input_stays_bounded_and_equal(spark):
+    """unpack_blocks without the n_points column: the header peek recovers
+    per-block counts so the output-memory bound holds, and the decode is
+    identical to the full-column path."""
+    from pyspark.sql import functions as F
+
+    from tmframe_spark.codec.blocks import peek_block_n_points
+    from tmframe_spark.codec.udfs import pack_blocks, unpack_blocks
+
+    pts = (
+        spark.range(0, 5000)
+        .selectExpr(
+            "concat('c', id % 7) AS conv_id",
+            "'g' AS grp",
+            "cast(id * 8000 as long) AS ts_ns",
+            "cast(id % 13 as double) AS v0",
+            "cast(id % 5 as long) AS v1",
+        )
+    )
+    blocks = pack_blocks(pts, ["conv_id", "grp"], v0="v0", v1="v1").localCheckpoint()
+    # driver-side: the header peek equals the stored n_points stat
+    for r in blocks.select("n_points", "frame").collect():
+        assert peek_block_n_points(bytes(r["frame"])) == r["n_points"]
+    full = (
+        unpack_blocks(blocks, ["conv_id", "grp"])
+        .orderBy("conv_id", "ts_ns").toPandas()
+    )
+    projected = (
+        unpack_blocks(blocks.select("conv_id", "grp", "frame"), ["conv_id", "grp"])
+        .orderBy("conv_id", "ts_ns").toPandas()
+    )
+    assert projected.equals(full) and len(full) == 5000

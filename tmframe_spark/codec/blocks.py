@@ -566,6 +566,19 @@ def encode_block_gapfilled(
     return header + w.finish()
 
 
+def peek_block_n_points(frame: bytes) -> int:
+    """Point count of a marshalled EV_BLOCK frame from its fixed-offset
+    header alone (UDE payload starts at wire offset 16; the block header is
+    magic(2) + version(1) + flags(1) + count(u32 LE)) — no bitstream
+    decode. Lets unpack_blocks keep its output-memory bound even when the
+    caller projected away the n_points column."""
+    if len(frame) < 24:
+        raise ValueError("frame too short for an EV_BLOCK header")
+    if frame[16:18] != BLOCK_MAGIC:
+        raise ValueError("bad block magic")
+    return int(struct.unpack("<I", frame[20:24])[0])
+
+
 def decode_block(buf: bytes):
     """Decode a block; returns (ts_ns, v0 | None, v1 | None)."""
     if buf[:2] != BLOCK_MAGIC:

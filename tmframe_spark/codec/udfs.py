@@ -50,6 +50,15 @@ def _key_fields(df: DataFrame, keys: list[str]) -> list[StructField]:
     return [by_name[k] for k in keys]
 
 
+def bucket_ts_ns(col: str = "bucket"):
+    """The engine's ONE bucket->wire-timestamp projection: epoch ns of the
+    bucket boundary, 8ns-truncated (the Tm contract, frame.go:88-114).
+    Every path that packs or compares rollup buckets as block timestamps
+    must use this expression — streamed blocks stay byte-identical to
+    batch packs only while all writers agree on it bit-for-bit."""
+    return F.expr(f"(unix_micros(cast({col} as timestamp)) * 1000) & -8")
+
+
 def pack_blocks(
     df: DataFrame,
     keys: list[str],
@@ -194,7 +203,7 @@ def pack_rollup_blocks(
     )
     pts = rolled.select(
         "conv_id",
-        F.expr("(unix_micros(cast(bucket as timestamp)) * 1000) & -8").alias("_ts"),
+        bucket_ts_ns().alias("_ts"),
         F.col(v0).cast("double").alias("_v0"),
         F.col(v1).cast("long").alias("_v1"),
     )
@@ -347,19 +356,28 @@ def unpack_blocks(
             n = len(pdf)
             if n == 0:
                 continue
-            csum = (
-                pdf["n_points"].to_numpy(np.int64).cumsum()
-                if "n_points" in pdf.columns
-                else None
-            )
+            if "n_points" in pdf.columns:
+                csum = pdf["n_points"].to_numpy(np.int64).cumsum()
+            else:
+                # projected input without the n_points stat: recover the
+                # per-block point counts from the frames themselves — each
+                # block payload header carries n (decode_block reads it) —
+                # via a cheap header peek, so the memory bound NEVER
+                # degrades to rows-only (2048 giant blocks would rebuild
+                # exactly the blowup this function guards against)
+                from tmframe_spark.codec.blocks import peek_block_n_points
+
+                counts = np.fromiter(
+                    (peek_block_n_points(bytes(x)) for x in pdf[frame_col]),
+                    dtype=np.int64,
+                    count=n,
+                )
+                csum = counts.cumsum()
             start = 0
             while start < n:
-                if csum is None:
-                    end = min(start + 2048, n)  # projected input: bound by rows
-                else:
-                    base = int(csum[start - 1]) if start else 0
-                    end = int(np.searchsorted(csum, base + PTS_BUDGET, side="right"))
-                    end = min(max(end, start + 1), n)  # an oversize block rides alone
+                base = int(csum[start - 1]) if start else 0
+                end = int(np.searchsorted(csum, base + PTS_BUDGET, side="right"))
+                end = min(max(end, start + 1), n)  # an oversize block rides alone
                 sl = pdf.iloc[start:end]
                 start = end
                 # one vectorized unmarshal over the slice's wire frames

@@ -90,7 +90,7 @@ def checkpointed_rollup_run(
     unit keeps re-runs idempotent either way.
     """
     from tmframe_spark import __version__
-    from tmframe_spark.codec.udfs import pack_blocks
+    from tmframe_spark.codec.udfs import bucket_ts_ns, pack_blocks
     from tmframe_spark.data.catalog import Catalog
     from tmframe_spark.ops.rollup import gap_fill, rollup
 
@@ -104,7 +104,7 @@ def checkpointed_rollup_run(
         pts = m1.select(
             "conv_id",
             F.lit(day).alias("day"),
-            F.expr("(unix_micros(cast(bucket as timestamp)) * 1000) & -8").alias("ts_ns"),
+            bucket_ts_ns().alias("ts_ns"),
             F.col("token_volume").cast("double").alias("v0"),
             F.col("turns").cast("long").alias("v1"),
         )

@@ -102,8 +102,11 @@ def read_tiered(
         df = tiers[t]
         keep = pol[t]
         # the exactly-one-tier invariant requires retention to grow (or stay)
-        # fine -> coarse; a coarser tier retaining LESS than a finer one
-        # would re-serve the finer tier's window and double-count downstream
+        # fine -> coarse: a coarser tier retaining LESS than a finer one
+        # gets an unsatisfiable window (a silent coverage hole for the
+        # epochs past its own cutoff), and if a later unbounded tier then
+        # inherits the SMALLER cutoff it re-serves epochs the finer tier
+        # already answered — double-counted sums downstream
         if (
             not covered_all
             and finer_keep is not None
@@ -112,7 +115,9 @@ def read_tiered(
         ):
             raise ValueError(
                 f"retention must be non-decreasing fine->coarse: tier {t!r} "
-                f"keeps {keep} days, less than the finer tier's {finer_keep}"
+                f"keeps {keep} days, less than the finer tier's {finer_keep} "
+                f"(this tier's window would be empty and coverage would hole "
+                f"or double-serve)"
             )
         d = (
             F.to_date(F.col(day_col))

@@ -486,7 +486,7 @@ def q_archive_asof_serving(spark, sf_dir):
     import hashlib
     import os
 
-    from tmframe_spark.codec.udfs import pack_blocks
+    from tmframe_spark.codec.udfs import bucket_ts_ns, pack_blocks
     from tmframe_spark.data.catalog import Catalog
     from tmframe_spark.ops.serve import serve_asof
 
@@ -500,7 +500,7 @@ def q_archive_asof_serving(spark, sf_dir):
     pts = m.select(
         "conv_id",
         F.lit(day).alias("day"),
-        F.expr("(unix_micros(cast(bucket as timestamp)) * 1000) & -8").alias("ts_ns"),
+        bucket_ts_ns().alias("ts_ns"),
         F.col("token_volume").cast("double").alias("v0"),
         F.col("turns").cast("long").alias("v1"),
     )
@@ -853,14 +853,14 @@ def q_block_roundtrip(spark, sf_dir):
     pack(gap_fill(rollup_1m)) must value-hash-match the gap-filled rollup
     the oracle computes from the raw table — compression is lossless and
     partitioning-independent, verified cross-engine."""
-    from tmframe_spark.codec.udfs import pack_blocks, unpack_blocks
+    from tmframe_spark.codec.udfs import bucket_ts_ns, pack_blocks, unpack_blocks
 
     t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
     m = gap_fill(rollup(t, "1m"), "1m")
     pts = m.select(
         "conv_id",
         F.date_trunc("day", "bucket").alias("day"),
-        F.expr("(unix_micros(cast(bucket as timestamp)) * 1000) & -8").alias("ts_ns"),
+        bucket_ts_ns().alias("ts_ns"),
         F.col("token_volume").cast("double").alias("v0"),
         F.col("turns").cast("long").alias("v1"),
     )
@@ -880,7 +880,7 @@ def q_range_serving(spark, sf_dir):
     hash match proves pack -> zone-map prune -> decode -> range filter end
     to end (the reference tfindex's seek-not-scan purpose,
     /root/reference/cmd/tfindex/tfindex.go:44-98)."""
-    from tmframe_spark.codec.udfs import pack_blocks
+    from tmframe_spark.codec.udfs import bucket_ts_ns, pack_blocks
     from tmframe_spark.ops.serve import serve_range
 
     t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
@@ -888,7 +888,7 @@ def q_range_serving(spark, sf_dir):
     pts = m.select(
         "conv_id",
         F.date_trunc("day", "bucket").alias("day"),
-        F.expr("(unix_micros(cast(bucket as timestamp)) * 1000) & -8").alias("ts_ns"),
+        bucket_ts_ns().alias("ts_ns"),
         F.col("token_volume").cast("double").alias("v0"),
         F.col("turns").cast("long").alias("v1"),
     )
@@ -936,7 +936,7 @@ def q_role_mix_archive(spark, sf_dir):
     block format serves any series key (per-role, per-tool, ...) with zero
     codec change. Full oracle in the pytest mirror (pytest_only_oracles —
     the driver window is full)."""
-    from tmframe_spark.codec.udfs import pack_blocks, unpack_blocks
+    from tmframe_spark.codec.udfs import bucket_ts_ns, pack_blocks, unpack_blocks
     from tmframe_spark.ops.rollup import role_mix
 
     t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
@@ -944,7 +944,7 @@ def q_role_mix_archive(spark, sf_dir):
         "conv_id",
         "role",
         F.date_trunc("day", "bucket").alias("day"),
-        F.expr("(unix_micros(cast(bucket as timestamp)) * 1000) & -8").alias("ts_ns"),
+        bucket_ts_ns().alias("ts_ns"),
         F.col("token_volume").cast("double").alias("v0"),
         F.col("turns").cast("long").alias("v1"),
     )

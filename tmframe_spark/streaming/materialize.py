@@ -31,7 +31,14 @@ from pyspark.sql import functions as F
 from tmframe_spark.streaming.stream import read_transcript_stream, stream_rollup
 
 
-def _batch_writer(table_root: str, table: str):
+def _exactly_once_writer(table_root: str, table: str, write_fn):
+    """The exactly-once foreachBatch protocol, shared by every stream sink
+    here: skip batches with a committed manifest (clean replay), let
+    ``write_fn(df, batch_dir) -> metrics`` overwrite its batch-scoped
+    directory (idempotent under at-least-once replays, even after a crash
+    mid-write), then commit metrics atomically via tmp+rename (the
+    ops/checkpoint pattern). One protocol, one place — the rollup and
+    block sinks cannot drift apart in replay semantics."""
     out_dir = os.path.join(table_root, table)
     man_dir = os.path.join(table_root, f"_{table}_batches")
 
@@ -39,23 +46,27 @@ def _batch_writer(table_root: str, table: str):
         os.makedirs(man_dir, exist_ok=True)
         mpath = os.path.join(man_dir, f"batch-{batch_id}.json")
         if os.path.exists(mpath):
-            return  # clean replay: skip recomputation (overwrite would also be safe)
+            return
+        metrics = write_fn(df, os.path.join(out_dir, f"batch={batch_id}"))
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, **metrics}, f)
+        os.replace(tmp, mpath)
+
+    return write_batch
+
+
+def _batch_writer(table_root: str, table: str):
+    def write_rows(df: DataFrame, batch_dir: str) -> dict:
         # eager localCheckpoint, not persist (repo rule): one computation
         # feeds both the write and the count, blocks auto-release on GC
         df = df.localCheckpoint(eager=True)
-        with_day = df.withColumn("day", F.to_date("bucket"))
-        # overwrite of a batch-scoped directory = idempotent under
-        # at-least-once replays, even after a crash mid-write
-        with_day.write.mode("overwrite").partitionBy("day").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
-        )
-        n = df.count()
-        tmp = mpath + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id, "rows": n}, f)
-        os.replace(tmp, mpath)  # atomic metrics commit, as in ops/checkpoint
+        df.withColumn("day", F.to_date("bucket")).write.mode(
+            "overwrite"
+        ).partitionBy("day").parquet(batch_dir)
+        return {"rows": df.count()}
 
-    return write_batch
+    return _exactly_once_writer(table_root, table, write_rows)
 
 
 def materialize_continuous_rollup(
@@ -92,49 +103,29 @@ def read_materialized(spark: SparkSession, table_root: str, table: str) -> DataF
 
 
 def _block_batch_writer(table_root: str, table: str):
-    out_dir = os.path.join(table_root, table)
-    man_dir = os.path.join(table_root, f"_{table}_batches")
+    def write_blocks(df: DataFrame, batch_dir: str) -> dict:
+        from tmframe_spark.codec.udfs import bucket_ts_ns, pack_blocks
 
-    def write_batch(df: DataFrame, batch_id: int) -> None:
-        from tmframe_spark.codec.udfs import pack_blocks
-
-        os.makedirs(man_dir, exist_ok=True)
-        mpath = os.path.join(man_dir, f"batch-{batch_id}.json")
-        if os.path.exists(mpath):
-            return
         pts = df.select(
             "conv_id",
             F.to_date("bucket").alias("day"),
-            F.expr("(unix_micros(cast(bucket as timestamp)) * 1000) & -8").alias(
-                "ts_ns"
-            ),
+            bucket_ts_ns().alias("ts_ns"),
             F.col("token_volume").cast("double").alias("v0"),
             F.col("turns").cast("long").alias("v1"),
         )
-        blocks = pack_blocks(pts, ["conv_id", "day"], v0="v0", v1="v1")
         # one computation feeds the write and the metrics (repo rule:
         # eager localCheckpoint, never persist)
-        blocks = blocks.localCheckpoint(eager=True)
-        blocks.write.mode("overwrite").partitionBy("day").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
+        blocks = pack_blocks(pts, ["conv_id", "day"], v0="v0", v1="v1").localCheckpoint(
+            eager=True
         )
+        blocks.write.mode("overwrite").partitionBy("day").parquet(batch_dir)
         stats = blocks.agg(
             F.count(F.lit(1)).alias("blocks"),
             F.coalesce(F.sum("n_points"), F.lit(0)).alias("points"),
         ).collect()[0]
-        tmp = mpath + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "batch_id": batch_id,
-                    "blocks": int(stats["blocks"]),
-                    "points": int(stats["points"]),
-                },
-                f,
-            )
-        os.replace(tmp, mpath)
+        return {"blocks": int(stats["blocks"]), "points": int(stats["points"])}
 
-    return write_batch
+    return _exactly_once_writer(table_root, table, write_blocks)
 
 
 def consolidate_stream_blocks(
