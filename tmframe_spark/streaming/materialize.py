@@ -18,6 +18,16 @@ Semantics & idempotency:
   ``batch=*/day=*`` — day partition pruning still applies.
 - An Iceberg catalog upgrades this to update-mode MERGE for re-emitted
   refinements; with the parquet layout we stay in append mode by design.
+
+Feed-shape requirement (standard watermark semantics, stated here because
+a soak run demonstrated it): the landing files must arrive in ROUGHLY
+event-time order, with disorder bounded by the watermark delay — exactly
+what a tailed stream / the reference's NATS feed delivers. Landing
+arbitrary-order backfill shards instead lets the first batch advance the
+watermark to the stream's end, and every later batch's rows are dropped as
+late (measured: a 16-shard round-robin landing kept only ~28% of windows;
+the same data landed as ascending day ranges kept 100%). Backfill belongs
+in the BATCH path (jobs/rollup_job.py), not the archiver tail.
 """
 
 from __future__ import annotations
