@@ -76,21 +76,24 @@ def test_embedding_near_dup_lsh_planted(spark):
 
 
 def test_embedding_near_dup_lsh_subset_of_exact(spark):
-    import numpy as np
-
-    from tmframe_spark.vec.similarity import embedding_near_dup_lsh
-    from tmframe_spark.queries import q_embedding_near_dup
+    from tmframe_spark.queries import q_embedding_near_dup, q_embedding_near_dup_lsh
 
     # the bucketed pairs must be a SUBSET of the exact all-pairs result at
-    # the same threshold (bucketing only loses pairs, never invents them)
+    # the same threshold (bucketing only loses pairs, never invents them) —
+    # over the SAME planted input the driver oracle runs on, whose exact set
+    # is nonzero by construction (round-3 verdict #1: the vacuous oracle)
     sf = SF_DIR
-    from tmframe_spark.data.transcripts import register_tables
-
-    register_tables(spark, sf)
-    e = spark.table("embeddings")
-    lsh = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_lsh(e, 0.63).collect()}
     exact = {(r["id_a"], r["id_b"]) for r in q_embedding_near_dup(spark, sf).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in q_embedding_near_dup_lsh(spark, sf).collect()}
+    assert len(exact) >= 20, f"exact near-dup set unexpectedly small: {len(exact)}"
     assert lsh.issubset(exact)
+    # the planted (orig, orig+1e6) pairs are ~6° apart — 8-plane LSH with a
+    # one-bit probe must recover the bulk of them (deterministic hyperplanes
+    # + fixed fixture → this recall is a constant, not a flake)
+    planted_exact = {(a, b) for a, b in exact if b - a == 1_000_000}
+    assert len(planted_exact) >= 20
+    recall = len(planted_exact & lsh) / len(planted_exact)
+    assert recall >= 0.8, f"planted LSH recall {recall:.2f}"
 
 
 def test_lsh_exhaustive_probe_equals_exact(emb):

@@ -801,26 +801,58 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_ann_topk(spark.table("embeddings"), query_id=0, k=10)
 
 
+def _emb_planted(spark):
+    """embeddings ∪ deterministic planted near-duplicates.
+
+    The driver-provided embeddings are near-orthogonal random vectors (max
+    pairwise cosine ≈ 0.51 at sf0.01), so a near-dup threshold of 0.63 can
+    never match and the oracle would pass vacuously (round-3 verdict #1).
+    The testdata is read-only, so the near-dups are planted INSIDE the
+    query: every ``vec_id % 25 == 0`` row gets a copy at ``vec_id +
+    1_000_000`` whose even-indexed coordinates are scaled by exactly 1.25.
+
+    Why this is cross-engine bit-exact: float32 → double is exact; ×1.25
+    (= 1 + 2^-2, mantissa grows ≤ 2 bits) is exact in double; the quantized
+    dot product then floors x·2^20 of identical doubles on both engines.
+    cosine(original, planted copy) ≈ 0.994 — a guaranteed nonzero pair set
+    at every sf — while cross pairs stay near the background distribution.
+    """
+    e = spark.table("embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    planted = e.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i % 2 == 0, x.cast("double") * 1.25).otherwise(
+                x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    return e.select("vec_id", as_double.alias("embedding")).unionByName(planted)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs — the exact O(n^2) oracle twin
     of embedding_near_dup_lsh, guarded against corpus-scale inputs inside
-    the library op (max_vecs refusal)."""
+    the library op (max_vecs refusal). Runs over embeddings plus planted
+    near-dup copies (_emb_planted) so the driver oracle matches a nonzero
+    pair set at gate scale."""
     from tmframe_spark.vec.similarity import embedding_near_dup_exact
 
     register_tables(spark, sf_dir)
-    return embedding_near_dup_exact(spark.table("embeddings"), threshold=0.63)
+    return embedding_near_dup_exact(_emb_planted(spark), threshold=0.63)
 
 
 def q_embedding_near_dup_lsh(spark, sf_dir):
     """Bucketed (hyperplane-LSH + 1-bit multi-probe) embedding near-dup
     pairs with exact fixed-point re-verify — the scale path whose oracle
-    twin is the exact all-pairs `embedding_near_dup`. Rows-only (bucketing
-    isn't SQL); pytest asserts recall on planted near-dups and that every
-    reported pair also passes the exact form."""
+    twin is the exact all-pairs `embedding_near_dup`, over the same planted
+    input. Rows-only (bucketing isn't SQL); pytest asserts recall on the
+    planted pairs and that every reported pair also passes the exact form."""
     from tmframe_spark.vec.similarity import embedding_near_dup_lsh
 
     register_tables(spark, sf_dir)
-    return embedding_near_dup_lsh(spark.table("embeddings"), threshold=0.63)
+    return embedding_near_dup_lsh(_emb_planted(spark), threshold=0.63)
 
 
 def q_bpe_token_count(spark, sf_dir):
@@ -1662,13 +1694,27 @@ FROM m
         "x -> CAST(floor(CAST(x[1] AS DOUBLE) * 1048576) AS BIGINT) "
         "   * CAST(floor(CAST(x[2] AS DOUBLE) * 1048576) AS BIGINT))) AS BIGINT)"
     )
+    # planted near-dups mirror queries._emb_planted: copies of vec_id%25==0
+    # at vec_id+1000000 with even (0-based) coords scaled by exactly 1.25 —
+    # float32→double and ×1.25 are exact, so both engines quantize the same
+    # doubles (DuckDB lambda index i is 1-based, hence (i-1)%2)
     o["embedding_near_dup"] = f"""
-WITH pairs AS (
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, (x, i) ->
+           CASE WHEN (i - 1) % 2 = 0 THEN CAST(x AS DOUBLE) * CAST(1.25 AS DOUBLE)
+                ELSE CAST(x AS DOUBLE) END)
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          {_QDOT_DD.format(a='a.embedding', b='b.embedding')} AS dot,
          {_QDOT_DD.format(a='a.embedding', b='a.embedding')} AS na,
          {_QDOT_DD.format(a='b.embedding', b='b.embedding')} AS nb
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine
 FROM pairs WHERE dot / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) > 0.63
