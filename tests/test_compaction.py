@@ -51,6 +51,25 @@ def test_compact_day_validates_target(spark, tmp_path):
         cat.compact_day("blk", "2024-03-01", target_files=0)
 
 
+def test_day_strings_validated_before_sql_or_paths(spark, tmp_path):
+    """Day strings reach Iceberg SQL interpolation and day= directory paths;
+    a malformed one (stray quote, path fragment) must raise before either
+    (round-3 advice: only table names were regex-validated)."""
+    cat = _fixture_table(spark, tmp_path)
+    for bad in ("2024-03-01'; DROP", "../escape", "20240301", ""):
+        for call in (
+            lambda d: cat.drop_day("blk", d),
+            lambda d: cat.drop_days_before("blk", d),
+            lambda d: cat.day_file_count("blk", d),
+            lambda d: cat.read_day("blk", d),
+            lambda d: cat.overwrite_day("blk", cat.read("blk").limit(1), d),
+        ):
+            with pytest.raises(ValueError, match="bad day string"):
+                call(bad)
+    # the well-formed path is unaffected
+    assert cat.day_file_count("blk", "2024-03-01") == 8
+
+
 def test_maintenance_job_vacuum_then_compact(spark, tmp_path, capsys):
     """The spark-submit maintenance entry point end-to-end (in-process:
     main() picks up the session via getOrCreate): vacuum drops the expired

@@ -139,6 +139,35 @@ def test_count_window_dedup_property(spark):
         )
 
 
+def test_global_stream_mode_matches_sequential_reference(spark):
+    """by=[] is the FAITHFUL mode: the reference dedups the whole merged
+    stream, not per series (dedup.go:31-122) — interleaved conversations
+    must share one window, so a duplicate ACROSS conversations drops. The
+    result must equal the sequential ring oracle over the global order."""
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(300):
+        # interleave 4 conversations; texts collide across conversations
+        rows.append((f"c{i % 4}", i, "user", str(int(rng.integers(0, 12))), None, i * 1000))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts long",
+    )
+    out = count_window_dedup(
+        df, window_size=20, by=[], order_cols=["ts", "turn_idx"], hash_cols=["text"]
+    )
+    got = [r["text"] for r in out.orderBy("ts", "turn_idx").collect()]
+    want = _ring_oracle([r[3] for r in rows], 20)
+    assert got == want
+    assert "_g" not in out.columns  # the constant group tag never leaks
+    # per-series mode on the same data keeps MORE rows (windows don't share)
+    per_series = count_window_dedup(
+        df, window_size=20, by=["conv_id"], order_cols=["ts", "turn_idx"],
+        hash_cols=["text"],
+    )
+    assert per_series.count() >= len(got)
+
+
 def test_dups_side_output_complements_kept(spark):
     vals = [1, 2, 1, 3, 1, 2, 2, 4]
     df = _df(spark, vals)

@@ -31,6 +31,12 @@ from pyspark.sql import functions as F
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
+#: day strings are interpolated into Iceberg SQL (DELETE ... WHERE day =
+#: '{day}') and into day=... directory paths — validate them like _IDENT
+#: validates names, or a stray quote breaks the SQL and a path fragment
+#: ("../x") escapes the table root
+_DAY = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
 #: CREATE failures that mean "this runtime has no Iceberg" (anything else
 #: must surface — see ensure_table)
 _NO_ICEBERG_MARKERS = (
@@ -104,6 +110,12 @@ class Catalog:
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    @staticmethod
+    def _day(day: str) -> str:
+        if not _DAY.match(day):
+            raise ValueError(f"bad day string (want YYYY-MM-DD): {day!r}")
+        return day
+
     # -- DDL ----------------------------------------------------------------
 
     def ensure_table(
@@ -155,6 +167,7 @@ class Catalog:
     def overwrite_day(self, name: str, df: DataFrame, day: str) -> None:
         """Idempotently replace one day partition (the resume-safe write
         unit: re-running a day after a crash overwrites, never duplicates)."""
+        self._day(day)
         if self._kind(name) == "iceberg":
             df.writeTo(self._ident(name)).overwritePartitions()
         else:
@@ -195,6 +208,7 @@ class Catalog:
         """Day-pruned read: Iceberg prunes on the ``day_col`` identity
         partition; the parquet layout prunes on the day= directory — either
         way a metadata-only selection, never a row scan."""
+        self._day(day)
         return self.read(name).where(F.col(self.day_col) == F.lit(day))
 
     def compact_day(self, name: str, day: str, target_files: int = 1) -> dict:
@@ -242,6 +256,7 @@ class Catalog:
 
     def day_file_count(self, name: str, day: str) -> int:
         """Data files currently serving one day partition."""
+        self._day(day)
         if self._kind(name) == "iceberg":
             return self.spark.sql(
                 f"SELECT count(*) AS n FROM {self._ident(name)}.files "
@@ -263,6 +278,7 @@ class Catalog:
         ``drop_days_before`` (one metadata listing + one ranged DELETE,
         instead of per-day existence checks).
         """
+        self._day(day)
         if self._kind(name) == "iceberg":
             if day not in self.days(name):
                 return False
@@ -286,6 +302,7 @@ class Catalog:
         rewrite for K days, not K), the parquet fallback removes each day
         directory. ISO-8601 day strings order like the dates they name.
         """
+        self._day(cutoff_day)
         dropped = [d for d in self.days(name) if d < cutoff_day]
         if not dropped:
             return []

@@ -80,12 +80,29 @@ def count_window_dedup(
     ``order_cols`` must be a total order within each ``by`` group (e.g.
     (ts, turn_idx)) — Spark's sort is not stable, so ties would otherwise be
     partition-order dependent.
+
+    FAITHFUL GLOBAL MODE (``by=[]``): the reference's window is over the
+    whole merged stream, not per series (dedup.go:31-122 consumes the single
+    time-ordered frame stream). Passing ``by=[]`` reproduces that exactly:
+    the stream is treated as one group under ``order_cols``. This is
+    inherently SERIAL — one task walks the whole stream in order, exactly as
+    the reference's single-goroutine ring does — so it is a fidelity mode,
+    not a scale mode; at scale use per-series keys (``by=["conv_id"]``),
+    which shards the same algorithm across series. The implementation tags a
+    constant group key so the partitioner sends every row to one task while
+    the streaming mapInPandas state stays O(window + batch).
     """
     if emit not in ("kept", "dups"):
         raise ValueError("emit must be 'kept' or 'dups'")
     want_kept = emit == "kept"
-    out_schema = StructType(df.schema.fields)
     key_cols = list(by)
+    drop_tag = False
+    if not key_cols:
+        # global mode: constant key -> one group = the whole merged stream
+        df = df.withColumn("_g", F.lit(0))
+        key_cols = ["_g"]
+        drop_tag = True
+    out_schema = StructType(df.schema.fields)
     sort_cols = key_cols + list(order_cols)
 
     def fn(batches):
@@ -174,7 +191,8 @@ def count_window_dedup(
     part = df.repartition(n_part, *[F.col(k) for k in key_cols]).sortWithinPartitions(
         *sort_cols
     )
-    return part.mapInPandas(fn, out_schema)
+    out = part.mapInPandas(fn, out_schema)
+    return out.drop("_g") if drop_tag else out
 
 
 def has_window_dups(

@@ -91,8 +91,39 @@ def with_stable_pos(
     local = F.monotonically_increasing_id() - F.shiftleft(
         F.col("_pid").cast("long"), 33
     )
+    # runtime drift guard: the local-index derivation depends on the
+    # documented 31/33-bit monotonically_increasing_id split AND on this
+    # projection scanning the checkpointed blocks directly (no interposed
+    # exchange). If either ever changes — a Spark upgrade re-encoding the id,
+    # a plan change re-partitioning the scan — local indexes leave the
+    # [0, counts[pid]) range for some row, and this raise_error fires instead
+    # of silently corrupting every position. Cost: one tiny-literal-map
+    # lookup + two comparisons per row, codegen-inlined.
+    counts_map = (
+        F.create_map(*[F.lit(x) for kv in counts.items() for x in kv])
+        if counts
+        else F.create_map()
+    )
+    offset = F.element_at(mapping, F.col("_pid"))
+    valid = (
+        offset.isNotNull()
+        & (local >= 0)
+        & (local < F.element_at(counts_map, F.col("_pid")))
+    )
     out = part.withColumn(
-        pos_col, (F.element_at(mapping, F.col("_pid")) + local).cast("long")
+        pos_col,
+        F.when(valid, (offset + local).cast("long")).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "with_stable_pos: local row index drifted out of "
+                    "[0, count) for partition %s (local=%s) — "
+                    "monotonically_increasing_id encoding or checkpoint-scan "
+                    "plan shape changed",
+                    F.col("_pid"),
+                    local,
+                )
+            ).cast("long")
+        ),
     ).drop("_pid")
     return out
 
