@@ -38,6 +38,11 @@ def main(argv=None) -> int:
                    help="after draining, fold partial blocks into the Catalog archive")
     p.add_argument("--warehouse", default=None, help="Catalog root for --consolidate")
     p.add_argument("--archive-table", default="archive")
+    p.add_argument("--prune", action="store_true",
+                   help="with --consolidate: delete each day's consumed "
+                        "batch=*/day= source dirs once its canonical archive "
+                        "day commits (the day is fenced in the consolidation "
+                        "manifest first, so a crash mid-delete is safe)")
     p.add_argument("--behind-days", type=int, default=1,
                    help="leave the newest N streamed days unconsolidated (the open "
                         "frontier ingest may still append to); 0 = consolidate all")
@@ -60,6 +65,7 @@ def main(argv=None) -> int:
         consolidate_stream_blocks,
         materialize_continuous_blocks,
         read_materialized,
+        record_late_drops,
     )
 
     try:
@@ -79,7 +85,14 @@ def main(argv=None) -> int:
         available_now=not args.continuous, max_files=args.max_files,
     )
     q.awaitTermination()
-    print(json.dumps({"action": "drained", "table": table}))
+    # surface watermark late-drops: a misfed landing order (see the
+    # feed-shape requirement in streaming/materialize.py) must be visible
+    # in the manifests and the job output, never silent
+    late = record_late_drops(q, args.root, table)
+    print(json.dumps({
+        "action": "drained", "table": table,
+        "late_dropped_rows": sum(late.values()),
+    }))
 
     if args.consolidate:
         from tmframe_spark.data.catalog import Catalog
@@ -104,7 +117,8 @@ def main(argv=None) -> int:
             }))
             return 0
         stats = consolidate_stream_blocks(
-            spark, args.root, table, cat, args.archive_table, days=days
+            spark, args.root, table, cat, args.archive_table, days=days,
+            prune=args.prune,
         )
         for day in sorted(stats):
             print(json.dumps({

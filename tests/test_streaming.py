@@ -364,7 +364,9 @@ def test_archiver_job_drain_and_consolidate(spark, landed, tmp_path, capsys):
     ]
     assert main(argv) == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
-    assert lines[0] == {"action": "drained", "table": "blocks_1h_stream"}
+    assert lines[0] == {
+        "action": "drained", "table": "blocks_1h_stream", "late_dropped_rows": 0
+    }  # time-ordered landing: the late counter exists AND is zero
     summary = lines[-1]
     assert summary["table"] == "archive" and summary["canonical_blocks"] > 0
 
@@ -377,3 +379,120 @@ def test_archiver_job_drain_and_consolidate(spark, landed, tmp_path, capsys):
 
     cat = Catalog(spark, wh)
     assert len(cat.days("archive")) == summary["days_consolidated"]
+
+
+def test_late_drop_counter_surfaces_misordered_landing(spark, landed, tmp_path):
+    """Round-3 verdict #3: arbitrary-order landing silently lost ~72% of
+    windows to the watermark. The drop must now be OBSERVABLE: a landing
+    shard whose event times are behind the advanced watermark produces a
+    nonzero late_dropped_rows in its batch manifest via record_late_drops."""
+    import json
+    import os
+    import time
+
+    from tmframe_spark.streaming.materialize import (
+        materialize_continuous_blocks,
+        record_late_drops,
+    )
+
+    _, schema, t = landed
+    d = tempfile.mkdtemp(prefix="tmframe_late_src_")
+    # shard A advances the watermark to the stream's end; shard C (the
+    # oldest day) must land at micro-batch >= 2 because Spark's late-input
+    # filter uses the PREVIOUS batch's watermark (one-batch lag; eviction
+    # uses the current one) — shard B absorbs the lag batch
+    days = sorted(
+        str(r["d"]) for r in t.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    assert len(days) >= 3, days
+    newest, mid, oldest = days[-1], days[-2], days[0]
+    a = t.where(F.to_date("ts") == newest)
+    b = t.where(F.to_date("ts") == mid)
+    c = t.where(F.to_date("ts") == oldest)
+    # the state-operator counter counts post-partial-agg (conv, window)
+    # groups, not raw input rows (see record_late_drops docstring)
+    n_late = c.select("conv_id", F.date_trunc("hour", "ts")).distinct().count()
+    assert n_late > 0
+    a.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "part-a"))
+    time.sleep(1.1)  # later mtime => later micro-batch
+    b.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "part-b"))
+    time.sleep(1.1)
+    c.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "part-c"))
+
+    root = str(tmp_path / "late_root")
+    q = materialize_continuous_blocks(
+        spark, os.path.join(d, "part-*"), schema, root,
+        tier="1h", watermark="10 minutes", max_files=1,
+    )
+    q.awaitTermination(300)
+    late = record_late_drops(q, root, "blocks_1h_stream")
+    assert sum(late.values()) == n_late, late
+    # and the manifests carry it (observable without the query object)
+    man_dir = os.path.join(root, "_blocks_1h_stream_batches")
+    recorded = 0
+    for fn in os.listdir(man_dir):
+        if fn.endswith(".json"):
+            with open(os.path.join(man_dir, fn)) as f:
+                recorded += json.load(f).get("late_dropped_rows", 0)
+    assert recorded == n_late
+
+
+def test_consolidation_manifest_records_and_prune_fences(spark, landed, tmp_path):
+    """Round-3 advice #4: consolidation now records consumed days in an
+    atomic manifest; prune=True deletes the consumed batch=*/day= source
+    dirs AFTER fencing the day, and fenced days are excluded from later
+    consolidations (a partial source can never rebuild a canonical day)."""
+    import glob
+    import os
+    import time
+
+    from tmframe_spark.data.catalog import Catalog
+    from tmframe_spark.streaming.materialize import (
+        consolidate_stream_blocks,
+        materialize_continuous_blocks,
+        read_consolidation_manifest,
+    )
+
+    _, schema, t = landed
+    d = tempfile.mkdtemp(prefix="tmframe_prune_src_")
+    t.write.mode("overwrite").parquet(d)
+    time.sleep(1.1)
+    mx = t.agg(F.max("ts")).collect()[0][0]
+    spark.createDataFrame(
+        [("__flush__", 0, "system", "flush", None, mx)], schema
+    ).withColumn(
+        "ts",
+        (F.col("ts").cast("timestamp") + F.expr("interval 2 days")).cast(
+            schema["ts"].dataType
+        ),
+    ).write.mode("append").parquet(d)
+
+    root = str(tmp_path / "stream_root")
+    q = materialize_continuous_blocks(
+        spark, d, schema, root, tier="1h", watermark="10 minutes", max_files=4
+    )
+    q.awaitTermination(300)
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    stats = consolidate_stream_blocks(
+        spark, root, "blocks_1h_stream", cat, "archive", prune=True
+    )
+    assert stats
+    manifest = read_consolidation_manifest(root, "blocks_1h_stream")
+    for day, n in stats.items():
+        assert manifest[day] == {"blocks": n, "pruned": True}
+        # consumed source dirs are gone
+        assert not glob.glob(
+            os.path.join(root, "blocks_1h_stream", "batch=*", f"day={day}")
+        )
+    served = {str(r["day"]): 1 for r in cat.read("archive").select("day").distinct().collect()}
+    assert set(served) == set(stats)
+    archive_rows = cat.read("archive").count()
+    # fenced days are skipped by a re-consolidation even though their source
+    # is gone — the canonical archive cannot be clobbered by a partial read
+    again = consolidate_stream_blocks(
+        spark, root, "blocks_1h_stream", cat, "archive",
+        days=sorted(stats), prune=True,
+    )
+    assert again == {}
+    assert cat.read("archive").count() == archive_rows

@@ -28,6 +28,10 @@ watermark to the stream's end, and every later batch's rows are dropped as
 late (measured: a 16-shard round-robin landing kept only ~28% of windows;
 the same data landed as ascending day ranges kept 100%). Backfill belongs
 in the BATCH path (jobs/rollup_job.py), not the archiver tail.
+
+The drop is no longer silent: ``record_late_drops`` folds Spark's
+``numRowsDroppedByWatermark`` per micro-batch into the batch manifests,
+and the archiver job surfaces the total in its drained summary line.
 """
 
 from __future__ import annotations
@@ -112,6 +116,60 @@ def read_materialized(spark: SparkSession, table_root: str, table: str) -> DataF
     return spark.read.option("basePath", path).parquet(f"{path}/batch=*/day=*")
 
 
+def record_late_drops(query, table_root: str, table: str) -> dict[int, int]:
+    """Merge per-micro-batch WATERMARK LATE-DROP counts into the batch
+    manifests, so a misfed pipeline is visible, not silent.
+
+    The round-3 soak showed the failure mode: landing shards in arbitrary
+    (non-time) order lets the first batch advance the watermark to the
+    stream's end and every later batch's rows are dropped as late — ~72% of
+    windows lost with NO signal anywhere (the requirement was documented
+    only). Spark does count those rows: the stateful aggregation reports
+    ``numRowsDroppedByWatermark`` per micro-batch in its progress events.
+    This helper folds that counter into each ``batch-<id>.json`` manifest
+    (atomic rewrite, same tmp+rename protocol) as ``late_dropped_rows`` and
+    returns ``{batch_id: dropped}``.
+
+    Two measured quirks of this counter (pinned by the round-4 tests): the
+    late filter uses the PREVIOUS batch's watermark — eviction uses the
+    current one — so a misordered shard landing one batch after the
+    watermark jump is still admitted and drops begin a batch later; and for
+    aggregations the counter counts rows at the state operator, i.e.
+    post-partial-aggregation (conv, window) GROUPS, not raw input rows.
+    Either way: zero means a clean feed, nonzero means data loss.
+
+    Call it after a drain (``q.awaitTermination()``) or periodically on a
+    continuous query — ``recentProgress`` holds the last ~100 micro-batches.
+    The archiver job does both and surfaces the total in its summary line.
+    """
+    man_dir = os.path.join(table_root, f"_{table}_batches")
+    out: dict[int, int] = {}
+    for p in query.recentProgress:
+        prog = json.loads(p.json) if hasattr(p, "json") else p
+        bid = prog.get("batchId")
+        if bid is None:
+            continue
+        dropped = sum(
+            int(op.get("numRowsDroppedByWatermark", 0) or 0)
+            for op in prog.get("stateOperators", [])
+        )
+        out[int(bid)] = dropped
+        os.makedirs(man_dir, exist_ok=True)
+        mpath = os.path.join(man_dir, f"batch-{bid}.json")
+        manifest = {"batch_id": int(bid)}
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                manifest = json.load(f)
+        if manifest.get("late_dropped_rows") == dropped:
+            continue
+        manifest["late_dropped_rows"] = dropped
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
+    return out
+
+
 def _block_batch_writer(table_root: str, table: str):
     def write_blocks(df: DataFrame, batch_dir: str) -> dict:
         from tmframe_spark.codec.udfs import bucket_ts_ns, pack_blocks
@@ -138,6 +196,27 @@ def _block_batch_writer(table_root: str, table: str):
     return _exactly_once_writer(table_root, table, write_blocks)
 
 
+def _consolidation_manifest_path(table_root: str, table: str) -> str:
+    return os.path.join(table_root, f"_{table}_consolidated.json")
+
+
+def read_consolidation_manifest(table_root: str, table: str) -> dict:
+    """``{day: {"blocks": n, "pruned": bool}}`` for every consolidated day."""
+    path = _consolidation_manifest_path(table_root, table)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _commit_consolidation_manifest(table_root: str, table: str, manifest: dict):
+    path = _consolidation_manifest_path(table_root, table)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, path)
+
+
 def consolidate_stream_blocks(
     spark: SparkSession,
     table_root: str,
@@ -145,6 +224,7 @@ def consolidate_stream_blocks(
     cat,
     name: str,
     days: list[str] | None = None,
+    prune: bool = False,
 ):
     """Fold the streamed ``batch=*/day=*`` block table into the canonical
     day-partitioned Catalog archive.
@@ -161,13 +241,43 @@ def consolidate_stream_blocks(
 
     Day-scoped and idempotent like ``Catalog.compact_day`` (overwrite_day
     per day), so it runs behind the streaming frontier day by day. Returns
-    ``{day: canonical_block_count}``.
+    ``{day: canonical_block_count}`` for the days consolidated THIS call.
+
+    Bookkeeping (round-3 advice: the consumed stream data was neither
+    marked nor pruned, so the same days were servable from two tables and
+    the streamed table grew without bound): every consolidated day is
+    recorded in ``_<table>_consolidated.json`` (atomic tmp+rename). A day
+    recorded there is CONSUMED — readers wanting consolidated days must use
+    the Catalog archive; ``read_materialized`` still sees the raw stream
+    table and double-counts if combined naively. With ``prune=True`` the
+    consumed ``batch=*/day=<d>`` source directories are deleted after the
+    canonical overwrite commits. Crash-safety ordering: the day is marked
+    ``pruned`` in the manifest BEFORE its directories are removed, and
+    pruned days are excluded from later consolidations — a crash mid-delete
+    can therefore never feed a partial source back into the canonical
+    archive (the half-deleted day is already fenced off). Un-pruned days
+    remain re-consolidatable (byte-identical overwrite, harmless).
     """
+    import glob as _glob
+    import shutil
+
     from tmframe_spark.codec.udfs import pack_blocks, unpack_blocks
 
+    manifest = read_consolidation_manifest(table_root, table)
+    fenced = set(d for d, m in manifest.items() if m.get("pruned"))
+    if days is not None:
+        want = [str(d) for d in days if str(d) not in fenced]
+        if not want:
+            return {}
+    # a fully-pruned stream table has no batch=*/day=* dirs left — nothing
+    # eligible, and the glob read below would raise PATH_NOT_FOUND
+    if not _glob.glob(os.path.join(table_root, table, "batch=*", "day=*")):
+        return {}
     blocks = read_materialized(spark, table_root, table)
     if days is not None:
-        blocks = blocks.where(F.col("day").cast("string").isin([str(d) for d in days]))
+        blocks = blocks.where(F.col("day").cast("string").isin(want))
+    elif fenced:
+        blocks = blocks.where(~F.col("day").cast("string").isin(sorted(fenced)))
     pts = unpack_blocks(blocks, ["conv_id", "day"], v0="v0", v1="v1")
     canonical = pack_blocks(pts, ["conv_id", "day"], v0="v0", v1="v1").localCheckpoint()
     cat.ensure_table(name, canonical)
@@ -177,6 +287,13 @@ def consolidate_stream_blocks(
         d = str(r["day"])
         cat.overwrite_day(name, canonical.where(F.col("day").cast("string") == d), d)
         out[d] = int(r["n"])
+        manifest[d] = {"blocks": int(r["n"]), "pruned": bool(prune)}
+        _commit_consolidation_manifest(table_root, table, manifest)
+        if prune:
+            for src in _glob.glob(
+                os.path.join(table_root, table, "batch=*", f"day={d}")
+            ):
+                shutil.rmtree(src, ignore_errors=True)
     return out
 
 
