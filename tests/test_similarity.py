@@ -165,6 +165,32 @@ def test_ivf_distributed_trains_past_driver_cap(spark, tmp_path):
     assert len(stats) == 2 and all(s <= nlist for s in stats), stats
 
 
+def test_ivf_assign_broadcast_matches_literal_and_index_serves(emb, tmp_path):
+    # broadcast-matrix assignment == literal-expression assignment, and a
+    # distributed-built index answers exactly like the literal-built one
+    from tmframe_spark.vec.similarity import (
+        ivf_assign_broadcast,
+        ivf_build_index,
+        ivf_topk_from_index,
+    )
+
+    spark = emb.sparkSession
+    cents = ivf_train(emb, nlist=8, iters=2)
+    lit = {(r["vec_id"], r["cell"]) for r in ivf_assign(emb, cents).collect()}
+    bro = {(r["vec_id"], r["cell"]) for r in ivf_assign_broadcast(emb, cents).collect()}
+    assert lit == bro
+    p1, p2 = str(tmp_path / "lit_idx"), str(tmp_path / "dist_idx")
+    c1 = ivf_build_index(emb, p1, nlist=8, iters=3)
+    c2 = ivf_build_index(emb, p2, nlist=8, iters=3, distributed=True)
+    assert c1 == c2
+    qv = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+    s1 = ivf_topk_from_index(spark, p1, c1, qv, k=10, nprobe=4, exclude_id=0).collect()
+    s2 = ivf_topk_from_index(spark, p2, c2, qv, k=10, nprobe=4, exclude_id=0).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in s1] == [
+        (r["vec_id"], r["cosine"]) for r in s2
+    ]
+
+
 def test_ivf_distributed_resume_from_committed_iterations(spark, tmp_path):
     import numpy as np
 

@@ -66,6 +66,30 @@ def test_capped_jaccard_recall_and_exact_values(docs):
         assert v == uncapped[k]
 
 
+def test_lsh_recall_on_driver_corpus(spark):
+    """Scale-proof (round-3 verdict #6): recall evidence on the DRIVER
+    corpus, not just the 90-doc planted fixture. At sf0.1 the measured
+    figures are 5000 docs / 256 exact pairs (all j>=0.6) / LSH recall
+    1.000 / walls lsh 1.3 s vs exact 9.0 s (BENCH.md round-4); this test
+    asserts the same invariant at the suite's sf so it cannot rot."""
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, "doc_id", threshold=0.5, shingle_k=3).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", threshold=0.35, shingle_k=3).collect()
+    }
+    strong = {k for k, v in exact.items() if v >= 0.6}
+    assert len(exact) >= 20, "driver corpus must contain near-dup pairs"
+    assert len(strong & lsh) / len(strong) >= 0.9, (
+        f"bench-corpus LSH recall {len(strong & lsh)}/{len(strong)}"
+    )
+
+
 def test_minhash_estimate_close_to_exact(docs):
     exact = {
         (r["id_a"], r["id_b"]): r["jaccard"]

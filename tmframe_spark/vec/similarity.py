@@ -284,6 +284,45 @@ def ivf_train_distributed(
     return [[float(x) for x in row] for row in C]
 
 
+def ivf_assign_broadcast(
+    embeddings: DataFrame, cents, vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid assignment against a BROADCAST numpy matrix — the
+    E-step of ``ivf_train_distributed`` as a standalone operator. Use in
+    place of ``ivf_assign`` when nlist x dim is too large for literal
+    expressions (the literal plan itself grows with nlist x dim). One
+    matmul-argmin per Arrow batch, no shuffle; ties to the lowest cell,
+    same as ``ivf_assign``."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructType
+
+    spark = embeddings.sparkSession
+    C = np.asarray(cents, dtype=np.float64)
+    if C.size > IVF_BROADCAST_CELL_CAP:
+        raise ValueError(
+            f"centroid matrix has {C.size} elements > broadcast cap "
+            f"{IVF_BROADCAST_CELL_CAP}"
+        )
+    bc = spark.sparkContext.broadcast(C)
+    out_fields = StructType(list(embeddings.schema.fields)).add("cell", IntegerType())
+
+    def fn(batches):
+        import numpy as _np
+
+        Cm = bc.value
+        neg2ct = -2.0 * Cm.T
+        c2 = (Cm * Cm).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64)
+            pdf = pdf.copy()
+            pdf["cell"] = _np.argmin(X @ neg2ct + c2, axis=1).astype("int32")
+            yield pdf
+
+    return embeddings.mapInPandas(fn, out_fields)
+
+
 def ivf_assign(
     embeddings: DataFrame, cents: list[list[float]], vec_col: str = "embedding"
 ) -> DataFrame:
@@ -362,16 +401,26 @@ def ivf_build_index(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    distributed: bool = False,
+    work_dir: str | None = None,
 ) -> list[list[float]]:
     """Build the PERSISTED IVF index: train the coarse quantizer, assign
     every vector, and write the assigned table ``PARTITIONED BY (cell)`` —
     the serving artifact the docstring of ivf_ann_topk promises. A query
     then reads nprobe/nlist of the data via partition (directory) pruning,
-    no shuffle. Returns the centroid table (nlist x dim, driver-side)."""
-    cents = ivf_train(embeddings, nlist, iters, id_col, vec_col)
-    ivf_assign(embeddings, cents, vec_col).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(path)
+    no shuffle. Returns the centroid table (nlist x dim, driver-side).
+    ``distributed=True`` trains via ``ivf_train_distributed`` (the path
+    past the literal trainer's driver cap; ``work_dir`` adds per-iteration
+    lineage + resume)."""
+    if distributed:
+        cents = ivf_train_distributed(
+            embeddings, nlist, iters, id_col, vec_col, work_dir=work_dir
+        )
+        assigned = ivf_assign_broadcast(embeddings, cents, vec_col)
+    else:
+        cents = ivf_train(embeddings, nlist, iters, id_col, vec_col)
+        assigned = ivf_assign(embeddings, cents, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     return cents
 
 
