@@ -133,3 +133,91 @@ def test_unpack_projected_input_stays_bounded_and_equal(spark):
         .orderBy("conv_id", "ts_ns").toPandas()
     )
     assert projected.equals(full) and len(full) == 5000
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_vectorized_packer_matches_scalar_twin(data):
+    """The vectorized record packer (large gap-filled path) must stay
+    byte-identical to the pure-Python scalar _BitWriter twins (the small
+    path) for the same (n, idx, vals) — including across the small/large
+    threshold, negative dods, the 64-bit payload class, and Gorilla
+    window-reuse chains."""
+    n = data.draw(st.integers(min_value=1, max_value=400))
+    k = data.draw(st.integers(min_value=0, max_value=min(n, 80)))
+    idx = np.sort(
+        np.asarray(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=n - 1),
+                    min_size=k,
+                    max_size=k,
+                    unique=True,
+                )
+            ),
+            dtype=np.int64,
+        )
+    )
+    k = len(idx)
+    v0 = np.asarray(
+        data.draw(
+            st.lists(
+                st.one_of(
+                    st.floats(allow_nan=False, allow_infinity=True, width=64),
+                    st.integers(min_value=-5, max_value=5).map(float),
+                ),
+                min_size=k,
+                max_size=k,
+            )
+        ),
+        dtype=np.float64,
+    )
+    v1 = np.asarray(
+        data.draw(
+            st.lists(
+                st.one_of(
+                    st.integers(min_value=-(2**62), max_value=2**62),
+                    st.integers(min_value=-3, max_value=3),
+                ),
+                min_size=k,
+                max_size=k,
+            )
+        ),
+        dtype=np.int64,
+    )
+    t0, step = 1_704_067_200_000_000_000, 60_000_000_000
+    if k == 0:
+        v0 = v1 = None
+
+    # scalar oracle: the small-path twins, forced regardless of len(idx)
+    w = bk._BitWriter()
+    bk._encode_regular_ts(w, t0, step, n)
+    if v0 is not None:
+        bk._encode_xor_sparse_small(
+            w, n, idx.tolist(), v0.view(np.uint64).tolist()
+        )
+    if v1 is not None:
+        bk._encode_dod_sparse_small(w, n, idx.tolist(), v1.tolist())
+    flags = (1 if v0 is not None else 0) | (2 if v1 is not None else 0)
+    import struct
+
+    oracle = (
+        bk.BLOCK_MAGIC
+        + struct.pack("<BBI", bk.BLOCK_VERSION, flags, n)
+        + w.finish()
+    )
+
+    # vectorized path, forced regardless of len(idx)
+    streams = [bk._ts_regular_records(t0, step, n)]
+    if v0 is not None:
+        streams.append(bk._xor_records_sparse(n, idx, v0))
+    if v1 is not None:
+        streams.append(bk._dod_records_sparse(n, idx, v1))
+    vec = (
+        bk.BLOCK_MAGIC
+        + struct.pack("<BBI", bk.BLOCK_VERSION, flags, n)
+        + bk._pack_streams(streams)
+    )
+    assert vec == oracle
+    # and the public entry point (whichever path it chose) agrees too
+    assert bk.encode_block_gapfilled(t0, step, n, idx, v0, v1) == oracle
