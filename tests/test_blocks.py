@@ -221,3 +221,44 @@ def test_vectorized_packer_matches_scalar_twin(data):
     assert vec == oracle
     # and the public entry point (whichever path it chose) agrees too
     assert bk.encode_block_gapfilled(t0, step, n, idx, v0, v1) == oracle
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_batch_encode_matches_per_block(data):
+    """encode_blocks_gapfilled_batch (the whole-conversation vectorized
+    pass used by pack_rollup_blocks) must be byte-identical to per-block
+    encode_block_gapfilled — including empty blocks, single-point spines,
+    and blocks landing on both sides of the small/large threshold."""
+    rng = np.random.default_rng(data.draw(st.integers(min_value=0, max_value=2**31)))
+    nb = data.draw(st.integers(min_value=1, max_value=8))
+    ns = rng.integers(1, 120, size=nb).astype(np.int64)
+    t0s = (np.arange(nb) * 86_400_000_000_000 + 1_704_067_200_000_000_000).astype(
+        np.int64
+    )
+    bids_l, idx_l = [], []
+    for b in range(nb):
+        k = int(rng.integers(0, min(int(ns[b]), 40) + 1))
+        if k:
+            bids_l.append(np.full(k, b, dtype=np.int64))
+            idx_l.append(np.sort(rng.choice(int(ns[b]), size=k, replace=False)))
+    if bids_l:
+        bids = np.concatenate(bids_l)
+        idx = np.concatenate(idx_l).astype(np.int64)
+    else:
+        bids = idx = np.empty(0, dtype=np.int64)
+    v0 = rng.choice(
+        [0.0, 1.5, -3.25, 1e300, 37.5, 2.0**-1000, -0.0], size=len(bids)
+    ).astype(np.float64)
+    v1 = rng.choice([0, 1, -1, 63, -64, 2**40, -(2**62)], size=len(bids)).astype(
+        np.int64
+    )
+    step = 60_000_000_000
+    got = bk.encode_blocks_gapfilled_batch(t0s, step, ns, bids, idx, v0, v1)
+    assert len(got) == nb
+    for b in range(nb):
+        m = bids == b
+        want = bk.encode_block_gapfilled(
+            int(t0s[b]), step, int(ns[b]), idx[m], v0[m], v1[m]
+        )
+        assert got[b] == want

@@ -200,40 +200,48 @@ _M64 = 0xFFFFFFFFFFFFFFFF
 _EMPTY_I64 = np.empty(0, dtype=np.int64)
 
 
+def _scatter_bits(
+    words: np.ndarray, offs: np.ndarray, codes: np.ndarray, lens: np.ndarray
+) -> None:
+    """OR-scatter variable-length records (1..64 bits each) at the given
+    absolute bit offsets into the MSB-first bitstream held by ``words`` —
+    byte-identical to a _BitWriter fed the same records with
+    write_zero_bits for the gaps. Bit ranges must be disjoint across ALL
+    calls touching the same words (so OR == ADD, which is what makes the
+    per-word combine a reduceat). offs must be sorted ascending within one
+    call; separate calls may cover interleaved ranges."""
+    if not len(offs):
+        return
+    offs_u = offs.astype(_U64)
+    lens_u = lens.astype(_U64)
+    codes_u = codes.astype(_U64, copy=False)
+    wi = (offs_u >> _U64(6)).astype(np.int64)
+    # record's end bit, relative to the start of its first word: (0,127]
+    rel_end = offs_u + lens_u - (wi.astype(_U64) << _U64(6))
+    one = rel_end <= _U64(64)
+    lsh = np.where(one, _U64(64) - rel_end, _U64(0))
+    rsh = np.where(one, _U64(0), rel_end - _U64(64))
+    hi = (codes_u << lsh) >> rsh
+    # spill into the next word when the record crosses a word boundary;
+    # the &63 keeps the (discarded) one-word lane's shift count valid
+    lo = np.where(one, _U64(0), codes_u << ((_U64(128) - rel_end) & _U64(63)))
+    starts = np.flatnonzero(np.r_[True, wi[1:] != wi[:-1]])
+    words[wi[starts]] += np.add.reduceat(hi, starts)
+    loz = np.flatnonzero(lo)
+    if len(loz):
+        li = wi[loz] + 1
+        s2 = np.flatnonzero(np.r_[True, li[1:] != li[:-1]])
+        words[li[s2]] += np.add.reduceat(lo[loz], s2)
+
+
 def _pack_bits(
     offs: np.ndarray, codes: np.ndarray, lens: np.ndarray, total_bits: int
 ) -> bytes:
-    """OR-scatter variable-length records (1..64 bits each) at the given
-    absolute bit offsets into one MSB-first bitstream, zero-padded to a byte
-    boundary — byte-identical to a _BitWriter fed the same records with
-    write_zero_bits for the gaps. Bit ranges must be disjoint (so OR == ADD,
-    which is what makes the per-word combine a reduceat). offs must be
-    sorted ascending."""
-    nbytes = (total_bits + 7) >> 3
+    """One-shot _scatter_bits into a fresh buffer, returned as bytes."""
     nwords = (total_bits + 63) >> 6
     words = np.zeros(nwords, dtype=_U64)
-    if len(offs):
-        offs_u = offs.astype(_U64)
-        lens_u = lens.astype(_U64)
-        codes_u = codes.astype(_U64, copy=False)
-        wi = (offs_u >> _U64(6)).astype(np.int64)
-        # record's end bit, relative to the start of its first word: (0,127]
-        rel_end = offs_u + lens_u - (wi.astype(_U64) << _U64(6))
-        one = rel_end <= _U64(64)
-        lsh = np.where(one, _U64(64) - rel_end, _U64(0))
-        rsh = np.where(one, _U64(0), rel_end - _U64(64))
-        hi = (codes_u << lsh) >> rsh
-        # spill into the next word when the record crosses a word boundary;
-        # the &63 keeps the (discarded) one-word lane's shift count valid
-        lo = np.where(one, _U64(0), codes_u << ((_U64(128) - rel_end) & _U64(63)))
-        starts = np.flatnonzero(np.r_[True, wi[1:] != wi[:-1]])
-        words[wi[starts]] += np.add.reduceat(hi, starts)
-        loz = np.flatnonzero(lo)
-        if len(loz):
-            li = wi[loz] + 1
-            s2 = np.flatnonzero(np.r_[True, li[1:] != li[:-1]])
-            words[li[s2]] += np.add.reduceat(lo[loz], s2)
-    return words.byteswap().tobytes()[:nbytes]
+    _scatter_bits(words, offs, codes, lens)
+    return words.byteswap().tobytes()[: (total_bits + 7) >> 3]
 
 
 def _pack_streams(streams) -> bytes:
@@ -688,6 +696,198 @@ def encode_block_gapfilled(
     if v1_vals is not None:
         streams.append(_dod_records_sparse(n, idx, np.asarray(v1_vals, dtype=_I64)))
     return header + _pack_streams(streams)
+
+
+def encode_blocks_gapfilled_batch(
+    t0s, step: int, ns, bids, idx, v0_vals, v1_vals
+) -> list:
+    """Encode MANY gap-filled blocks (one conversation's worth) in ONE
+    vectorized pass — byte-for-byte identical to calling
+    ``encode_block_gapfilled`` per block (asserted by
+    tests/test_blocks.py::test_batch_encode_matches_per_block).
+
+    Per-block processing has a hard floor of ~90 us/block in numpy call
+    overhead (~30 small-array ops each), which at soak scale (>10^6 blocks
+    per run) dominates the whole pack stage. Here every per-stream analysis
+    runs once over the conversation's concatenated data — candidate slots
+    via a keyed unique (block_id * stride + slot), value lookups via ONE
+    searchsorted against the keyed data positions, within-block record
+    ranks/offsets via segmented cumsums — and all blocks' records are
+    OR-scattered into one shared word buffer (blocks are byte-aligned, so
+    slicing the buffer yields each block's padded bitstream). Only the
+    Gorilla window-reuse decision remains a linear scalar scan, resetting at
+    block boundaries exactly like the per-block encoder's fresh writer.
+
+    Args (arrays, one conversation):
+      t0s   int64[nb]  per-block first spine timestamp (ns)
+      step  int        spine step (ns), shared by every block (one tier)
+      ns    int64[nb]  per-block spine point count, all > 0
+      bids  int64[R]   block id per data point, nondecreasing
+      idx   int64[R]   spine index LOCAL to the block, ascending within one
+      v0_vals float64[R], v1_vals int64[R]  values at those slots
+
+    Returns a list of nb block byte strings (flags=3: both value streams).
+    """
+    t0s = np.ascontiguousarray(t0s, dtype=_I64)
+    ns = np.ascontiguousarray(ns, dtype=_I64)
+    bids = np.asarray(bids, dtype=_I64)
+    idx = np.asarray(idx, dtype=_I64)
+    v0b = np.ascontiguousarray(v0_vals, dtype=np.float64).view(_U64)
+    v1v = np.asarray(v1_vals, dtype=_I64)
+    nb = len(t0s)
+    if nb == 0:
+        return []
+    if (ns <= 0).any():
+        raise ValueError("empty block")
+    R = len(bids)
+    stride = int(ns.max()) + 2
+    dk = bids * stride + idx + 1  # strictly increasing data-slot keys
+
+    def lookup(keys, vals, zero):
+        out = np.full(len(keys), zero, dtype=vals.dtype)
+        ins = np.searchsorted(dk, keys)
+        ok = ins < R
+        ok[ok] &= dk[ins[ok]] == keys[ok]
+        out[ok] = vals[ins[ok]]
+        return out
+
+    m0 = idx == 0  # blocks whose first spine slot holds data
+    xor_first = np.zeros(nb, dtype=_U64)
+    xor_first[bids[m0]] = v0b[m0]
+    dod_first = np.zeros(nb, dtype=_U64)
+    dod_first[bids[m0]] = v1v[m0].view(_U64)
+
+    def seg_plan(rb, rj, cost):
+        """Within-block record offsets + per-block totals for one stream.
+        rb = record block ids (nondecreasing), rj = record slot, cost = bits
+        per record. Returns (rec_off_rel, K_per_block, cost_sum_per_block)."""
+        K = np.bincount(rb, minlength=nb)
+        segfirst = np.concatenate(([0], np.cumsum(K)[:-1]))
+        rank = np.arange(len(rb)) - segfirst[rb]
+        excl = np.cumsum(cost) - cost
+        within = excl - excl[segfirst[rb]]
+        rec_off = 64 + (rj - rank) + within
+        csum = np.bincount(rb, weights=cost, minlength=nb).astype(np.int64)
+        return rec_off, K, csum
+
+    # ---- XOR stream (v0) ------------------------------------------------
+    ck = np.unique(np.concatenate([dk - 1, dk]))
+    cb = ck // stride
+    cj = ck % stride - 1
+    keep = (cj >= 0) & (cj <= ns[cb] - 2)
+    ck, cb, cj = ck[keep], cb[keep], cj[keep]
+    xors = lookup(ck, v0b, _U64(0)) ^ lookup(ck + 1, v0b, _U64(0))
+    nzm = xors != 0
+    xb, xj, xv = cb[nzm], cj[nzm], xors[nzm]
+    lzs = np.minimum(_clz64(xv), 63)
+    tzs = _ctz64(xv)
+    Rx = len(xv)
+    # window-reuse decisions: linear scan, window resets at each block start
+    # (the per-block encoder starts every block with prev window = none)
+    is11_l = []
+    ap = is11_l.append
+    pb_ = -1
+    plz = ptz = -1
+    for b, lz, tz in zip(xb.tolist(), lzs.tolist(), tzs.tolist()):
+        if b != pb_ or lz < plz or tz < ptz:
+            ap(True)
+            pb_, plz, ptz = b, lz, tz
+        else:
+            ap(False)
+    is11 = np.asarray(is11_l, dtype=bool)
+    el = np.flatnonzero(is11)
+    gov = el[np.searchsorted(el, np.arange(Rx), side="right") - 1] if Rx else el
+    plen_x = 64 - lzs[gov] - tzs[gov]
+    clen_x = np.where(is11, 14, 2)
+    ctrl_x = np.where(is11, (0b11 << 12) | (lzs << 6) | (plen_x - 1), 0b10)
+    pay_x = xv >> tzs[gov].astype(_U64)
+    cost_x = clen_x + plen_x
+    off_x, Kx, csum_x = seg_plan(xb, xj, cost_x)
+    xor_total = 64 + (ns - 1 - Kx) + csum_x
+
+    # ---- dod stream (v1) ------------------------------------------------
+    ck = np.unique(np.concatenate([dk - 1, dk, dk + 1]))
+    cb = ck // stride
+    cj = ck % stride - 1
+    keep = (cj >= 0) & (cj <= ns[cb] - 2)
+    ck, cb, cj = ck[keep], cb[keep], cj[keep]
+    xp1 = lookup(ck + 1, v1v, 0)
+    x0 = lookup(ck, v1v, 0)
+    xm1 = lookup(ck - 1, v1v, 0)
+    rec = np.where(cj == 0, xp1 - x0, xp1 - _I64(2) * x0 + xm1)
+    nzm = rec != 0
+    gb, gj, grec = cb[nzm], cj[nzm], rec[nzm]
+    pbs = _dod_class(grec)
+    sel = [pbs == 7, pbs == 12, pbs == 18, pbs == 32]
+    plen_d = np.select(sel, [2, 3, 4, 5], default=5)
+    pre_d = np.select(sel, [0b10, 0b110, 0b1110, 0b11110], default=0b11111)
+    cost_d = plen_d + pbs
+    off_d, Kd, csum_d = seg_plan(gb, gj, cost_d)
+    dod_total = 64 + (ns - 1 - Kd) + csum_d
+
+    # ---- ts stream (regular spine; same step everywhere) ---------------
+    pb_ts = _dod_class_scalar(step)
+    pre_ts, plen_ts = _PREFIX_FOR[pb_ts]
+    multi = ns > 1
+    ts_total = np.where(multi, 64 + plen_ts + pb_ts + (ns - 2), 64)
+
+    # ---- compose: byte-aligned block layout ----------------------------
+    block_bits = ts_total + xor_total + dod_total
+    block_nbytes = (block_bits + 7) >> 3
+    byte_start = np.concatenate(([0], np.cumsum(block_nbytes)[:-1]))
+    total_bytes = int(byte_start[-1] + block_nbytes[-1])
+    ts_base = byte_start * 8
+    xor_base = ts_base + ts_total
+    dod_base = xor_base + xor_total
+    words = np.zeros((total_bytes + 7) >> 3, dtype=_U64)
+
+    _scatter_bits(words, ts_base, t0s.view(_U64), np.full(nb, 64))
+    mb = np.flatnonzero(multi)
+    if len(mb):
+        _scatter_bits(
+            words,
+            ts_base[mb] + 64,
+            np.full(len(mb), pre_ts, dtype=_U64),
+            np.full(len(mb), plen_ts),
+        )
+        _scatter_bits(
+            words,
+            ts_base[mb] + 64 + plen_ts,
+            np.full(len(mb), step & ((1 << pb_ts) - 1), dtype=_U64),
+            np.full(len(mb), pb_ts),
+        )
+    _scatter_bits(words, xor_base, xor_first, np.full(nb, 64))
+    if Rx:
+        offs = np.empty(2 * Rx, dtype=np.int64)
+        codes = np.empty(2 * Rx, dtype=_U64)
+        lens = np.empty(2 * Rx, dtype=np.int64)
+        ob = xor_base[xb] + off_x
+        offs[0::2], offs[1::2] = ob, ob + clen_x
+        codes[0::2], codes[1::2] = ctrl_x.astype(_U64), pay_x
+        lens[0::2], lens[1::2] = clen_x, plen_x
+        _scatter_bits(words, offs, codes, lens)
+    _scatter_bits(words, dod_base, dod_first, np.full(nb, 64))
+    if len(gb):
+        Rd = len(gb)
+        offs = np.empty(2 * Rd, dtype=np.int64)
+        codes = np.empty(2 * Rd, dtype=_U64)
+        lens = np.empty(2 * Rd, dtype=np.int64)
+        ob = dod_base[gb] + off_d
+        offs[0::2], offs[1::2] = ob, ob + plen_d
+        mask = _U64(_M64) >> (_U64(64) - pbs.astype(_U64))
+        codes[0::2], codes[1::2] = pre_d.astype(_U64), grec.view(_U64) & mask
+        lens[0::2], lens[1::2] = plen_d, pbs
+        _scatter_bits(words, offs, codes, lens)
+
+    buf = words.byteswap().tobytes()
+    counts_le = ns.astype("<u4").tobytes()
+    hdr = BLOCK_MAGIC + bytes((BLOCK_VERSION, 3))
+    bs = byte_start.tolist()
+    nbz = block_nbytes.tolist()
+    return [
+        hdr + counts_le[4 * b : 4 * b + 4] + buf[bs[b] : bs[b] + nbz[b]]
+        for b in range(nb)
+    ]
 
 
 def peek_block_n_points(frame: bytes) -> int:

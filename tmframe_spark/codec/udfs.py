@@ -33,7 +33,7 @@ from pyspark.sql.types import (
 from tmframe_spark.codec.blocks import (
     decode_block,
     encode_block,
-    encode_block_gapfilled,
+    encode_blocks_gapfilled_batch,
 )
 from tmframe_spark.codec.frames import (
     EV_BLOCK,
@@ -229,20 +229,18 @@ def pack_rollup_blocks(
         starts = np.maximum((grp_starts - t0) // step, 0)
         ends = np.append(starts[1:], n_total)
         data_pos = (ts - t0) // step
-        bounds = np.searchsorted(data_pos, starts)
-        bounds = np.append(bounds, len(ts))
         nb = len(starts)
-        blocks, block_t0s = [], []
-        for bi in range(nb):
-            s_sp, e_sp = int(starts[bi]), int(ends[bi])
-            ds, de = int(bounds[bi]), int(bounds[bi + 1])
-            block_t0 = t0 + s_sp * step
-            block_t0s.append(block_t0)
-            blocks.append(
-                encode_block_gapfilled(
-                    block_t0, step, e_sp - s_sp, data_pos[ds:de] - s_sp, a0[ds:de], a1[ds:de]
-                )
-            )
+        # whole-conv batch encode: per-point block id + block-local slot,
+        # then ONE vectorized pass over all of the conv's blocks (byte-equal
+        # to the per-block encoder — the 4x soak-scale win is amortizing the
+        # per-block numpy ceremony across the conversation)
+        bids = np.searchsorted(starts, data_pos, side="right") - 1
+        local = data_pos - starts[bids]
+        block_t0s_arr = t0 + starts * step
+        blocks = encode_blocks_gapfilled_batch(
+            block_t0s_arr, step, ends - starts, bids, local, a0, a1
+        )
+        block_t0s = block_t0s_arr.tolist()
         # marshal the conv's blocks as ONE frame batch (per-frame numpy
         # ceremony amortized), then slice the stream back into rows
         fr = make_frames(block_t0s, [EV_BLOCK] * nb, data=blocks)
