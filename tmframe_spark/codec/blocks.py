@@ -152,38 +152,55 @@ class _BitReader:
         return n, False
 
 
+#: per-byte clz/ctz lookup tables (index = byte value)
+_CLZ8 = np.array([8 - int(v).bit_length() for v in range(256)], dtype=np.int64)
+_CTZ8 = np.array(
+    [8] + [((v & -v).bit_length() - 1) for v in range(1, 256)], dtype=np.int64
+)
+
+
 def _clz64(x: np.ndarray) -> np.ndarray:
-    """Vectorized count-leading-zeros over uint64; clz(0) = 64."""
-    x = x.astype(_U64, copy=True)
-    n = np.zeros(x.shape, dtype=np.int64)
-    for shift in (32, 16, 8, 4, 2, 1):
-        m = x < (_U64(1) << _U64(64 - shift))
-        n[m] += shift
-        x[m] = x[m] << _U64(shift)
-    n[np.asarray(x) == 0] = 64  # inputs that were zero never gained an MSB
-    return n
+    """Vectorized count-leading-zeros over uint64; clz(0) = 64. Finds the
+    highest nonzero byte (argmax over the reversed byte view) and finishes
+    with a 256-entry table — ~6 whole-array ops instead of a 6-pass
+    mask-and-shift loop."""
+    xb = np.ascontiguousarray(x, dtype=_U64)
+    b = xb.reshape(-1, 1).view(np.uint8)  # little-endian: column 7 = MSB
+    rev = b[:, ::-1] != 0
+    hb = rev.argmax(axis=1)  # 0 == MSB byte
+    out = hb * 8 + _CLZ8[b[np.arange(len(b)), 7 - hb]]
+    out[xb == 0] = 64
+    return out
 
 
 def _ctz64(x: np.ndarray) -> np.ndarray:
     """Vectorized count-trailing-zeros over uint64; ctz(0) = 64."""
-    x = x.astype(_U64)
-    low = x & (~x + _U64(1))  # isolate lowest set bit (two's complement)
-    out = np.full(x.shape, 64, dtype=np.int64)
-    nz = x != 0
-    out[nz] = 63 - _clz64(low[nz])
+    xb = np.ascontiguousarray(x, dtype=_U64)
+    b = xb.reshape(-1, 1).view(np.uint8)  # column 0 = LSB
+    lb = (b != 0).argmax(axis=1)
+    out = lb * 8 + _CTZ8[b[np.arange(len(b)), lb]]
+    out[xb == 0] = 64
     return out
 
 
+#: dod class thresholds on |dod| (float compare; exact below 2^53 and
+#: anything larger is raw-64 anyway) -> index into the payload/prefix LUTs
+_DOD_BOUNDS = np.array([0.5, 63.5, 2047.5, 131071.5, 2**31 - 0.5])
+_DOD_PAYLOAD = np.array([0, 7, 12, 18, 32, 64], dtype=np.int64)
+_DOD_PLEN = np.array([0, 2, 3, 4, 5, 5], dtype=np.int64)
+_DOD_PRE = np.array([0, 0b10, 0b110, 0b1110, 0b11110, 0b11111], dtype=np.int64)
+
+
+def _dod_class_idx(dod: np.ndarray) -> np.ndarray:
+    """Per-point dod class INDEX (0 = zero record, 1..5 = the prefix
+    classes), one searchsorted instead of a np.select cascade."""
+    a = np.abs(dod.astype(np.float64))
+    return np.searchsorted(_DOD_BOUNDS, a)
+
+
 def _dod_class(dod: np.ndarray):
-    """Per-point (prefix, prefix_len, payload_bits) selection, vectorized."""
-    a = np.abs(dod.astype(np.float64))  # |dod| compare; exact below 2^53,
-    # and anything >= 2^31 falls into the raw-64 class anyway.
-    payload = np.select(
-        [dod == 0, a <= 63, a <= 2047, a <= 131071, a <= 2**31 - 1],
-        [0, 7, 12, 18, 32],
-        default=64,
-    )
-    return payload
+    """Per-point payload-bit-count selection, vectorized."""
+    return _DOD_PAYLOAD[_dod_class_idx(dod)]
 
 
 # ---------------------------------------------------------------------------
@@ -274,10 +291,10 @@ def _dod_stream_records(first: int, j: np.ndarray, rec: np.ndarray, n: int):
             np.full(1, 64, dtype=np.int64),
             64 + (n - 1),
         )
-    pbs = _dod_class(rec)
-    sel = [pbs == 7, pbs == 12, pbs == 18, pbs == 32]
-    plen = np.select(sel, [2, 3, 4, 5], default=5)
-    pre = np.select(sel, [0b10, 0b110, 0b1110, 0b11110], default=0b11111)
+    cls = _dod_class_idx(rec)
+    pbs = _DOD_PAYLOAD[cls]
+    plen = _DOD_PLEN[cls]
+    pre = _DOD_PRE[cls]
     cost = plen + pbs
     K = len(j)
     csum = np.empty(K, dtype=np.int64)
@@ -817,10 +834,10 @@ def encode_blocks_gapfilled_batch(
     rec = np.where(cj == 0, xp1 - x0, xp1 - _I64(2) * x0 + xm1)
     nzm = rec != 0
     gb, gj, grec = cb[nzm], cj[nzm], rec[nzm]
-    pbs = _dod_class(grec)
-    sel = [pbs == 7, pbs == 12, pbs == 18, pbs == 32]
-    plen_d = np.select(sel, [2, 3, 4, 5], default=5)
-    pre_d = np.select(sel, [0b10, 0b110, 0b1110, 0b11110], default=0b11111)
+    cls = _dod_class_idx(grec)
+    pbs = _DOD_PAYLOAD[cls]
+    plen_d = _DOD_PLEN[cls]
+    pre_d = _DOD_PRE[cls]
     cost_d = plen_d + pbs
     off_d, Kd, csum_d = seg_plan(gb, gj, cost_d)
     dod_total = 64 + (ns - 1 - Kd) + csum_d

@@ -33,6 +33,7 @@ from pyspark.sql.types import (
 from tmframe_spark.codec.blocks import (
     decode_block,
     encode_block,
+    encode_block_gapfilled,
     encode_blocks_gapfilled_batch,
 )
 from tmframe_spark.codec.frames import (
@@ -230,17 +231,34 @@ def pack_rollup_blocks(
         ends = np.append(starts[1:], n_total)
         data_pos = (ts - t0) // step
         nb = len(starts)
-        # whole-conv batch encode: per-point block id + block-local slot,
-        # then ONE vectorized pass over all of the conv's blocks (byte-equal
-        # to the per-block encoder — the 4x soak-scale win is amortizing the
-        # per-block numpy ceremony across the conversation)
-        bids = np.searchsorted(starts, data_pos, side="right") - 1
-        local = data_pos - starts[bids]
         block_t0s_arr = t0 + starts * step
-        blocks = encode_blocks_gapfilled_batch(
-            block_t0s_arr, step, ends - starts, bids, local, a0, a1
-        )
         block_t0s = block_t0s_arr.tolist()
+        if len(ts) <= 400 * nb:
+            # whole-conv batch encode: per-point block id + block-local
+            # slot, then ONE vectorized pass over all of the conv's blocks
+            # (byte-equal to the per-block encoder — the 4x soak-scale win
+            # is amortizing the per-block numpy ceremony across the conv)
+            bids = np.searchsorted(starts, data_pos, side="right") - 1
+            local = data_pos - starts[bids]
+            blocks = encode_blocks_gapfilled_batch(
+                block_t0s_arr, step, ends - starts, bids, local, a0, a1
+            )
+        else:
+            # dense conv (>~400 data rows per block, e.g. the hot salted
+            # conversation at fine tiers): per-block whole-array encode
+            # beats the keyed-segmented pass (measured crossover ~400)
+            bounds = np.append(np.searchsorted(data_pos, starts), len(ts))
+            blocks = [
+                encode_block_gapfilled(
+                    block_t0s[bi],
+                    step,
+                    int(ends[bi] - starts[bi]),
+                    data_pos[bounds[bi] : bounds[bi + 1]] - int(starts[bi]),
+                    a0[bounds[bi] : bounds[bi + 1]],
+                    a1[bounds[bi] : bounds[bi + 1]],
+                )
+                for bi in range(nb)
+            ]
         # marshal the conv's blocks as ONE frame batch (per-frame numpy
         # ceremony amortized), then slice the stream back into rows
         fr = make_frames(block_t0s, [EV_BLOCK] * nb, data=blocks)
