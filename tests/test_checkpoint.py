@@ -136,3 +136,48 @@ def test_catalog_iceberg_branch_gated(spark, tmp_path):
     cat.overwrite_day("t_iceberg_gate", df, "2024-01-01")
     assert cat.days("t_iceberg_gate") == ["2024-01-01"]
     assert cat.read_day("t_iceberg_gate", "2024-01-01").count() == 3
+
+
+def test_job_blocks_equal_compositional_form(spark):
+    """The job's fused per-day pack (rollup -> pack_rollup_blocks) must
+    write byte-identical blocks to the spine-materializing composition it
+    replaced (gap_fill -> pack_blocks) — the round-4 scale fix removed an
+    ~80x shuffle blowup, not a byte of output."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tmframe_spark.codec.udfs import bucket_ts_ns, pack_blocks
+    from tmframe_spark.data.catalog import Catalog
+    from tmframe_spark.ops.rollup import gap_fill, rollup
+
+    t = with_ts_ns(load_transcripts(spark, SF_DIR)).where(
+        "conv_id in ('conv-0','conv-1','conv-2')"
+    )
+    out = tempfile.mkdtemp(prefix="tmframe_ckpt_eq_out_")
+    man = tempfile.mkdtemp(prefix="tmframe_ckpt_eq_man_")
+    day = pending_days(t, man)[0]
+    t_day = t.where(f"to_date(ts) = '{day}'")
+    checkpointed_rollup_run(t_day, out, man)
+
+    cat = Catalog(spark, out)
+    cat.kind["rollup_1m_blocks"] = "parquet"
+    got = {
+        (r["conv_id"], str(r["day"])): (bytes(r["frame"]), r["n_points"])
+        for r in cat.read("rollup_1m_blocks").collect()
+    }
+
+    m1 = gap_fill(rollup(t_day, "1m"), "1m")
+    pts = m1.select(
+        "conv_id",
+        F.lit(day).alias("day"),
+        bucket_ts_ns().alias("ts_ns"),
+        F.col("token_volume").cast("double").alias("v0"),
+        F.col("turns").cast("long").alias("v1"),
+    )
+    want = {
+        (r["conv_id"], r["day"]): (bytes(r["frame"]), r["n_points"])
+        for r in pack_blocks(pts, ["conv_id", "day"], v0="v0", v1="v1").collect()
+    }
+    assert set(got) == set(want)
+    assert all(got[k] == want[k] for k in want)

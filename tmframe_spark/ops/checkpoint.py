@@ -90,9 +90,9 @@ def checkpointed_rollup_run(
     unit keeps re-runs idempotent either way.
     """
     from tmframe_spark import __version__
-    from tmframe_spark.codec.udfs import bucket_ts_ns, pack_blocks
+    from tmframe_spark.codec.udfs import pack_rollup_blocks
     from tmframe_spark.data.catalog import Catalog
-    from tmframe_spark.ops.rollup import gap_fill, rollup
+    from tmframe_spark.ops.rollup import rollup
 
     cat = Catalog(transcripts.sparkSession, out_dir)
     manifests = []
@@ -100,15 +100,24 @@ def checkpointed_rollup_run(
         t0 = time.time()
         day_df = transcripts.where(F.to_date("ts") == F.lit(day))
         input_rows = day_df.count()
-        m1 = gap_fill(rollup(day_df, "1m", salt=salt), "1m")
-        pts = m1.select(
+        # FUSED gap-fill + pack (the flagship's scale path): the shuffle into
+        # the pack UDF carries only data rows. The previous composition
+        # (gap_fill -> pack_blocks) materialized and shuffled the per-day
+        # SPINE — conv x 1440 rows, an ~80x blowup over the data at soak
+        # density — which is exactly the cliff the fused packer exists to
+        # avoid. Byte-identity of the two forms is pinned by
+        # tests/test_pack_fused.py and the job-level assertion in
+        # tests/test_checkpoint.py.
+        m1 = rollup(day_df, "1m", salt=salt)
+        blocks = pack_rollup_blocks(m1, "1m", "day").select(
             "conv_id",
             F.lit(day).alias("day"),
-            bucket_ts_ns().alias("ts_ns"),
-            F.col("token_volume").cast("double").alias("v0"),
-            F.col("turns").cast("long").alias("v1"),
+            "n_points",
+            "ts_first",
+            "ts_last",
+            "raw_nbytes",
+            "frame",
         )
-        blocks = pack_blocks(pts, ["conv_id", "day"], v0="v0", v1="v1")
         cat.ensure_table(
             table, blocks, partition_by=("day", "bucket(16, conv_id)")
         )
