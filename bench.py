@@ -44,14 +44,21 @@ def flagship_from_transcripts(transcripts) -> int:
     sample_blocks = None
     for (tier, unit), df in tiers.items():
         blocks = pack_rollup_blocks(df, tier, unit).withColumn("tier", F.lit(tier))
-        all_blocks = blocks if all_blocks is None else all_blocks.unionByName(blocks)
         if tier == "1d":
+            # persist the coarsest tier's blocks (a few KB per conv-year):
+            # the decode-verify action below reads them from cache instead
+            # of RE-RUNNING the 1h+1d cascade + pack — the recompute was a
+            # ~20 s, barely-parallel tail on the scaling-gate job (measured
+            # in BENCH.md round-4)
+            blocks = blocks.persist()
             sample_blocks = blocks
+        all_blocks = blocks if all_blocks is None else all_blocks.unionByName(blocks)
     # one action for all three tiers (fewer driver round-trips)
     total = int(all_blocks.agg(F.sum("n_points")).collect()[0][0] or 0)
-    # decode-verify sample: smallest tier decoded end-to-end
+    # decode-verify sample: smallest tier decoded end-to-end (from cache)
     decoded = unpack_blocks(sample_blocks, ["conv_id", "grp"], v0="v0", v1="v1").count()
     assert decoded > 0
+    sample_blocks.unpersist()
     m_data.unpersist()
     return total
 

@@ -51,13 +51,18 @@ synth_transcripts(spark, n_turns, n_convs).write.mode("overwrite").parquet(out)
 spark.stop()
 """
 
-#: cores per executor. 2 keeps the 4N cluster (8 busy cores) inside this
-#: VM's linear CPU/memory-bandwidth region (see BENCH.md hardware probe —
-#: the box's own throughput degrades ~18% at 16 busy cores and ~38% at 32,
-#: which would cap ANY job's measurable efficiency regardless of plan
-#: quality). On real hardware each executor is a separate machine and this
-#: knob is irrelevant.
-CORES_PER_EXEC = 2
+#: cores per executor — chosen to keep BOTH cluster sizes inside this VM's
+#: linear region, so the gate measures the PLAN's scaling, not the box's
+#: ceilings. Round 4 moved this from 2 to 1: after the codec vectorization
+#: the job's Spark-framework throughput (shuffle + Arrow + scan) saturates
+#: at ~27-30M pts/s on this VM irrespective of cores (measured: local[8]
+#: and local[32] both ~250 s on the 80M-turn input, while the pure-numpy
+#: codec probe scales PERFECTLY to 16 processes — BENCH.md round-4), so
+#: 8 busy cores already sit on the framework ceiling. 1->4 busy cores is
+#: the widest window that stays clear of it. On real hardware each
+#: executor is a separate machine (own memory bus, shuffle disks, Python
+#: workers) and this knob is irrelevant.
+CORES_PER_EXEC = 1
 
 RUNNER = """
 import json, sys, time

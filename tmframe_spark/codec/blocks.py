@@ -193,14 +193,10 @@ _DOD_PRE = np.array([0, 0b10, 0b110, 0b1110, 0b11110, 0b11111], dtype=np.int64)
 
 def _dod_class_idx(dod: np.ndarray) -> np.ndarray:
     """Per-point dod class INDEX (0 = zero record, 1..5 = the prefix
-    classes), one searchsorted instead of a np.select cascade."""
+    classes), one searchsorted instead of a np.select cascade. Payload bits
+    = _DOD_PAYLOAD[idx] (the scalar twin is _dod_class_scalar)."""
     a = np.abs(dod.astype(np.float64))
     return np.searchsorted(_DOD_BOUNDS, a)
-
-
-def _dod_class(dod: np.ndarray):
-    """Per-point payload-bit-count selection, vectorized."""
-    return _DOD_PAYLOAD[_dod_class_idx(dod)]
 
 
 # ---------------------------------------------------------------------------
@@ -498,7 +494,8 @@ _PREFIX_FOR = {7: (0b10, 2), 12: (0b110, 3), 18: (0b1110, 4), 32: (0b11110, 5), 
 
 
 def _dod_class_scalar(dod: int) -> int:
-    """Scalar twin of _dod_class (pure Python — no per-record numpy)."""
+    """Scalar payload-bit-count twin of _dod_class_idx (pure Python — no
+    per-record numpy)."""
     if dod == 0:
         return 0
     a = dod if dod >= 0 else -dod

@@ -92,18 +92,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_rollup_1m_gapfill(spark, sf_dir):
+    from tmframe_spark.ops.rollup import rollup_tiers
+
     t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
-    return gap_fill(rollup(t, "1m"), "1m")
+    return rollup_tiers(t)["1m"]
 
 
 def q_rollup_1h_gapfill(spark, sf_dir):
-    t = _t(spark, sf_dir)
-    return gap_fill(cascade_up(rollup(t, "1m"), "1h"), "1h")
+    from tmframe_spark.ops.rollup import rollup_tiers
+
+    return rollup_tiers(_t(spark, sf_dir))["1h"]
 
 
 def q_rollup_1d(spark, sf_dir):
-    t = _t(spark, sf_dir)
-    return gap_fill(cascade_up(cascade_up(rollup(t, "1m"), "1h"), "1d"), "1d")
+    from tmframe_spark.ops.rollup import rollup_tiers
+
+    return rollup_tiers(_t(spark, sf_dir))["1d"]
 
 
 def q_rollup_1m_salted(spark, sf_dir):
