@@ -74,3 +74,34 @@ def test_ten_year_conversation_pack_carry_bound(spark):
     nz = pts[pts["v1"] > 0].sort_values("ts_ns").reset_index(drop=True)
     assert len(nz) == 120 and (nz["v1"] == 3).all()
     assert nz["v0"].tolist() == [1000.0 + i for i in range(120)]
+
+
+def test_dense_conversation_routes_per_block_and_matches(spark):
+    """A conversation above the ~400-data-rows-per-block routing threshold
+    (pack_conv's dense branch) must produce blocks byte-identical to the
+    compositional gap_fill -> pack_blocks path — the two branches share no
+    encoder code path (whole-array per-block vs segmented batch), so this
+    pins the router itself."""
+    import pandas as pd
+
+    # 3 days fully dense at 1m (1440 rows/day > 400 threshold) + 1 sparse
+    # day, two convs (one crosses midnight with a gap)
+    rows = []
+    for conv, days, dense in [("conv-dense", 3, True), ("conv-mixed", 2, False)]:
+        for d in range(days):
+            minutes = range(1440) if dense or d == 0 else range(0, 1440, 97)
+            for m in minutes:
+                ts = pd.Timestamp("2024-03-01") + pd.Timedelta(days=d, minutes=m)
+                rows.append((conv, ts.to_pydatetime(), 1 + (m % 5), m * 7 + d, 0, 0, 0))
+    rolled = spark.createDataFrame(
+        rows,
+        "conv_id string, bucket timestamp, turns long, token_volume long, "
+        "tool_calls long, user_turns long, assistant_turns long",
+    )
+    fused = blocks_dict(pack_rollup_blocks(rolled, "1m", "day"), "grp")
+    comp = blocks_dict(compositional(rolled, "1m", "day"), "grp")
+    assert set(fused) == set(comp)
+    bad = [k for k in comp if fused[k] != comp[k]]
+    assert not bad, f"{len(bad)} blocks differ, e.g. {bad[:3]}"
+    # sanity: the dense conv really exceeded the routing threshold
+    assert sum(1 for (c, _) in fused if c == "conv-dense") == 3
