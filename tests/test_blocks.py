@@ -262,3 +262,46 @@ def test_batch_encode_matches_per_block(data):
             int(t0s[b]), step, int(ns[b]), idx[m], v0[m], v1[m]
         )
         assert got[b] == want
+
+
+def test_malformed_blocks_fail_closed():
+    """Corrupt or truncated blocks must raise ValueError — never a raw
+    IndexError, a hang, or (the worst case) a count-sized allocation bomb
+    inside an executor's Python worker."""
+    import struct
+
+    ts = np.arange(500, dtype=np.int64) * 60_000_000_000
+    v0 = np.linspace(0, 1, 500)
+    v1 = (ts // 13).astype(np.int64)
+    good = bk.encode_block(ts, v0, v1)
+
+    # corrupted count: u32 max would be ~34 GB of output per stream
+    bomb = good[:4] + struct.pack("<I", 0xFFFFFFFF) + good[8:]
+    with pytest.raises(ValueError, match="corrupt block header"):
+        bk.decode_block(bomb)
+    # count = 0
+    zero = good[:4] + struct.pack("<I", 0) + good[8:]
+    with pytest.raises(ValueError, match="corrupt block header"):
+        bk.decode_block(zero)
+    # plausible-but-too-large count for the payload
+    plausible = good[:4] + struct.pack("<I", 500_000) + good[8:]
+    with pytest.raises(ValueError, match="corrupt block header"):
+        bk.decode_block(plausible)
+    # truncation at every prefix length of the header region and a sweep
+    # of payload prefixes
+    for cut in list(range(0, 16)) + list(range(16, len(good), 97)):
+        with pytest.raises(ValueError):
+            bk.decode_block(good[:cut])
+    # random single-byte corruptions: decode must either succeed (bits in
+    # value payloads carry no checksum at this layer — the FRAME wrapper
+    # has BLAKE2b for that) or raise ValueError; nothing else escapes
+    rng = np.random.default_rng(99)
+    for _ in range(200):
+        pos = int(rng.integers(8, len(good)))
+        b = bytearray(good)
+        b[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = bk.decode_block(bytes(b))
+            assert len(out[0]) == 500
+        except ValueError:
+            pass

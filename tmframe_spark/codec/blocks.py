@@ -124,6 +124,10 @@ class _BitReader:
 
     def read(self, nbits: int) -> int:
         while self.nbits < nbits:
+            if self.pos >= len(self.buf):
+                # surface truncation as the codec's error class, not a raw
+                # IndexError from deep inside a worker
+                raise ValueError("truncated block bitstream")
             self.acc = (self.acc << 8) | self.buf[self.pos]
             self.pos += 1
             self.nbits += 8
@@ -436,8 +440,11 @@ def _decode_dod_stream(r: _BitReader, count: int) -> np.ndarray:
             dod = _sign_extend(read(32), 32)
         else:
             dod = _sign_extend(read(64), 64)
-        delta += dod
-        prev += delta
+        # two's-complement wrap, matching the encoder's numpy int64
+        # arithmetic exactly — also keeps corrupt inputs from walking the
+        # accumulator outside int64 (OverflowError on the store)
+        delta = _wrap64(delta + dod)
+        prev = _wrap64(prev + delta)
         out[i] = prev
         i += 1
     return out
@@ -918,12 +925,28 @@ def peek_block_n_points(frame: bytes) -> int:
 
 
 def decode_block(buf: bytes):
-    """Decode a block; returns (ts_ns, v0 | None, v1 | None)."""
+    """Decode a block; returns (ts_ns, v0 | None, v1 | None).
+
+    Malformed input fails with ValueError BEFORE any count-sized
+    allocation: a corrupted header count would otherwise size np.empty
+    (u32 max = 4.3G points = 34 GB per stream — an allocation bomb inside
+    an executor's Python worker), so the count is sanity-checked against
+    the cheapest possible payload (64 bits per stream's first value + one
+    '0' bit per remaining record per stream). Truncated bitstreams raise
+    the same error class from the bit reader."""
     if buf[:2] != BLOCK_MAGIC:
         raise ValueError("bad block magic")
+    if len(buf) < 8:
+        raise ValueError("truncated block header")
     version, flags, count = struct.unpack("<BBI", buf[2:8])
     if version != BLOCK_VERSION:
         raise ValueError(f"unsupported block version {version}")
+    nstreams = 1 + (1 if flags & 1 else 0) + (1 if flags & 2 else 0)
+    if count < 1 or (len(buf) - 8) * 8 < nstreams * (64 + (count - 1)):
+        raise ValueError(
+            f"corrupt block header: count={count} cannot fit in "
+            f"{len(buf)} bytes"
+        )
     r = _BitReader(buf[8:])
     ts = _decode_dod_stream(r, count)
     v0 = _decode_xor_stream(r, count) if flags & 1 else None
