@@ -188,6 +188,18 @@ def pack_rollup_blocks(
     difference between shuffling 100 TB and shuffling 1 TB. The spine only
     ever exists as a numpy array inside one executor task, bounded by the
     conv's retention window.
+
+    Skew note: one conversation packs in one task (blocks need the conv's
+    global [first, last] span), so the hot conversation is the stage's
+    potential straggler — but its cost is CALENDAR-bounded, not data-
+    bounded: a fully dense conv-year at 1m is 525k spine points, ~0.35 s at
+    the measured dense-encode rate, so even a decade-long always-active
+    conversation costs ~3.5 s serial (coarser tiers proportionally less).
+    If a deployment ever needs finer pack parallelism, the split is
+    (conv, calendar-chunk) keys plus a pre-aggregated per-conv span join
+    (the span groupBy is skew-safe via map-side partial aggregation, and
+    AQE's skew-join handles the hot key); the byte output would be
+    unchanged because block boundaries are already calendar-aligned.
     """
     step = TIER_STEP_NS[tier]
     unit = GROUP_UNIT_CODE[group_unit]
