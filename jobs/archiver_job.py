@@ -84,11 +84,17 @@ def main(argv=None) -> int:
         tier=args.tier, watermark=args.watermark, table=table,
         available_now=not args.continuous, max_files=args.max_files,
     )
-    q.awaitTermination()
     # surface watermark late-drops: a misfed landing order (see the
     # feed-shape requirement in streaming/materialize.py) must be visible
-    # in the manifests and the job output, never silent
-    late = record_late_drops(q, args.root, table)
+    # in the manifests and the job output, never silent. Poll DURING the
+    # drain — recentProgress only holds the last ~100 micro-batch events,
+    # so a long backlog drain would evict the early batches' counts before
+    # a single post-drain merge could see them (the per-batch manifests
+    # merge idempotently, so polling is safe to repeat).
+    late: dict[int, int] = {}
+    while not q.awaitTermination(5):
+        late.update(record_late_drops(q, args.root, table))
+    late.update(record_late_drops(q, args.root, table))
     print(json.dumps({
         "action": "drained", "table": table,
         "late_dropped_rows": sum(late.values()),

@@ -85,6 +85,7 @@ def test_lsh_recall_on_driver_corpus(spark):
     }
     strong = {k for k, v in exact.items() if v >= 0.6}
     assert len(exact) >= 20, "driver corpus must contain near-dup pairs"
+    assert strong, "driver corpus must contain pairs with jaccard >= 0.6"
     assert len(strong & lsh) / len(strong) >= 0.9, (
         f"bench-corpus LSH recall {len(strong & lsh)}/{len(strong)}"
     )

@@ -35,7 +35,8 @@ _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 #: '{day}') and into day=... directory paths — validate them like _IDENT
 #: validates names, or a stray quote breaks the SQL and a path fragment
 #: ("../x") escapes the table root
-_DAY = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+#: \Z, not $ — $ would accept a trailing newline into the SQL/path
+_DAY = re.compile(r"\A\d{4}-\d{2}-\d{2}\Z")
 
 #: CREATE failures that mean "this runtime has no Iceberg" (anything else
 #: must surface — see ensure_table)

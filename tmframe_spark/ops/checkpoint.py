@@ -122,7 +122,14 @@ def checkpointed_rollup_run(
             table, blocks, partition_by=("day", "bucket(16, conv_id)")
         )
         cat.overwrite_day(table, blocks, day)
-        stats = blocks.agg(
+        # stats come from reading the COMMITTED day back, not from the
+        # `blocks` DataFrame: re-collecting from `blocks` would re-run the
+        # whole rollup+pack lineage a second time (the round-4 lesson: fix
+        # any action that recomputes lineage), and the read-back doubles as
+        # a write-landed-readable check. A two-column columnar scan of one
+        # day is metadata-cheap at any scale.
+        written = cat.read_day(table, day)
+        stats = written.agg(
             F.sum("n_points").alias("pts"), F.sum(F.length("frame")).alias("nb")
         ).collect()[0]
         wall = time.time() - t0

@@ -99,6 +99,11 @@ def count_window_dedup(
     drop_tag = False
     if not key_cols:
         # global mode: constant key -> one group = the whole merged stream
+        if "_g" in df.columns:
+            raise ValueError(
+                "count_window_dedup global mode reserves column name '_g'; "
+                "rename the input column"
+            )
         df = df.withColumn("_g", F.lit(0))
         key_cols = ["_g"]
         drop_tag = True

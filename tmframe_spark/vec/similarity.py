@@ -446,7 +446,13 @@ def ivf_topk_from_index(
     exact integers."""
     import math
 
-    qv = [float(x) for x in query_vec]
+    import numpy as np
+
+    # float32-round the external query first — the inline twin scores with
+    # the STORED float32 embedding, so quantizing an unrounded float64
+    # input would diverge from what the same vector held by the index
+    # produces (see lsh_topk_from_index for the full rationale)
+    qv = [float(x) for x in np.asarray(query_vec, dtype=np.float32)]
     dists = [
         (sum((a - b) ** 2 for a, b in zip(qv, cent)), c) for c, cent in enumerate(cents)
     ]
@@ -629,7 +635,15 @@ def lsh_topk_from_index(
     import itertools
     import math
 
-    qv = [float(x) for x in query_vec]
+    import numpy as np
+
+    # round the query through float32 FIRST: the one-row bucket DataFrame
+    # casts to array<float> anyway, and the inline twin scores with the
+    # STORED float32 vector — quantizing the unrounded float64 input would
+    # produce a different fixed-point vector than the same embedding held
+    # by the index, breaking bit-equality for external full-precision
+    # queries (near-threshold pairs would flip in/out of top-k)
+    qv = [float(x) for x in np.asarray(query_vec, dtype=np.float32)]
     qdf = spark.createDataFrame([(qv,)], f"{vec_col} array<float>")
     qb = int(lsh_buckets(qdf, vec_col, n_planes).collect()[0]["bucket"])
     probe = sorted(
