@@ -165,6 +165,37 @@ def test_ivf_distributed_trains_past_driver_cap(spark, tmp_path):
     assert len(stats) == 2 and all(s <= nlist for s in stats), stats
 
 
+def test_ivf_mstep_cell_size_safe_on_degenerate_assignment(spark):
+    # round-4 verdict finding #1: a degenerate assignment (EVERY vector in
+    # one hot cell, forced across many partitions) must aggregate with
+    # bounded per-task memory — (cell, pos) partial sums + built-in
+    # map-side combine, never a whole-cell pandas materialization — while
+    # reproducing the literal trainer's exact fixed-point centroid
+    import numpy as np
+
+    from tmframe_spark.vec.similarity import _Q, ivf_mstep
+
+    rng = np.random.default_rng(5)
+    dim, n = 16, 3000
+    X32 = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [(i, 0, [float(x) for x in X32[i]]) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, cell int, embedding array<float>"
+    ).repartition(16)
+    out_df = ivf_mstep(df)
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    # the skew-safety property itself: no grouped-pandas operator (which
+    # loads a whole group per task) anywhere in the plan; the heavy
+    # reduction is a built-in HashAggregate (partial + final)
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    out = out_df.collect()
+    assert len(out) == 1 and out[0]["cell"] == 0 and out[0]["n"] == n
+    qs = np.floor(X32.astype(np.float64) * _Q).astype(np.int64).sum(axis=0)
+    ref = ((qs / n) / _Q).tolist()
+    assert out[0]["centroid"] == ref
+
+
 def test_ivf_assign_broadcast_matches_literal_and_index_serves(emb, tmp_path):
     # broadcast-matrix assignment == literal-expression assignment, and a
     # distributed-built index answers exactly like the literal-built one

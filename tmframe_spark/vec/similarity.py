@@ -151,6 +151,74 @@ def ivf_train(
 IVF_BROADCAST_CELL_CAP = 1 << 27
 
 
+def ivf_mstep(assigned: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Cell-size-safe distributed Lloyd M-step (round-4 verdict finding #1).
+
+    Input: vector rows carrying an int ``cell`` assignment. Output: one row
+    per NON-EMPTY cell — ``(cell int, centroid array<double>, n long)`` —
+    computed with ``ivf_train``'s exact fixed-point rule (per-dimension
+    integer sums of floor(x * 2^20); one double division per dimension, same
+    expression order), so the trainer twins stay bit-identical.
+
+    Scale shape: each Arrow batch reduces to at most (cells-in-batch x dim)
+    partial-sum rows INSIDE the task (one numpy sort + ``add.reduceat`` per
+    batch), and the per-(cell, pos) totals then combine with Spark's
+    built-in map-side partial aggregation — a hot cell with billions of
+    rows costs bounded task memory at every stage. The previous
+    ``groupBy(cell).applyInPandas`` form materialized an ENTIRE cell's
+    vectors in one pandas group, which OOMs a worker on skewed k-means
+    cells at corpus scale. The final per-cell array assembly aggregates dim
+    rows per cell — bounded by dim, never by row count.
+    """
+
+    def partial_sums(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64)
+            Qm = _np.floor(X * _Q).astype(_np.int64)
+            cells = pdf["cell"].to_numpy()
+            order = _np.argsort(cells, kind="stable")
+            cs = cells[order]
+            uniq, first = _np.unique(cs, return_index=True)
+            sums = _np.add.reduceat(Qm[order], first, axis=0)
+            counts = _np.diff(_np.append(first, len(cs)))
+            d = Qm.shape[1]
+            yield _pd.DataFrame(
+                {
+                    "cell": _np.repeat(uniq, d).astype("int32"),
+                    "pos": _np.tile(_np.arange(d, dtype="int32"), len(uniq)),
+                    "s": sums.ravel(),
+                    "n": _np.repeat(counts, d).astype("int64"),
+                }
+            )
+
+    agg = (
+        assigned.select("cell", vec_col)
+        .mapInPandas(partial_sums, "cell int, pos int, s long, n long")
+        .groupBy("cell", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+    # assemble each cell's centroid array: dim (pos, s, n) structs per cell,
+    # ordered by pos (array_sort on structs orders by the leading field).
+    # (s / n) / 2^20 reproduces numpy's true_divide(int64, int64) bit-for-bit
+    # (both cast to double first, then one IEEE division each).
+    return (
+        agg.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s", "n"))).alias("_psn"))
+        .select(
+            "cell",
+            F.transform(
+                "_psn", lambda p: (p["s"] / p["n"]) / F.lit(float(_Q))
+            ).alias("centroid"),
+            F.element_at("_psn", 1)["n"].alias("n"),
+        )
+    )
+
+
 def ivf_train_distributed(
     embeddings: DataFrame,
     nlist: int = 16,
@@ -168,13 +236,14 @@ def ivf_train_distributed(
       broadcast centroid matrix once and argmins ``-2 X C^T + |C|^2`` with
       one numpy matmul per Arrow batch (ties to the lowest cell, matching
       the literal-expression twin). No shuffle, no n x nlist row blowup.
-    - M-step: ``groupBy(cell).applyInPandas`` computes each cell's exact
-      FIXED-POINT integer sums (floor(x * 2^20), the ``ivf_train`` rule) and
-      count — one keyed shuffle whose output is at most nlist rows. The new
-      centroids are written to ``work_dir/centroids/iter=k`` when a
-      ``work_dir`` is given (per-iteration lineage; a later call RESUMES
-      from the last committed iteration), never routed raw through the
-      driver.
+    - M-step: ``ivf_mstep`` — Arrow-batch partial FIXED-POINT integer sums
+      (floor(x * 2^20), the ``ivf_train`` rule) combined by Spark's built-in
+      (cell, pos) aggregation with map-side combine, so a skewed hot cell
+      never materializes in one task (bounded task memory at any cell
+      size). The new centroids are written to ``work_dir/centroids/iter=k``
+      when a ``work_dir`` is given (per-iteration lineage; a later call
+      RESUMES from the last committed iteration), never routed raw through
+      the driver.
     - The driver then collects ONLY the changed cells (steady-state k-means
       changes few) to patch its broadcast copy; ``stats_out`` records that
       per-iteration collected row count.
@@ -245,28 +314,23 @@ def ivf_train_distributed(
                 pdf["cell"] = _np.argmin(X @ neg2ct + c2, axis=1).astype("int32")
                 yield pdf
 
-        def mstep(pdf):
+        def mark_changed(batches):
             import numpy as _np
-            import pandas as _pd
 
-            cell = int(pdf["cell"].iloc[0])
-            X = _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64)
-            qs = _np.floor(X * _Q).astype(_np.int64).sum(axis=0)
-            n = len(pdf)
-            cent = (qs / n) / _Q
-            return _pd.DataFrame(
-                [
-                    {
-                        "cell": cell,
-                        "centroid": [float(x) for x in cent],
-                        "n": n,
-                        "changed": not _np.array_equal(cent, bc.value[cell]),
-                    }
+            Cm = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pdf = pdf.copy()
+                # at most one row per non-empty cell reaches this point
+                pdf["changed"] = [
+                    not _np.array_equal(_np.asarray(c, dtype=_np.float64), Cm[int(k)])
+                    for k, c in zip(pdf["cell"], pdf["centroid"])
                 ]
-            )
+                yield pdf
 
-        newc = embeddings.mapInPandas(assign, out_fields).groupBy("cell").applyInPandas(
-            mstep, mstep_schema
+        newc = ivf_mstep(embeddings.mapInPandas(assign, out_fields), vec_col).mapInPandas(
+            mark_changed, mstep_schema
         )
         if work_dir is not None:
             import os
