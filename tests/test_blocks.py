@@ -223,6 +223,42 @@ def test_vectorized_packer_matches_scalar_twin(data):
     assert bk.encode_block_gapfilled(t0, step, n, idx, v0, v1) == oracle
 
 
+def test_xor_jump_scan_adversarial_window_churn_guard():
+    """Worst-case alternating (lz, tz) xor patterns: EVERY record opens a
+    new Gorilla window, which would make the vectorized jump scan O(K^2)
+    whole-array work — the opener-density guard (25% of the scanned prefix)
+    must switch to the O(K) scalar scan after a constant number of probes
+    while staying byte-identical to the pure-Python scalar twin, and the
+    bytes must decode round-trip (round-4 verdict #4 / advice #2)."""
+    import struct
+
+    n = 4001
+    xors = np.empty(n - 1, dtype=np.uint64)
+    xors[0::2] = np.uint64(1) << np.uint64(63)  # window (lz=0, tz=63)
+    xors[1::2] = np.uint64(1)  # window (lz=63, tz=0) — violates the previous
+    bits = np.zeros(n, dtype=np.uint64)
+    bits[0] = np.uint64(0x3FF0000000000000)
+    bits[1:] = xors
+    bits = np.bitwise_xor.accumulate(bits)
+    v0 = bits.view(np.float64)
+    t0, step = 1_704_067_200_000_000_000, 60_000_000_000
+    idx = np.arange(n, dtype=np.int64)
+
+    w = bk._BitWriter()
+    bk._encode_regular_ts(w, t0, step, n)
+    bk._encode_xor_sparse_small(w, n, idx.tolist(), bits.tolist())
+    oracle = bk.BLOCK_MAGIC + struct.pack("<BBI", bk.BLOCK_VERSION, 1, n) + w.finish()
+    got = bk.encode_block_gapfilled(t0, step, n, idx, v0, None)
+    assert got == oracle
+    ts, dv0, dv1 = bk.decode_block(got)
+    assert np.array_equal(ts, t0 + idx * step)
+    assert np.array_equal(dv0.view(np.uint64), bits) and dv1 is None
+    # the dense encoder shares the guarded plan builder — round-trip it too
+    dense = bk.encode_block(ts, v0, None)
+    dts, ddv0, _ = bk.decode_block(dense)
+    assert np.array_equal(dts, ts) and np.array_equal(ddv0.view(np.uint64), bits)
+
+
 @settings(max_examples=40, deadline=None)
 @given(st.data())
 def test_batch_encode_matches_per_block(data):
