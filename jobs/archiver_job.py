@@ -91,10 +91,15 @@ def main(argv=None) -> int:
     # so a long backlog drain would evict the early batches' counts before
     # a single post-drain merge could see them (the per-batch manifests
     # merge idempotently, so polling is safe to repeat).
+    # each poll passes the highest batch id already merged, so only NEW
+    # micro-batches' manifests are touched (a counter is final once its
+    # progress event is emitted)
     late: dict[int, int] = {}
+    merged_through = -1
     while not q.awaitTermination(5):
-        late.update(record_late_drops(q, args.root, table))
-    late.update(record_late_drops(q, args.root, table))
+        late.update(record_late_drops(q, args.root, table, after_batch=merged_through))
+        merged_through = max(late, default=-1)
+    late.update(record_late_drops(q, args.root, table, after_batch=merged_through))
     print(json.dumps({
         "action": "drained", "table": table,
         "late_dropped_rows": sum(late.values()),

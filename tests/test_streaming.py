@@ -427,6 +427,11 @@ def test_late_drop_counter_surfaces_misordered_landing(spark, landed, tmp_path):
     q.awaitTermination(300)
     late = record_late_drops(q, root, "blocks_1h_stream")
     assert sum(late.values()) == n_late, late
+    # polling protocol (round-4 advice #3): a poller passes the highest
+    # batch id it already merged; only newer batches are touched again
+    assert record_late_drops(q, root, "blocks_1h_stream", after_batch=max(late)) == {}
+    resumed = record_late_drops(q, root, "blocks_1h_stream", after_batch=min(late))
+    assert set(resumed) == {b for b in late if b > min(late)}
     # and the manifests carry it (observable without the query object)
     man_dir = os.path.join(root, "_blocks_1h_stream_batches")
     recorded = 0

@@ -116,7 +116,9 @@ def read_materialized(spark: SparkSession, table_root: str, table: str) -> DataF
     return spark.read.option("basePath", path).parquet(f"{path}/batch=*/day=*")
 
 
-def record_late_drops(query, table_root: str, table: str) -> dict[int, int]:
+def record_late_drops(
+    query, table_root: str, table: str, after_batch: int = -1
+) -> dict[int, int]:
     """Merge per-micro-batch WATERMARK LATE-DROP counts into the batch
     manifests, so a misfed pipeline is visible, not silent.
 
@@ -141,13 +143,18 @@ def record_late_drops(query, table_root: str, table: str) -> dict[int, int]:
     Call it after a drain (``q.awaitTermination()``) or periodically on a
     continuous query — ``recentProgress`` holds the last ~100 micro-batches.
     The archiver job does both and surfaces the total in its summary line.
+    A micro-batch's counter is final once its progress event is emitted, so
+    a polling caller passes ``after_batch`` (the highest batch id it has
+    already merged) to skip re-reading every older manifest on each poll —
+    without it a long drain pays O(manifests) file reads per poll
+    (round-4 advice #3).
     """
     man_dir = os.path.join(table_root, f"_{table}_batches")
     out: dict[int, int] = {}
     for p in query.recentProgress:
         prog = json.loads(p.json) if hasattr(p, "json") else p
         bid = prog.get("batchId")
-        if bid is None:
+        if bid is None or int(bid) <= after_batch:
             continue
         dropped = sum(
             int(op.get("numRowsDroppedByWatermark", 0) or 0)
