@@ -66,6 +66,28 @@ def test_capped_jaccard_recall_and_exact_values(docs):
         assert v == uncapped[k]
 
 
+def test_estimate_capped_tokens_routes_the_choice(docs, spark):
+    """Round-4 verdict #6: the one-pass pre-check must agree with the capped
+    query's own stats (so a user can route BEFORE paying for candidate
+    generation) and report 0 on a corpus where the cap would be pure
+    overhead (the measured 2.3x case, BENCH.md round-4)."""
+    from tmframe_spark.text.dedup import estimate_capped_tokens, jaccard_pairs_capped
+
+    est = estimate_capped_tokens(docs, "doc_id", shingle_k=3, max_df=5).collect()[0]
+    _, stats = jaccard_pairs_capped(docs, "doc_id", shingle_k=3, max_df=5)
+    st = stats.collect()[0]
+    assert est["capped_tokens"] == st["capped_tokens"] > 0
+    assert est["total_tokens"] == st["total_tokens"]
+    assert est["max_observed_df"] > 5  # the hot tokens the cap would drop
+    # a corpus of fully distinct tokens: the cap excludes nothing -> the
+    # estimate says "use the plain exact form"
+    clean = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b u{i}c") for i in range(50)], "doc_id long, text string"
+    )
+    est0 = estimate_capped_tokens(clean, "doc_id", max_df=5).collect()[0]
+    assert est0["capped_tokens"] == 0 and est0["max_observed_df"] == 1
+
+
 def test_lsh_recall_on_driver_corpus(spark):
     """Scale-proof (round-3 verdict #6): recall evidence on the DRIVER
     corpus, not just the 90-doc planted fixture. At sf0.1 the measured

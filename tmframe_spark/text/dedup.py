@@ -99,6 +99,38 @@ def jaccard_pairs(
     return j.select("id_a", "id_b", "jaccard")
 
 
+def estimate_capped_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 1,
+    max_df: int = 100,
+) -> DataFrame:
+    """Cheap pre-check for the ``jaccard_pairs`` vs ``jaccard_pairs_capped``
+    decision (round-4 verdict #6): ONE aggregation pass, no joins — orders
+    of magnitude cheaper than either pairs query. Returns a 1-row DataFrame
+    ``(capped_tokens, total_tokens, max_observed_df)``.
+
+    - ``capped_tokens == 0``: the df-cap would exclude nothing — the capped
+      form's extra distinct + semi-join re-verify is pure overhead
+      (measured 2.3x slower on the clean driver corpus, BENCH.md round-4);
+      use ``jaccard_pairs``.
+    - ``capped_tokens > 0``: the plain self-join does O(max_observed_df^2)
+      work on each hot token; use ``jaccard_pairs_capped``, which pays the
+      re-verify only on surviving candidates.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("w"),
+    )
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    return dfreq.agg(
+        F.sum((F.col("df") > max_df).cast("long")).alias("capped_tokens"),
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.max("df").alias("max_observed_df"),
+    )
+
+
 def jaccard_pairs_capped(
     df: DataFrame,
     id_col: str,
@@ -117,6 +149,22 @@ def jaccard_pairs_capped(
     with its FULL token sets (semi-joined down to candidate ids first), so
     reported jaccard values are exact — the cap can only lose pairs whose
     every shared token is ultra-common (recall asserted in tests).
+
+    When to use which (BENCH.md round-4 measured the crossover; run
+    ``estimate_capped_tokens`` first — one agg pass — when unsure):
+
+    ==================== =========================== =====================
+    corpus shape          estimate says               use
+    ==================== =========================== =====================
+    clean / deduped       capped_tokens == 0          jaccard_pairs
+                                                      (cap = pure 2.3x
+                                                      overhead, 0 benefit)
+    natural text with     capped_tokens > 0           jaccard_pairs_capped
+    stop words / boiler-  (each hot token costs the   (re-verify only on
+    plate                 plain join max_df^2 rows)   candidates)
+    corpus-scale, recall  —                           minhash_lsh_pairs
+    bounded OK                                        (banded LSH)
+    ==================== =========================== =====================
 
     No silent truncation: returns ``(pairs, stats)`` where ``stats`` is a
     1-row DataFrame (capped_tokens, total_tokens) quantifying the cap.
