@@ -28,6 +28,12 @@ def flagship_from_transcripts(transcripts) -> int:
     from tmframe_spark.codec.udfs import pack_rollup_blocks, unpack_blocks
     from tmframe_spark.ops.rollup import cascade_up, rollup
 
+    # optional (conv, calendar-chunk) pack split for the hot-conversation
+    # straggler: convs above this many rollup rows re-key by calendar chunk
+    # (pack_rollup_blocks docstring; bytes unchanged — tests/test_pack_fused)
+    split = os.environ.get("SPARK_GRAFT_SPLIT_DENSE")
+    split = int(split) if split else None
+
     # persist the data-sized 1m rollup: it feeds all three tiers, and at
     # cluster scale each executor caches only its partitions. Gap-filled
     # spine rows never exist as rows at all — pack_rollup_blocks synthesizes
@@ -43,7 +49,9 @@ def flagship_from_transcripts(transcripts) -> int:
     all_blocks = None
     sample_blocks = None
     for (tier, unit), df in tiers.items():
-        blocks = pack_rollup_blocks(df, tier, unit).withColumn("tier", F.lit(tier))
+        blocks = pack_rollup_blocks(
+            df, tier, unit, split_dense_rows=split
+        ).withColumn("tier", F.lit(tier))
         if tier == "1d":
             # persist the coarsest tier's blocks (a few KB per conv-year):
             # the decode-verify action below reads them from cache instead

@@ -105,3 +105,74 @@ def test_dense_conversation_routes_per_block_and_matches(spark):
     assert not bad, f"{len(bad)} blocks differ, e.g. {bad[:3]}"
     # sanity: the dense conv really exceeded the routing threshold
     assert sum(1 for (c, _) in fused if c == "conv-dense") == 3
+
+
+def _rows_dict(df):
+    return {
+        (r["conv_id"], r["grp"]): (
+            r["n_points"],
+            r["ts_first"],
+            r["ts_last"],
+            r["raw_nbytes"],
+            bytes(r["frame"]),
+        )
+        for r in df.collect()
+    }
+
+
+def test_split_dense_pack_bytes_identical_with_empty_period(spark):
+    """Round-4 verdict #3: the (conv, calendar-chunk) split pack must be
+    byte-identical to the one-task-per-conv pack — including the
+    span-trimmed first/last blocks and the all-zero block of an EMPTY
+    calendar period inside the dense conv's span — while actually re-keying
+    the dense conversation's rows by calendar chunk (parallel pack)."""
+    import pandas as pd
+
+    rows = []
+    # hot conv: every other minute over Jan 1 (from 06:00), Jan 2, and
+    # Jan 4 (to 18:00) — Jan 3 is an empty interior day that still owes
+    # its all-zero block; odd minutes exercise in-block gap-fill
+    for day, lo, hi in [
+        ("2024-01-01", 6 * 60, 24 * 60),
+        ("2024-01-02", 0, 24 * 60),
+        ("2024-01-04", 0, 18 * 60),
+    ]:
+        base = pd.Timestamp(day)
+        for m in range(lo, hi, 2):
+            rows.append(("hot", (base + pd.Timedelta(minutes=m)).to_pydatetime(), 2, m))
+    for m in range(5):
+        ts = pd.Timestamp("2024-01-02") + pd.Timedelta(minutes=7 * m)
+        rows.append(("cold", ts.to_pydatetime(), 1, m))
+    rolled = spark.createDataFrame(
+        rows, "conv_id string, bucket timestamp, turns long, token_volume long"
+    )
+    single = _rows_dict(pack_rollup_blocks(rolled, "1m", "day"))
+    split_df = pack_rollup_blocks(rolled, "1m", "day", split_dense_rows=1000)
+    plan = split_df._jdf.queryExecution().executedPlan().toString()
+    # the dense branch really re-keys by (conv, calendar chunk)
+    assert "_chunk" in plan, plan
+    split = _rows_dict(split_df)
+    assert set(split) == set(single)
+    assert split == single
+    # the empty Jan 3 interior day exists in both as a full-spine block
+    jan3 = [k for k in single if k[0] == "hot" and str(k[1]).startswith("2024-01-03")]
+    assert len(jan3) == 1 and single[jan3[0]][0] == 1440
+
+
+def test_split_dense_pack_matches_at_month_unit(spark):
+    # calendar-unit generality: hourly tier grouped by month, with an empty
+    # interior month; threshold routes the single conv through the split
+    import pandas as pd
+
+    hours = list(pd.date_range("2024-02-01", "2024-02-28 23:00", freq="h")) + list(
+        pd.date_range("2024-04-01", "2024-04-30 23:00", freq="h")
+    )
+    rows = [("hot", ts.to_pydatetime(), 1, i) for i, ts in enumerate(hours)]
+    rolled = spark.createDataFrame(
+        rows, "conv_id string, bucket timestamp, turns long, token_volume long"
+    )
+    single = _rows_dict(pack_rollup_blocks(rolled, "1h", "month"))
+    split = _rows_dict(
+        pack_rollup_blocks(rolled, "1h", "month", split_dense_rows=500)
+    )
+    assert split == single and len(single) == 3  # Feb, Mar (empty), Apr

@@ -174,6 +174,7 @@ def pack_rollup_blocks(
     group_unit: str = "day",
     v0: str = "token_volume",
     v1: str = "turns",
+    split_dense_rows: int | None = None,
 ) -> DataFrame:
     """Fused gap-fill + block-pack: the flagship's scale path.
 
@@ -189,17 +190,29 @@ def pack_rollup_blocks(
     ever exists as a numpy array inside one executor task, bounded by the
     conv's retention window.
 
-    Skew note: one conversation packs in one task (blocks need the conv's
-    global [first, last] span), so the hot conversation is the stage's
-    potential straggler — but its cost is CALENDAR-bounded, not data-
-    bounded: a fully dense conv-year at 1m is 525k spine points, ~0.35 s at
-    the measured dense-encode rate, so even a decade-long always-active
-    conversation costs ~3.5 s serial (coarser tiers proportionally less).
-    If a deployment ever needs finer pack parallelism, the split is
-    (conv, calendar-chunk) keys plus a pre-aggregated per-conv span join
-    (the span groupBy is skew-safe via map-side partial aggregation, and
-    AQE's skew-join handles the hot key); the byte output would be
-    unchanged because block boundaries are already calendar-aligned.
+    Skew note: by default one conversation packs in one task (blocks need
+    the conv's global [first, last] span), so the hot conversation is the
+    stage's potential straggler — but its cost is CALENDAR-bounded, not
+    data-bounded: a fully dense conv-year at 1m is 525k spine points,
+    ~0.35 s at the measured dense-encode rate, so even a decade-long
+    always-active conversation costs ~3.5 s serial (coarser tiers
+    proportionally less).
+
+    ``split_dense_rows`` enables the finer (conv, calendar-chunk) pack for
+    deployments where that straggler matters: conversations holding MORE
+    than this many rollup rows are re-keyed by (conv, block calendar
+    group), so the hot conversation's blocks pack in parallel — one task
+    per calendar group — while every other conversation keeps the one-pass
+    path. The byte output is UNCHANGED (asserted in tests) because block
+    boundaries are already calendar-aligned; a block only needs the conv's
+    global span, which a skew-safe pre-aggregation (map-side-combined
+    min/max/count per conv) supplies via a broadcast join — dense convs
+    are by definition few (straggler conversations), so the span table
+    broadcast is small. Empty calendar periods inside a dense conv's span
+    still produce their all-zero blocks via a per-conv chunk spine
+    anti-joined against the chunks that hold data. Cost: one extra
+    aggregation pass over the rollup + a second (dense-rows-only) shuffle
+    — pay it when the straggler dominates, not by default.
     """
     step = TIER_STEP_NS[tier]
     unit = GROUP_UNIT_CODE[group_unit]
@@ -345,8 +358,177 @@ def pack_rollup_blocks(
     # work per conversation, not bytes; AQE byte-based coalescing must not
     # shrink this exchange
     n_part = int(rolled.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    part = pts.repartition(n_part, F.col("conv_id")).sortWithinPartitions("conv_id", "_ts")
-    return part.mapInPandas(fn, out_schema)
+    if split_dense_rows is None:
+        part = pts.repartition(n_part, F.col("conv_id")).sortWithinPartitions(
+            "conv_id", "_ts"
+        )
+        return part.mapInPandas(fn, out_schema)
+
+    # ---- (conv, calendar-chunk) split path (round-4 verdict #3) ---------
+    unit_name = {"D": "day", "M": "month", "Y": "year"}[unit]
+
+    def chunk_trunc_ns(t: int) -> int:
+        if unit == "D":
+            return (t // DAY_NS) * DAY_NS
+        return int(
+            np.datetime64(t, "ns")
+            .astype(f"datetime64[{unit}]")
+            .astype("datetime64[ns]")
+            .astype(np.int64)
+        )
+
+    def chunk_next_ns(g: int) -> int:
+        if unit == "D":
+            return g + DAY_NS
+        nxt = np.datetime64(g, "ns").astype(f"datetime64[{unit}]") + 1
+        return int(nxt.astype("datetime64[ns]").astype(np.int64))
+
+    def pack_one_chunk(conv, g, t0, tl, ts, a0, a1):
+        # the block whose calendar group starts at g, with pack_conv's exact
+        # arithmetic given the conv's GLOBAL span [t0, tl]: the first block
+        # starts at t0 (not its calendar start) and the last ends at tl
+        start = max((g - t0) // step, 0)
+        end = (
+            (tl - t0) // step + 1
+            if g == chunk_trunc_ns(tl)
+            else (chunk_next_ns(g) - t0) // step
+        )
+        bt0 = int(t0 + start * step)
+        idx = (
+            (ts - t0) // step - start
+            if ts is not None
+            else np.empty(0, dtype=np.int64)
+        )
+        block = encode_block_gapfilled(
+            bt0,
+            step,
+            int(end - start),
+            idx,
+            a0 if a0 is not None else np.empty(0, dtype=np.float64),
+            a1 if a1 is not None else np.empty(0, dtype=np.int64),
+        )
+        fr = make_frames([bt0], [EV_BLOCK], data=[block])
+        return (
+            conv,
+            np.datetime64(g // 1000, "us"),
+            int(end - start),
+            bt0,
+            int(t0 + (end - 1) * step),
+            24 * int(end - start),
+            marshal_frames(fr),
+        )
+
+    # the split plan reads pts three times (span agg, sparse anti-join,
+    # dense join) — materialize it once (eager localCheckpoint: reuse +
+    # auto release, the repo rule) instead of recomputing the rollup
+    # lineage per branch (measured 2.2x soak regression without this)
+    pts = pts.localCheckpoint(eager=True)
+    # skew-safe per-conv span: map-side-combined min/max/count, then the
+    # (small — dense convs are by definition the few stragglers) span table
+    # broadcasts to route rows without an extra data-sized shuffle
+    spans = pts.groupBy("conv_id").agg(
+        F.min("_ts").alias("_t0"),
+        F.max("_ts").alias("_tl"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    dense = spans.where(F.col("_cnt") > split_dense_rows).drop("_cnt")
+    sparse_blocks = (
+        pts.join(F.broadcast(dense.select("conv_id")), "conv_id", "left_anti")
+        .repartition(n_part, F.col("conv_id"))
+        .sortWithinPartitions("conv_id", "_ts")
+        .mapInPandas(fn, out_schema)
+    )
+
+    chunk_of = F.expr(
+        f"unix_micros(date_trunc('{unit_name}', timestamp_micros(_ts div 1000))) * 1000"
+    )
+    dense_pts = pts.join(F.broadcast(dense), "conv_id").withColumn("_chunk", chunk_of)
+
+    def dense_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # same streaming-carry shape as fn, but the group key is
+        # (conv_id, _chunk) and each group emits exactly one block
+        carry: pd.DataFrame | None = None
+
+        def emit(pdf, starts, ends):
+            conv = pdf["conv_id"].to_numpy()
+            chk = pdf["_chunk"].to_numpy(np.int64)
+            t0a = pdf["_t0"].to_numpy(np.int64)
+            tla = pdf["_tl"].to_numpy(np.int64)
+            ts = pdf["_ts"].to_numpy(np.int64)
+            a0 = pdf["_v0"].to_numpy(np.float64)
+            a1 = pdf["_v1"].to_numpy(np.int64)
+            rows = [
+                pack_one_chunk(
+                    conv[s], int(chk[s]), int(t0a[s]), int(tla[s]),
+                    ts[s:e], a0[s:e], a1[s:e],
+                )
+                for s, e in zip(starts.tolist(), ends.tolist())
+            ]
+            out = pd.DataFrame(rows, columns=cols)
+            out["grp"] = pd.to_datetime(out["grp"])
+            return out
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            conv = pdf["conv_id"].to_numpy()
+            chk = pdf["_chunk"].to_numpy(np.int64)
+            change = np.empty(len(conv), dtype=bool)
+            change[0] = True
+            np.not_equal(conv[1:], conv[:-1], out=change[1:])
+            change[1:] |= chk[1:] != chk[:-1]
+            starts = np.flatnonzero(change)
+            carry = pdf.iloc[starts[-1] :].reset_index(drop=True)
+            if len(starts) == 1:
+                continue
+            ends = np.append(starts[1:], len(pdf))
+            yield emit(pdf, starts[:-1], ends[:-1])
+        if carry is not None and len(carry):
+            yield emit(carry, np.array([0]), np.array([len(carry)]))
+
+    dense_blocks = (
+        dense_pts.repartition(n_part, "conv_id", "_chunk")
+        .sortWithinPartitions("conv_id", "_chunk", "_ts")
+        .mapInPandas(dense_fn, out_schema)
+    )
+
+    # empty calendar periods inside a dense conv's span still owe their
+    # all-zero blocks: per-conv chunk spine (calendar-bounded) minus the
+    # chunks that hold data
+    spine = dense.select(
+        "conv_id",
+        "_t0",
+        "_tl",
+        F.explode(
+            F.sequence(
+                F.expr(f"date_trunc('{unit_name}', timestamp_micros(_t0 div 1000))"),
+                F.expr(f"date_trunc('{unit_name}', timestamp_micros(_tl div 1000))"),
+                F.expr(f"interval 1 {unit_name}"),
+            )
+        ).alias("_cts"),
+    ).select("conv_id", "_t0", "_tl", F.expr("unix_micros(_cts) * 1000").alias("_chunk"))
+    present = dense_pts.select("conv_id", "_chunk").distinct()
+    empties = spine.join(present, ["conv_id", "_chunk"], "left_anti")
+
+    def empty_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = [
+                pack_one_chunk(c, int(g), int(t0), int(tl), None, None, None)
+                for c, g, t0, tl in zip(
+                    pdf["conv_id"], pdf["_chunk"], pdf["_t0"], pdf["_tl"]
+                )
+            ]
+            out = pd.DataFrame(rows, columns=cols)
+            out["grp"] = pd.to_datetime(out["grp"])
+            yield out
+
+    empty_blocks = empties.mapInPandas(empty_fn, out_schema)
+    return sparse_blocks.unionByName(dense_blocks).unionByName(empty_blocks)
 
 
 def unpack_blocks(
