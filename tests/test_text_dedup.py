@@ -248,3 +248,70 @@ def test_jaccard_pairs_refuses_corpus_scale(spark):
         jaccard_pairs(docs, "doc_id", max_docs=10)
     # under the cap (and with max_docs=None) it still runs
     assert jaccard_pairs(docs, "doc_id", max_docs=None).count() >= 0
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """Connected components via alternating large/small-star must equal a
+    driver-side union-find on the same edge set — including a 120-node
+    chain (worst-case diameter, where naive min-propagation needs O(n)
+    rounds but the star algorithm converges in O(log n))."""
+    import numpy as np
+
+    from tmframe_spark.text.dedup import dedup_clusters
+
+    rng = np.random.default_rng(3)
+    edges = set()
+    for a, b in rng.integers(0, 300, size=(250, 2)):
+        if a != b:
+            edges.add((int(min(a, b)), int(max(a, b))))
+    edges |= {(1000 + i, 1001 + i) for i in range(120)}  # long chain
+    pairs = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    got = {(r["id"], r["cluster_id"]) for r in dedup_clusters(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comp: dict[int, list[int]] = {}
+    for n in {n for e in edges for n in e}:
+        comp.setdefault(find(n), []).append(n)
+    ref = {(n, min(mem)) for mem in comp.values() for n in mem}
+    assert got == ref
+
+
+def test_dedup_keep_canonical_on_corpus(docs):
+    """Corpus-level dedup: only each component's minimum id survives; docs
+    in no near-dup pair are untouched."""
+    from tmframe_spark.text.dedup import (
+        dedup_clusters,
+        dedup_keep_canonical,
+        jaccard_pairs,
+    )
+
+    pairs = jaccard_pairs(docs, "doc_id", threshold=0.7, shingle_k=3)
+    clusters = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert clusters, "fixture must produce near-dup clusters"
+    kept = {r["doc_id"] for r in dedup_keep_canonical(docs, pairs, "doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    losers = {i for i, c in clusters.items() if i != c}
+    assert kept == all_ids - losers
+    # every cluster's canonical member is kept, every other member dropped
+    for i, c in clusters.items():
+        assert (c in kept) and (i == c or i not in kept)
+
+
+def test_dedup_clusters_empty_and_presplit(spark):
+    from tmframe_spark.text.dedup import dedup_clusters
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_clusters(empty).count() == 0
+    # already-star input converges immediately and keeps its roots
+    stars = spark.createDataFrame([(0, 5), (0, 9), (20, 21)], "id_a long, id_b long")
+    got = {(r["id"], r["cluster_id"]) for r in dedup_clusters(stars).collect()}
+    assert got == {(0, 0), (5, 0), (9, 0), (20, 20), (21, 20)}

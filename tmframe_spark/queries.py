@@ -768,6 +768,22 @@ def q_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.5)
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Connected-component near-dup clusters: the exact Jaccard pair set
+    (same pairs as the `jaccard_pairs` oracle) folded into components via
+    alternating large-star/small-star (text/dedup.dedup_clusters), one
+    (doc_id, cluster_id=component min) row per clustered doc. Iterative —
+    rows-only for the driver; FULL recursive-CTE oracle in the pytest
+    mirror (pytest_only_oracles)."""
+    from tmframe_spark.text.dedup import dedup_clusters, jaccard_pairs
+
+    # 3-word shingles: unigram sets saturate into one giant component on a
+    # shared-vocabulary corpus (measured: 487 docs -> 1 cluster at sf0.01),
+    # which would make the clustering vacuous as evidence
+    pairs = jaccard_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.5, shingle_k=3)
+    return dedup_clusters(pairs).select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     from tmframe_spark.text.dedup import minhash_lsh_pairs
 
@@ -1070,6 +1086,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        # near_dup_clusters carries a FULL oracle in the pytest mirror
+        # (recursive-CTE transitive closure, pytest_only_oracles) — the
+        # iterative star algorithm itself is not one SQL statement.
+        "near_dup_clusters": q_near_dup_clusters,
     }
 
 
@@ -1787,5 +1807,43 @@ SELECT conv_id, role,
        CAST(CAST(sum(length(text)) AS BIGINT) AS DOUBLE) AS v0,
        count(*) AS v1
 FROM t GROUP BY conv_id, role, date_trunc('hour', ts)
+""",
+        # near_dup_clusters: same pair generation as the jaccard_pairs
+        # oracle, then connected components as a recursive transitive
+        # closure (UNION dedup terminates it on any finite graph) with
+        # cluster_id = min reachable id — the declarative twin of the
+        # engine's alternating-star algorithm.
+        "near_dup_clusters": r"""
+WITH RECURSIVE tok0 AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+-- 3-word shingles, 1-based slice i..i+2 == Spark slice(w, i+1, 3); a
+-- sub-3-token doc yields its whole token list as one shingle (both engines)
+tok AS (
+  SELECT DISTINCT id, array_to_string(ws[i:i+2], ' ') AS w
+  FROM (SELECT id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+        FROM tok0)
+),
+sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = inter.id_a
+  JOIN sizes sb ON sb.id = inter.id_b
+  WHERE CAST(i AS BIGINT) / CAST(sa.n + sb.n - i AS BIGINT) >= 0.5
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
 """,
     }

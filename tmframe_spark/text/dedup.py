@@ -356,3 +356,125 @@ def simhash64(
         "     shiftleft(1L, i), 0L))"
     )
     return g.select("id", sim.alias("simhash"))
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    """Canonicalize an edge set: (min, max) per pair, self-loops dropped,
+    distinct."""
+    return (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Both directions of a canonical edge set."""
+    return edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate PAIR set: one
+    ``(id, cluster_id)`` row per node appearing in any pair, with
+    ``cluster_id`` = the component's minimum id (the canonical member).
+
+    This is the missing step between pair generation (``jaccard_pairs`` /
+    ``minhash_lsh_pairs`` / ``embedding_near_dup_*`` — all emit pairs) and
+    actually DEDUPING a corpus: near-duplication is not transitive, so
+    per-pair decisions both over- and under-delete; standard practice keeps
+    exactly one canonical document per connected component
+    (``dedup_keep_canonical``).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014 — public
+    knowledge), which converges in O(log n) rounds on any graph — no
+    reliance on near-dup components having small diameter. Each half-round
+    is a per-node min (``groupBy(u).min`` — map-side combinable) plus one
+    join back to the edges (AQE skew-join handles a hot star center); no
+    ``collect_list`` neighborhoods, so a node of ANY degree never
+    materializes in one task, and no driver-side graph state — the driver
+    sees only a per-round convergence signature (count + hash sum). Edges
+    are eagerly localCheckpoint'd per round to truncate the iterative
+    join lineage (the repo rule for iterative plans).
+
+    Raises RuntimeError if ``max_rounds`` alternations do not converge
+    (loud, never a silent partial clustering). Works for any orderable id
+    type (long ids, string ids).
+    """
+    edges = _undirected(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    ).localCheckpoint(eager=True)
+
+    def star(edges_canon: DataFrame, large: bool) -> DataFrame:
+        es = _sym(edges_canon)
+        mins = (
+            es.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("u", "_mv").alias("m"))
+        )
+        j = es.join(mins, "u")
+        if large:
+            out = j.where(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            out = j.where(F.col("v") < F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            ).unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
+        return _undirected(out)
+
+    def signature(e: DataFrame):
+        # bit_xor: order-independent and overflow-free under ANSI mode
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    sig = signature(edges)
+    for _ in range(max_rounds):
+        edges = star(star(edges, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        new_sig = signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_rounds} rounds "
+            f"(edge signature still moving: {sig} -> {new_sig})"
+        )
+    # at convergence every component is a star rooted at its minimum:
+    # label(u) = min(u, min neighbor)
+    return (
+        _sym(edges)
+        .groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select(F.col("u").alias("id"), F.least("u", "_mv").alias("cluster_id"))
+    )
+
+
+def dedup_keep_canonical(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    id_a: str = "id_a", id_b: str = "id_b",
+) -> DataFrame:
+    """Corpus-level near-dup dedup: keep only the canonical (minimum-id)
+    member of each connected component of ``pairs``; documents in no pair
+    survive untouched. One anti-join against the (small — only clustered
+    ids) loser set."""
+    losers = (
+        dedup_clusters(pairs, id_a, id_b)
+        .where(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias(id_col))
+    )
+    return docs.join(losers, id_col, "left_anti")
