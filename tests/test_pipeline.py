@@ -156,3 +156,42 @@ def test_lttb_downsample_properties(spark):
     # fewer points than buckets -> identity
     small = lttb_downsample(df.limit(10), 50).count()
     assert small == 10
+
+
+def test_distinct_sketch_cascade_is_lossless_and_exact(spark):
+    """The HLL distinct tier must (a) re-aggregate: cascaded 1m->1h->1d
+    estimates equal sketches built directly from raw turns at each tier,
+    and (b) be EXACT at transcript key cardinalities (coupon mode), so
+    every estimate equals countDistinct. NULL keys are skipped; all-NULL
+    buckets report 0."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from tmframe_spark.data.transcripts import load_transcripts
+    from tmframe_spark.ops.rollup import cascade_distinct_up, rollup_distinct_sketch
+
+    t = load_transcripts(spark, SF_DIR)
+    m = rollup_distinct_sketch(t, "1m", key_col="tool")
+    h = cascade_distinct_up(m, "1h")
+    d = cascade_distinct_up(h, "1d")
+
+    def est(df):
+        return {
+            (r["conv_id"], r["bucket"]): r["distinct_est"] for r in df.collect()
+        }
+
+    # (a) lossless merge: cascaded == direct at both coarser tiers
+    for tier, casc in [("1h", h), ("1d", d)]:
+        direct = est(rollup_distinct_sketch(t, tier, key_col="tool"))
+        assert est(casc) == direct, f"cascaded {tier} != direct sketch"
+
+    # (b) exact at tool cardinality: estimate == true countDistinct
+    truth = {
+        (r["conv_id"], r["bucket"]): r["n"]
+        for r in t.groupBy(
+            "conv_id", F.date_trunc("day", "ts").alias("bucket")
+        ).agg(F.count_distinct("tool").alias("n")).collect()
+    }
+    got = est(d)
+    assert got == truth
+    assert 0 in got.values() or all(v > 0 for v in truth.values())

@@ -124,6 +124,57 @@ def cascade_up(lower: DataFrame, tier: str) -> DataFrame:
     return lower.groupBy(F.col("conv_id"), bucket).agg(*sums)
 
 
+def rollup_distinct_sketch(
+    transcripts: DataFrame, tier: str = "1m", key_col: str = "tool", lgk: int = 12
+) -> DataFrame:
+    """Re-aggregatable DISTINCT-count tier: one Apache DataSketches HLL
+    sketch of ``key_col`` per (conv_id, bucket) (Spark built-in
+    ``hll_sketch_agg`` — JVM-side, map-side combinable like every other
+    tier aggregate) plus the integer estimate.
+
+    COUNT DISTINCT does not re-aggregate (a coarse tier cannot be built
+    from fine-tier distinct COUNTS) — exactly what breaks naive continuous
+    aggregates; sketches merge losslessly (register-wise max), so the
+    1h/1d tiers derive from the 1m SKETCHES (``cascade_distinct_up``)
+    without touching raw turns — the same partial/final shape as the sum
+    cascade. NULL keys are ignored (SQL count-distinct semantics); an
+    all-NULL bucket reports 0.
+
+    At transcript key cardinalities (tools, roles) the DataSketches HLL
+    stays in its exact coupon mode, so estimates equal true distinct
+    counts — asserted cross-engine by the ``distinct_tools_1d`` oracle; at
+    genuinely high cardinality the estimate degrades gracefully to the
+    standard HLL error (~1.6% at lgk=12) instead of an O(distinct) exact
+    state per group.
+    """
+    bucket = F.date_trunc(TIER_TRUNC[tier], F.col("ts")).alias("bucket")
+    return (
+        transcripts.groupBy(F.col("conv_id"), bucket)
+        .agg(F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("sketch"))
+        .withColumn(
+            "distinct_est",
+            F.coalesce(F.hll_sketch_estimate("sketch"), F.lit(0)).cast("long"),
+        )
+    )
+
+
+def cascade_distinct_up(lower: DataFrame, tier: str) -> DataFrame:
+    """Re-aggregate a finer distinct-sketch tier into a coarser one by
+    merging the sketches (``hll_union_agg``) — lossless, so the coarse
+    estimate equals a sketch built directly from raw turns (asserted in
+    tests). The shuffle carries one small sketch per (conv, fine-bucket),
+    never raw keys."""
+    bucket = F.date_trunc(TIER_TRUNC[tier], F.col("bucket")).alias("bucket")
+    return (
+        lower.groupBy(F.col("conv_id"), bucket)
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+        .withColumn(
+            "distinct_est",
+            F.coalesce(F.hll_sketch_estimate("sketch"), F.lit(0)).cast("long"),
+        )
+    )
+
+
 def rollup_tiers(transcripts: DataFrame, salt: int | None = None):
     """The full cascade: returns {'1m': df, '1h': df, '1d': df}, each
     gap-filled over its conversation lifespan.

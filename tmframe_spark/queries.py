@@ -768,6 +768,24 @@ def q_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.5)
 
 
+def q_distinct_tools_1d(spark, sf_dir):
+    """Distinct tools per (conv, day) computed by CASCADING HLL sketches
+    1m -> 1h -> 1d (ops/rollup.rollup_distinct_sketch +
+    cascade_distinct_up) — the raw turns are read once, at the 1m tier;
+    the coarser tiers merge sketches only. The pytest-mirror oracle is
+    DuckDB's exact count(DISTINCT tool): at tool cardinality the sketch
+    sits in its exact coupon mode and the union merge is lossless, so the
+    twice-cascaded estimate must equal the true distinct count exactly —
+    a cross-engine proof that the distinct tier re-aggregates."""
+    from tmframe_spark.ops.rollup import cascade_distinct_up, rollup_distinct_sketch
+
+    m = rollup_distinct_sketch(_t(spark, sf_dir), "1m", key_col="tool")
+    d = cascade_distinct_up(cascade_distinct_up(m, "1h"), "1d")
+    return d.select(
+        "conv_id", "bucket", F.col("distinct_est").alias("distinct_tools")
+    )
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """Connected-component near-dup clusters: the exact Jaccard pair set
     (same pairs as the `jaccard_pairs` oracle) folded into components via
@@ -1090,6 +1108,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (recursive-CTE transitive closure, pytest_only_oracles) — the
         # iterative star algorithm itself is not one SQL statement.
         "near_dup_clusters": q_near_dup_clusters,
+        # distinct_tools_1d carries a FULL oracle in the pytest mirror
+        # (exact count(DISTINCT) — the HLL cascade is exact at tool
+        # cardinality); rows-only for the driver because the 50-row
+        # record window is full.
+        "distinct_tools_1d": q_distinct_tools_1d,
     }
 
 
@@ -1845,5 +1868,15 @@ reach(u, v) AS (
   SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
 )
 SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+""",
+        # distinct_tools_1d: exact count(DISTINCT) — the engine's
+        # twice-cascaded HLL sketch tier must match it exactly (coupon-mode
+        # sketches + lossless union at tool cardinality). NULL tools are
+        # skipped by both engines; all-NULL groups report 0.
+        "distinct_tools_1d": f"""
+WITH {_T_CTE}
+SELECT conv_id, date_trunc('day', ts) AS bucket,
+       CAST(count(DISTINCT tool) AS BIGINT) AS distinct_tools
+FROM transcripts GROUP BY 1, 2
 """,
     }
