@@ -176,3 +176,16 @@ def test_split_dense_pack_matches_at_month_unit(spark):
         pack_rollup_blocks(rolled, "1h", "month", split_dense_rows=500)
     )
     assert split == single and len(single) == 3  # Feb, Mar (empty), Apr
+
+
+def test_fused_equals_compositional_custom_5m_tier(spark):
+    # arbitrary-step tier ('5m', epoch-floor time_bucket) must pass the
+    # same fused-vs-compositional byte-identity gate as the named tiers
+    from tmframe_spark.ops.rollup import rollup
+
+    t = with_ts_ns(load_transcripts(spark, SF_DIR))
+    r5 = rollup(t, "5m")
+    fused = blocks_dict(pack_rollup_blocks(r5, "5m", "day"), "grp")
+    comp = blocks_dict(compositional(r5, "5m", "day"), "grp")
+    assert set(fused) == set(comp) and len(fused) > 0
+    assert fused == comp

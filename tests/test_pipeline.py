@@ -195,3 +195,36 @@ def test_distinct_sketch_cascade_is_lossless_and_exact(spark):
     got = est(d)
     assert got == truth
     assert 0 in got.values() or all(v > 0 for v in truth.values())
+
+
+def test_custom_tier_cascade_and_validation(spark):
+    """Custom fixed-step tiers: 5m buckets cascade EXACTLY into the named
+    1h tier (sum re-aggregation is tier-agnostic); malformed or
+    non-day-dividing steps fail loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from tmframe_spark.data.transcripts import load_transcripts
+    from tmframe_spark.ops.rollup import cascade_up, rollup
+
+    t = load_transcripts(spark, SF_DIR)
+
+    def rows(df):
+        return {
+            (r["conv_id"], r["b"]): tuple(r[c] for c in ("turns", "token_volume"))
+            for r in df.select(
+                "conv_id",
+                F.expr("unix_micros(cast(bucket as timestamp))").alias("b"),
+                "turns",
+                "token_volume",
+            ).collect()
+        }
+
+    via_5m = rows(cascade_up(rollup(t, "5m"), "1h"))
+    direct = rows(rollup(t, "1h"))
+    assert via_5m == direct and len(direct) > 0
+    with pytest.raises(ValueError, match="evenly divide"):
+        rollup(t, "7m").collect()
+    with pytest.raises(KeyError, match="unknown tier"):
+        rollup(t, "2w").collect()

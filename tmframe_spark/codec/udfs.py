@@ -168,6 +168,18 @@ TIER_STEP_NS = {"1m": 60_000_000_000, "1h": 3_600_000_000_000, "1d": 86_400_000_
 GROUP_UNIT_CODE = {"day": "D", "month": "M", "year": "Y"}
 
 
+def tier_step_ns(tier: str) -> int:
+    """Bucket step in ns for named AND custom fixed-step tiers ('5m',
+    '30s', ... — ops/rollup._custom_tier enforces the divides-one-day rule,
+    which is exactly what keeps day/month/year block group boundaries
+    step-aligned here)."""
+    if tier in TIER_STEP_NS:
+        return TIER_STEP_NS[tier]
+    from tmframe_spark.ops.rollup import tier_step_seconds
+
+    return tier_step_seconds(tier) * 1_000_000_000
+
+
 def pack_rollup_blocks(
     rolled: DataFrame,
     tier: str,
@@ -214,7 +226,7 @@ def pack_rollup_blocks(
     aggregation pass over the rollup + a second (dense-rows-only) shuffle
     — pay it when the straggler dominates, not by default.
     """
-    step = TIER_STEP_NS[tier]
+    step = tier_step_ns(tier)
     unit = GROUP_UNIT_CODE[group_unit]
     out_schema = StructType(
         [

@@ -27,6 +27,58 @@ from pyspark.sql import functions as F
 TIER_TRUNC = {"1m": "minute", "1h": "hour", "1d": "day"}
 TIER_INTERVAL = {"1m": "interval 1 minute", "1h": "interval 1 hour", "1d": "interval 1 day"}
 
+import re
+
+_CUSTOM_TIER = re.compile(r"^(\d+)(s|m|h)$")
+_UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600}
+_UNIT_NAME = {"s": "second", "m": "minute", "h": "hour"}
+
+
+def _custom_tier(tier: str):
+    """(n, unit, step_seconds) for fixed-step CUSTOM tiers ('5m', '30s',
+    '6h' — TimescaleDB-style arbitrary buckets); None for the named
+    1m/1h/1d tiers (which keep their date_trunc plans unchanged). Custom
+    steps must evenly divide one day so block calendar groups, the named
+    cascade, and retention day-boundaries all stay aligned."""
+    if tier in TIER_TRUNC:
+        return None
+    m = _CUSTOM_TIER.match(tier)
+    if not m:
+        raise KeyError(
+            f"unknown tier {tier!r} (named: 1m/1h/1d; custom: <N>s|<N>m|<N>h)"
+        )
+    n, u = int(m.group(1)), m.group(2)
+    step = n * _UNIT_SECONDS[u]
+    if step <= 0 or 86400 % step != 0:
+        raise ValueError(f"custom tier {tier!r} must evenly divide one day")
+    return n, u, step
+
+
+def tier_bucket(tier: str, col: str = "ts"):
+    """The engine's ONE tier -> bucket projection. Named tiers keep the
+    original date_trunc form (bucket values, types and plans unchanged);
+    custom fixed-step tiers floor epoch MICROSECONDS — exact integer
+    arithmetic, identical cross-engine (DuckDB twin:
+    ``make_timestamp((epoch_us(ts) // S_us) * S_us)``)."""
+    c = _custom_tier(tier)
+    if c is None:
+        return F.date_trunc(TIER_TRUNC[tier], F.col(col)).alias("bucket")
+    step_us = c[2] * 1_000_000
+    return F.expr(
+        f"timestamp_micros((unix_micros(cast({col} as timestamp)) div {step_us})"
+        f" * {step_us})"
+    ).alias("bucket")
+
+
+def tier_interval(tier: str) -> str:
+    c = _custom_tier(tier)
+    return TIER_INTERVAL[tier] if c is None else f"interval {c[0]} {_UNIT_NAME[c[1]]}"
+
+
+def tier_step_seconds(tier: str) -> int:
+    c = _custom_tier(tier)
+    return {"1m": 60, "1h": 3600, "1d": 86400}[tier] if c is None else c[2]
+
 #: aggregate columns produced per (conv_id, bucket); all integer-typed so
 #: value hashes are exact across engines.
 AGG_COLS = ("turns", "token_volume", "tool_calls", "user_turns", "assistant_turns")
@@ -71,7 +123,7 @@ def rollup(transcripts: DataFrame, tier: str = "1m", salt: int | None = None) ->
     the partials (all our aggregates are sums/counts, so re-aggregation is
     exact).
     """
-    bucket = F.date_trunc(TIER_TRUNC[tier], F.col("ts")).alias("bucket")
+    bucket = tier_bucket(tier, "ts")
     if not salt:
         return transcripts.groupBy(F.col("conv_id"), bucket).agg(*_agg_exprs())
     salted = transcripts.withColumn(
@@ -95,7 +147,7 @@ def gap_fill(rolled: DataFrame, tier: str = "1m") -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    iv = TIER_INTERVAL[tier]
+    iv = tier_interval(tier)
     w = Window.partitionBy("conv_id").orderBy("bucket")
     with_next = rolled.withColumn("_next", F.lead("bucket").over(w))
     gaps = with_next.where(
@@ -119,7 +171,7 @@ def cascade_up(lower: DataFrame, tier: str) -> DataFrame:
     Two-phase partial/final: the lower tier is already one row per
     (conv, fine-bucket) so this shuffle is tiny relative to raw turns.
     """
-    bucket = F.date_trunc(TIER_TRUNC[tier], F.col("bucket")).alias("bucket")
+    bucket = tier_bucket(tier, "bucket")
     sums = [F.sum(c).cast("long").alias(c) for c in AGG_COLS]
     return lower.groupBy(F.col("conv_id"), bucket).agg(*sums)
 
@@ -147,7 +199,7 @@ def rollup_distinct_sketch(
     standard HLL error (~1.6% at lgk=12) instead of an O(distinct) exact
     state per group.
     """
-    bucket = F.date_trunc(TIER_TRUNC[tier], F.col("ts")).alias("bucket")
+    bucket = tier_bucket(tier, "ts")
     return (
         transcripts.groupBy(F.col("conv_id"), bucket)
         .agg(F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("sketch"))
@@ -164,7 +216,7 @@ def cascade_distinct_up(lower: DataFrame, tier: str) -> DataFrame:
     estimate equals a sketch built directly from raw turns (asserted in
     tests). The shuffle carries one small sketch per (conv, fine-bucket),
     never raw keys."""
-    bucket = F.date_trunc(TIER_TRUNC[tier], F.col("bucket")).alias("bucket")
+    bucket = tier_bucket(tier, "bucket")
     return (
         lower.groupBy(F.col("conv_id"), bucket)
         .agg(F.hll_union_agg("sketch").alias("sketch"))
@@ -203,7 +255,7 @@ def ohlc(
     via min/max of a (ts, turn_idx, value) struct — one shuffle, no window.
     All outputs integers, so the cross-engine value hash is exact."""
     v = (value_col if value_col is not None else F.length("text")).cast("long")
-    bucket = F.date_trunc(TIER_TRUNC[tier], F.col("ts")).alias("bucket")
+    bucket = tier_bucket(tier, "ts")
     key = F.struct(
         F.col("ts"), F.col("turn_idx"), v.alias("_v")
     )
@@ -231,13 +283,13 @@ def gap_fill_interpolate(
     """
     from pyspark.sql.window import Window
 
-    iv = TIER_INTERVAL[tier]
+    iv = tier_interval(tier)
     w = Window.partitionBy("conv_id").orderBy("bucket")
     with_next = (
         rolled.withColumn("_nb", F.lead("bucket").over(w))
         .withColumn("_nv", F.lead(col).over(w))
     )
-    step_s = {"1m": 60, "1h": 3600, "1d": 86400}[tier]
+    step_s = tier_step_seconds(tier)
     n_steps = (
         F.unix_timestamp(F.col("_nb")) - F.unix_timestamp(F.col("bucket"))
     ) / F.lit(step_s)
@@ -373,7 +425,7 @@ def lttb_downsample(
 
 def role_mix(transcripts: DataFrame, tier: str = "1h") -> DataFrame:
     """Role-mix continuous aggregate: per (conv, bucket, role) counts."""
-    bucket = F.date_trunc(TIER_TRUNC[tier], F.col("ts")).alias("bucket")
+    bucket = tier_bucket(tier, "ts")
     return transcripts.groupBy(F.col("conv_id"), bucket, F.col("role")).agg(
         F.count(F.lit(1)).alias("turns"),
         F.sum(F.length("text")).alias("token_volume"),
@@ -382,7 +434,7 @@ def role_mix(transcripts: DataFrame, tier: str = "1h") -> DataFrame:
 
 def tool_rates(transcripts: DataFrame, tier: str = "1d") -> DataFrame:
     """Per-tool call rates per bucket (NULL tools excluded)."""
-    bucket = F.date_trunc(TIER_TRUNC[tier], F.col("ts")).alias("bucket")
+    bucket = tier_bucket(tier, "ts")
     return (
         transcripts.where(F.col("tool").isNotNull())
         .groupBy(F.col("tool"), bucket)

@@ -768,6 +768,18 @@ def q_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.5)
 
 
+def q_rollup_5m_gapfill(spark, sf_dir):
+    """Arbitrary-step continuous aggregate: the rollup + join-free gap-fill
+    machinery at a CUSTOM 5-minute tier (ops/rollup.tier_bucket epoch
+    floor — TimescaleDB-style time_bucket, not limited to date_trunc
+    units). Full oracle in the pytest mirror: DuckDB floors the same epoch
+    microseconds and generates the same per-conv 5m spine."""
+    from tmframe_spark.ops.rollup import gap_fill, rollup
+
+    t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
+    return gap_fill(rollup(t, "5m"), "5m")
+
+
 def q_distinct_tools_1d(spark, sf_dir):
     """Distinct tools per (conv, day) computed by CASCADING HLL sketches
     1m -> 1h -> 1d (ops/rollup.rollup_distinct_sketch +
@@ -1113,6 +1125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cardinality); rows-only for the driver because the 50-row
         # record window is full.
         "distinct_tools_1d": q_distinct_tools_1d,
+        # rollup_5m_gapfill: FULL oracle in the pytest mirror (epoch-floor
+        # time_bucket + 5m spine); rows-only for the driver (window full).
+        "rollup_5m_gapfill": q_rollup_5m_gapfill,
     }
 
 
@@ -1878,5 +1893,23 @@ WITH {_T_CTE}
 SELECT conv_id, date_trunc('day', ts) AS bucket,
        CAST(count(DISTINCT tool) AS BIGINT) AS distinct_tools
 FROM transcripts GROUP BY 1, 2
+""",
+        # rollup_5m_gapfill: DuckDB floors the same epoch microseconds
+        # (// matches Spark div on the positive epoch domain — CLAUDE.md
+        # idiom list) and generates the identical per-conv 5m spine.
+        "rollup_5m_gapfill": f"""
+WITH {_T_CTE},
+t AS (SELECT * FROM transcripts WHERE conv_id IN {_SUBSET_SQL}),
+m AS (
+  SELECT conv_id,
+         make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS bucket,
+         {_AGGS}
+  FROM t GROUP BY 1, 2
+),
+b AS (SELECT conv_id, min(bucket) AS mn, max(bucket) AS mx FROM m GROUP BY conv_id),
+s AS (SELECT conv_id, unnest(generate_series(mn, mx, interval 5 minute)) AS bucket
+      FROM b)
+SELECT s.conv_id AS conv_id, s.bucket AS bucket, {_COALESCED}
+FROM s LEFT JOIN m ON s.conv_id = m.conv_id AND s.bucket = m.bucket
 """,
     }
