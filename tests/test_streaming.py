@@ -501,3 +501,46 @@ def test_consolidation_manifest_records_and_prune_fences(spark, landed, tmp_path
     )
     assert again == {}
     assert cat.read("archive").count() == archive_rows
+
+
+def test_stream_rollup_custom_tier_matches_batch(spark, landed):
+    """Custom fixed-step tier through the STREAMING window: epoch-aligned
+    tumbling 5m windows must produce exactly the batch tier_bucket('5m')
+    buckets and aggregates."""
+    from tmframe_spark.ops.rollup import tier_bucket
+
+    src, schema, t = landed
+    stream = read_transcript_stream(spark, src, schema)
+    agg = stream_rollup(stream, "5m", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rollup_5m_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        "select conv_id, unix_micros(cast(bucket as timestamp)) as b, turns,"
+        " token_volume from rollup_5m_stream"
+    ).toPandas()
+    want = (
+        t.groupBy("conv_id", tier_bucket("5m", "ts"))
+        .agg(
+            F.count(F.lit(1)).alias("turns"),
+            F.sum(F.length("text")).alias("token_volume"),
+        )
+        .select(
+            "conv_id",
+            F.expr("unix_micros(cast(bucket as timestamp))").alias("b"),
+            "turns",
+            "token_volume",
+        )
+        .toPandas()
+    )
+    key = ["conv_id", "b"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w) > 0
+    for c in ["b", "turns", "token_volume"]:
+        assert (g[c].to_numpy() == w[c].to_numpy()).all(), c

@@ -24,6 +24,18 @@ from pyspark.sql import functions as F
 TIER_WINDOW = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
 
 
+def tier_window(tier: str) -> str:
+    """Tumbling-window duration for named AND custom fixed-step tiers.
+    Spark's tumbling windows align to the epoch, which for day-dividing
+    steps equals the batch side's epoch-µs floor (ops/rollup.tier_bucket)
+    — streamed buckets match batch buckets exactly."""
+    if tier in TIER_WINDOW:
+        return TIER_WINDOW[tier]
+    from tmframe_spark.ops.rollup import _custom_tier
+
+    return f"{_custom_tier(tier)[2]} seconds"
+
+
 def read_transcript_stream(
     spark: SparkSession, path: str, schema, max_files: int = 64
 ) -> DataFrame:
@@ -43,7 +55,7 @@ def stream_rollup(
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.col("conv_id"), F.window("ts", TIER_WINDOW[tier]).alias("w"))
+        .groupBy(F.col("conv_id"), F.window("ts", tier_window(tier)).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("turns"),
             F.sum(F.length("text")).alias("token_volume"),
