@@ -107,3 +107,47 @@ def test_empty_inputs_round3_serving_operators(spark):
         policy={"1m": 7, "1h": 21, "1d": None},
     )
     assert t.count() == 0 and "tier" in t.columns
+
+
+def test_empty_inputs_round5_operators(spark):
+    from tmframe_spark.ops.rollup import (
+        cascade_distinct_up,
+        rollup_distinct_sketch,
+    )
+    from tmframe_spark.text.dedup import (
+        dedup_clusters,
+        dedup_keep_canonical,
+        estimate_capped_tokens,
+    )
+    from tmframe_spark.vec.similarity import ivf_mstep
+
+    empty_t = with_ts_ns(
+        spark.createDataFrame(
+            [],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp_ntz",
+        )
+    )
+    # distinct-sketch tiers
+    m = rollup_distinct_sketch(empty_t, "1m")
+    assert m.count() == 0
+    assert cascade_distinct_up(m, "1h").count() == 0
+    # custom fixed-step tier through rollup + pack
+    r5 = rollup(empty_t, "5m")
+    assert r5.count() == 0
+    assert gap_fill(r5, "5m").count() == 0
+    assert pack_rollup_blocks(r5, "5m", "day").count() == 0
+    # split path on an empty rollup: no spans, no chunks, no blocks
+    assert pack_rollup_blocks(r5, "5m", "day", split_dense_rows=10).count() == 0
+    # clustering + canonical keep + pre-check
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_clusters(empty_pairs).count() == 0
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup_keep_canonical(empty_docs, empty_pairs, "doc_id").count() == 0
+    est = estimate_capped_tokens(empty_docs, "doc_id").collect()[0]
+    assert est["total_tokens"] == 0 and (est["capped_tokens"] or 0) == 0
+    # M-step over an empty assignment: zero cells, never an error
+    empty_vec = spark.createDataFrame(
+        [], "vec_id long, cell int, embedding array<float>"
+    )
+    assert ivf_mstep(empty_vec).count() == 0
