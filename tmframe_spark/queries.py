@@ -768,6 +768,18 @@ def q_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.5)
 
 
+def q_sample_docs(spark, sf_dir):
+    """10% deterministic content-keyed document sample (seed 7) —
+    ops/sample.deterministic_sample: keep iff md5-prefix hash60 of
+    (seed || doc_id) clears the rate threshold, so the sample is a pure
+    function of the data (partitioning/cluster/engine independent, unlike
+    df.sample's per-partition RNG). Full oracle in the pytest mirror: the
+    identical threshold cut restated in DuckDB."""
+    from tmframe_spark.ops.sample import deterministic_sample
+
+    return deterministic_sample(_docs(spark, sf_dir), 0.1, ["doc_id"], seed=7)
+
+
 def q_rollup_5m_gapfill(spark, sf_dir):
     """Arbitrary-step continuous aggregate: the rollup + join-free gap-fill
     machinery at a CUSTOM 5-minute tier (ops/rollup.tier_bucket epoch
@@ -1128,6 +1140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rollup_5m_gapfill: FULL oracle in the pytest mirror (epoch-floor
         # time_bucket + 5m spine); rows-only for the driver (window full).
         "rollup_5m_gapfill": q_rollup_5m_gapfill,
+        # sample_docs: FULL oracle in the pytest mirror (portable-hash
+        # threshold cut); rows-only for the driver (window full).
+        "sample_docs": q_sample_docs,
     }
 
 
@@ -1911,5 +1926,14 @@ s AS (SELECT conv_id, unnest(generate_series(mn, mx, interval 5 minute)) AS buck
       FROM b)
 SELECT s.conv_id AS conv_id, s.bucket AS bucket, {_COALESCED}
 FROM s LEFT JOIN m ON s.conv_id = m.conv_id AND s.bucket = m.bucket
+""",
+        # sample_docs: the identical content-keyed threshold cut — same
+        # md5-prefix hash60, same '\x1f'-joined (seed, key) input, same
+        # exact integer threshold (computed once here in Python so both
+        # engines compare against the same number).
+        "sample_docs": f"""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE CAST(('0x' || substr(md5('7' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 15))
+           AS BIGINT) < {int(0.1 * (1 << 60))}
 """,
     }
