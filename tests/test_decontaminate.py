@@ -1,0 +1,70 @@
+"""Benchmark decontamination + PII redaction: overlap math, filtering,
+and the regex scrub on planted PII."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tmframe_spark.text.decontaminate import (
+    contamination_scores,
+    decontaminate,
+    redact_pii,
+    with_redacted_text,
+)
+
+BENCH_TEXT = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    fresh = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, BENCH_TEXT),                              # the benchmark doc itself
+        (1, BENCH_TEXT),                              # full copy -> 1.0
+        (2, BENCH_TEXT + " " + fresh),                # partial overlap
+        (3, fresh),                                   # clean -> 0.0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").persist()
+
+
+def test_contamination_scores(corpus, spark):
+    bench = corpus.where("doc_id = 0")
+    got = {
+        r["doc_id"]: (r["contaminated"], r["total"], r["contamination"])
+        for r in contamination_scores(corpus, bench, shingle_k=8).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}  # every doc keeps a row
+    assert got[0][2] == 1.0 and got[1][2] == 1.0
+    assert 0.0 < got[2][2] < 1.0
+    assert got[3] == (0, 3, 0.0)  # 10 words -> 3 8-shingles, none shared
+    # 20-word doc: 13 shingles, the 3 fully-inside-benchmark ones hit
+    assert got[2][1] == 13 and got[2][0] == 3
+
+
+def test_decontaminate_drops_above_threshold(corpus):
+    bench = corpus.where("doc_id = 0")
+    kept = {
+        r["doc_id"] for r in decontaminate(corpus, bench, threshold=0.5).collect()
+    }
+    assert kept == {2, 3}  # full copies (incl. the bench doc) dropped
+    strict = {
+        r["doc_id"] for r in decontaminate(corpus, bench, threshold=0.0).collect()
+    }
+    assert strict == {3}
+
+
+def test_redact_pii_patterns(spark):
+    rows = [
+        (0, "mail me at alice.smith+x@sub.example.co or visit https://a.b/c?d=1"),
+        (1, "call 0049 123 456-789 now"),
+        (2, "clean text with short 123 number"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_redacted"], r["pii_hits"])
+           for r in with_redacted_text(df).collect()}
+    assert got[0] == ("mail me at <EMAIL> or visit <URL>", 2)
+    assert got[1] == ("call <PHONE> now", 1)
+    assert got[2] == ("clean text with short 123 number", 0)
+    # scrub is idempotent: redacting redacted text changes nothing
+    red = df.select(redact_pii(redact_pii(F.col("text"))).alias("t"),
+                    redact_pii(F.col("text")).alias("once")).collect()
+    assert all(r["t"] == r["once"] for r in red)

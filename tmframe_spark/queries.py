@@ -768,6 +768,50 @@ def q_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.5)
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination scores: fraction of each document's 8-word
+    shingles that appear in a benchmark set (here the deterministic
+    doc_id % 50 == 0 subset, so the oracle needs no external data — those
+    docs score 1.0, their exact dups too, clean docs 0.0). Broadcast
+    semi-join against the small benchmark shingle set; one corpus pass.
+    Full oracle in the pytest mirror."""
+    from tmframe_spark.text.decontaminate import contamination_scores
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return contamination_scores(docs, bench, "doc_id", "text", shingle_k=8)
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction over documents with PLANTED lexical PII (the driver
+    corpus is synthetic clean text, so without planting the query would
+    pass vacuously — the _emb_planted rule): every doc_id % 10 == 0 text
+    gains a deterministic 'contact' suffix with an email, a URL and a
+    phone-shaped digit run; the redactor must replace all three and count
+    the hits. Both engines build the identical input string in-query.
+    Full oracle in the pytest mirror (same RE2-subset patterns)."""
+    from tmframe_spark.text.decontaminate import with_redacted_text
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or https://ex.org/p?id="),
+                F.col("doc_id").cast("string"),
+                F.lit(" tel 0123 456-789"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return with_redacted_text(planted).select(
+        "doc_id", F.col("text_redacted").alias("text_redacted"), "pii_hits"
+    )
+
+
 def q_sample_docs(spark, sf_dir):
     """10% deterministic content-keyed document sample (seed 7) —
     ops/sample.deterministic_sample: keep iff md5-prefix hash60 of
@@ -1143,6 +1187,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sample_docs: FULL oracle in the pytest mirror (portable-hash
         # threshold cut); rows-only for the driver (window full).
         "sample_docs": q_sample_docs,
+        # contamination / pii_redact: FULL oracles in the pytest mirror
+        # (shingle overlap; RE2-subset regex scrub on planted PII).
+        "contamination": q_contamination,
+        "pii_redact": q_pii_redact,
     }
 
 
@@ -1926,6 +1974,53 @@ s AS (SELECT conv_id, unnest(generate_series(mn, mx, interval 5 minute)) AS buck
       FROM b)
 SELECT s.conv_id AS conv_id, s.bucket AS bucket, {_COALESCED}
 FROM s LEFT JOIN m ON s.conv_id = m.conv_id AND s.bucket = m.bucket
+""",
+        # contamination: same 8-word shingle sets (the k=3 slice idiom
+        # from near_dup_clusters, widened), benchmark = doc_id % 50 == 0,
+        # LEFT-JOINed hit counts, one BIGINT/BIGINT -> DOUBLE division.
+        "contamination": r"""
+WITH tok0 AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, array_to_string(ws[i:i+7], ' ') AS w
+  FROM (SELECT id, ws, unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i
+        FROM tok0)
+),
+bench AS (SELECT DISTINCT w FROM sh WHERE id % 50 = 0),
+tot AS (SELECT id, count(*) AS total FROM sh GROUP BY id),
+hit AS (SELECT id, count(*) AS contaminated FROM sh
+        WHERE w IN (SELECT w FROM bench) GROUP BY id)
+SELECT tot.id AS doc_id,
+       CAST(coalesce(hit.contaminated, 0) AS BIGINT) AS contaminated,
+       tot.total AS total,
+       coalesce(hit.contaminated, 0) / tot.total AS contamination
+FROM tot LEFT JOIN hit ON tot.id = hit.id
+""",
+        # pii_redact: identical planted suffix, identical RE2-subset
+        # patterns in the same order; hit counts via regexp_extract_all
+        # lengths (the code-point-safe cross-engine counting idiom).
+        "pii_redact": r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN
+           text || ' contact u' || CAST(doc_id AS VARCHAR)
+                || '@example.com or https://ex.org/p?id='
+                || CAST(doc_id AS VARCHAR) || ' tel 0123 456-789'
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    'https?://[^\s]+', '<URL>', 'g'),
+    '[0-9][0-9 ()+.-]{5,}[0-9]', '<PHONE>', 'g') AS text_redacted,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+     + len(regexp_extract_all(text, 'https?://[^\s]+'))
+     + len(regexp_extract_all(text, '[0-9][0-9 ()+.-]{5,}[0-9]')) AS BIGINT)
+    AS pii_hits
+FROM planted
 """,
         # sample_docs: the identical content-keyed threshold cut — same
         # md5-prefix hash60, same '\x1f'-joined (seed, key) input, same
