@@ -8,7 +8,10 @@ End-to-end training-corpus dedup, the pipeline the library operators feed:
 
 1. EXACT pass first (hash-groupBy — one shuffle): byte-duplicate texts
    collapse to their lowest id before any pair generation, so the pair
-   stage never wastes candidates on identical documents.
+   stage never wastes candidates on identical documents. With
+   ``--benchmark``, a decontamination pass then drops documents whose
+   8-word-shingle overlap with the benchmark exceeds the threshold
+   (text/decontaminate — broadcast semi-join, one corpus pass).
 2. Pair generation on the survivors: ``jaccard`` (exact, df-capped when
    the one-pass ``estimate_capped_tokens`` pre-check says the cap bites —
    the BENCH.md routing rule, applied automatically) or ``minhash``
@@ -43,6 +46,11 @@ def main(argv=None) -> int:
                    help="jaccard method: df cap when the pre-check says it bites")
     p.add_argument("--clusters-out", default=None,
                    help="also write the (id, cluster_id) table here")
+    p.add_argument("--benchmark", default=None,
+                   help="benchmark parquet (same id/text cols): drop docs whose "
+                        "8-word-shingle overlap exceeds --contamination-threshold "
+                        "BEFORE pair generation")
+    p.add_argument("--contamination-threshold", type=float, default=0.05)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -68,6 +76,23 @@ def main(argv=None) -> int:
     )
     n_exact = survivors.count()
     print(json.dumps({"stage": "exact", "docs_in": n_in, "docs_out": n_exact}))
+
+    # optional stage 1b: benchmark decontamination before pair generation
+    if args.benchmark:
+        from tmframe_spark.text.decontaminate import decontaminate
+
+        bench = spark.read.parquet(args.benchmark)
+        survivors = decontaminate(
+            survivors, bench, args.contamination_threshold,
+            args.id_col, args.text_col,
+        ).localCheckpoint(eager=True)
+        n_clean = survivors.count()
+        print(json.dumps({
+            "stage": "decontaminate", "benchmark": args.benchmark,
+            "threshold": args.contamination_threshold,
+            "docs_out": n_clean, "docs_dropped": n_exact - n_clean,
+        }))
+        n_exact = n_clean
 
     if args.method == "exact":
         survivors.write.mode("overwrite").parquet(args.output)

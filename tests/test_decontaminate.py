@@ -68,3 +68,14 @@ def test_redact_pii_patterns(spark):
     red = df.select(redact_pii(redact_pii(F.col("text"))).alias("t"),
                     redact_pii(F.col("text")).alias("once")).collect()
     assert all(r["t"] == r["once"] for r in red)
+
+
+def test_contamination_plan_broadcasts_benchmark(corpus):
+    # the scale contract: the benchmark shingle set is the broadcast build
+    # side of a semi-join — the corpus side never shuffles for the match
+    bench = corpus.where("doc_id = 0")
+    plan = (
+        contamination_scores(corpus, bench, shingle_k=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan

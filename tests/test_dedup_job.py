@@ -71,3 +71,27 @@ def test_dedup_job_jaccard_routes_via_precheck(spark, capsys):
     # route to the plain exact form, not pay the 2.3x capped overhead
     assert pair_line["method"] == "jaccard" and pair_line["df_capped"] is False
     assert spark.read.parquet(out).count() > 0
+
+
+def test_dedup_job_decontaminates_against_benchmark(spark, capsys):
+    import json
+
+    out = tempfile.mkdtemp(prefix="dedup_out_")
+    bench_dir = tempfile.mkdtemp(prefix="dedup_bench_") + "/bench"
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # benchmark = copies of a few corpus docs -> those docs (and their
+    # exact dups) must not survive the pipeline
+    bench_ids = {r["doc_id"] for r in docs.where("doc_id % 100 = 0").collect()}
+    docs.where("doc_id % 100 = 0").write.parquet(bench_dir)
+    rc = _run([
+        "--input", f"{SF_DIR}/documents.parquet", "--output", out,
+        "--method", "minhash", "--threshold", "0.5",
+        "--benchmark", bench_dir, "--contamination-threshold", "0.5",
+    ])
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert not (kept & bench_ids)
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    dec = next(ln for ln in lines if ln.get("stage") == "decontaminate")
+    assert dec["docs_dropped"] >= len(bench_ids)

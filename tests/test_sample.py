@@ -80,3 +80,12 @@ def test_stratified_equals_per_stratum_samples(docs):
     assert got.where(~F.col("lang").isin(keep_all, keep_some)).count() == 0
     with pytest.raises(ValueError, match="stratum"):
         stratified_deterministic_sample(docs, {keep_all: 2.0}, "lang", ["doc_id"])
+
+
+def test_sample_plan_is_shuffle_free(docs):
+    # one codegen predicate on the scan: no Exchange anywhere in the plan
+    plan = (
+        deterministic_sample(docs, 0.1, ["doc_id"], seed=7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
