@@ -768,6 +768,18 @@ def q_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.5)
 
 
+def q_sequence_packing(spark, sf_dir):
+    """Deterministic sequence packing of documents into 512-token bins
+    (text/packing.pack_documents — content-keyed shard + order, greedy
+    first-fit). Rows-only: greedy packing is sequential, not one SQL
+    statement; pytest pins the budget invariants, partitioning
+    independence, Arrow-batch-boundary state, and equality with a
+    single-threaded reference greedy."""
+    from tmframe_spark.text.packing import pack_documents
+
+    return pack_documents(_docs(spark, sf_dir), 512, n_shards=16, seed=3)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination scores: fraction of each document's 8-word
     shingles that appear in a benchmark set (here the deterministic
@@ -1191,6 +1203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (shingle overlap; RE2-subset regex scrub on planted PII).
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
+        # sequence_packing: rows-only by design (sequential greedy);
+        # pytest-twinned against a single-threaded reference.
+        "sequence_packing": q_sequence_packing,
     }
 
 
