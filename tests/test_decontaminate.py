@@ -79,3 +79,22 @@ def test_contamination_plan_broadcasts_benchmark(corpus):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_repetition_stats_flags_degenerate_text(spark):
+    from tmframe_spark.text.analysis import repetition_stats
+
+    rows = [
+        (0, "spam spam spam spam spam spam"),          # one 2-gram repeated
+        (1, "the quick brown fox jumps over dogs"),    # all distinct 2-grams
+        (2, "ab ab cd ab ab cd ab ab"),                # mixed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[0]["top2_frac"] == 1.0 and got[0]["total_2grams"] == 5
+    assert got[1]["top2_frac"] == 1 / 6 and got[1]["top2_count"] == 1
+    assert got[2]["top2_frac"] == 3 / 7  # 'ab ab' x3 of 7 2-grams
+    # exactness: frac == top/total for every row
+    for r in got.values():
+        assert r["top2_frac"] == r["top2_count"] / r["total_2grams"]
+        assert r["top3_frac"] == r["top3_count"] / r["total_3grams"]

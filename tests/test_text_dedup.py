@@ -315,3 +315,41 @@ def test_dedup_clusters_empty_and_presplit(spark):
     stars = spark.createDataFrame([(0, 5), (0, 9), (20, 21)], "id_a long, id_b long")
     got = {(r["id"], r["cluster_id"]) for r in dedup_clusters(stars).collect()}
     assert got == {(0, 0), (5, 0), (9, 0), (20, 20), (21, 20)}
+
+
+def test_dedup_clusters_property_vs_union_find(spark):
+    """Property check over random graph shapes (dense blobs, forests,
+    bipartite-ish) — the star algorithm must equal union-find on all of
+    them. Seeded loop instead of hypothesis: each case costs a Spark job,
+    so a bounded deterministic sweep keeps the suite's time predictable."""
+    import numpy as np
+
+    from tmframe_spark.text.dedup import dedup_clusters
+
+    for seed, n_nodes, n_edges in [(0, 12, 8), (1, 30, 60), (2, 60, 30),
+                                   (3, 25, 5), (4, 40, 200)]:
+        rng = np.random.default_rng(seed)
+        edges = {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in rng.integers(0, n_nodes, size=(n_edges, 2))
+            if a != b
+        }
+        if not edges:
+            continue
+        pairs = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+        got = {(r["id"], r["cluster_id"]) for r in dedup_clusters(pairs).collect()}
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        comp: dict[int, list[int]] = {}
+        for v in {v for e in edges for v in e}:
+            comp.setdefault(find(v), []).append(v)
+        ref = {(v, min(mem)) for mem in comp.values() for v in mem}
+        assert got == ref, (seed, n_nodes, n_edges)

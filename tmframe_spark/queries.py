@@ -768,6 +768,16 @@ def q_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(_docs(spark, sf_dir), "doc_id", threshold=0.5)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals: top-2-gram and top-3-gram
+    fractions per document (text/analysis.repetition_stats — multiset
+    shingles, exact integer counts, one IEEE division each). Full oracle
+    in the pytest mirror."""
+    from tmframe_spark.text.analysis import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), "doc_id", "text", ns=(2, 3))
+
+
 def q_sequence_packing(spark, sf_dir):
     """Deterministic sequence packing of documents into 512-token bins
     (text/packing.pack_documents — content-keyed shard + order, greedy
@@ -1206,6 +1216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sequence_packing: rows-only by design (sequential greedy);
         # pytest-twinned against a single-threaded reference.
         "sequence_packing": q_sequence_packing,
+        # repetition_stats: FULL oracle in the pytest mirror.
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -1989,6 +2001,35 @@ s AS (SELECT conv_id, unnest(generate_series(mn, mx, interval 5 minute)) AS buck
       FROM b)
 SELECT s.conv_id AS conv_id, s.bucket AS bucket, {_COALESCED}
 FROM s LEFT JOIN m ON s.conv_id = m.conv_id AND s.bucket = m.bucket
+""",
+        # repetition_stats: MULTISET shingles (no DISTINCT — repetition is
+        # what distinct would erase), per-(id, gram) counts, max/sum per
+        # id, BIGINT-cast sums (DuckDB SUM is HUGEINT), one division each.
+        "repetition_stats": r"""
+WITH tok0 AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+g2 AS (
+  SELECT id, array_to_string(ws[i:i+1], ' ') AS w
+  FROM (SELECT id, ws, unnest(generate_series(1, greatest(len(ws) - 1, 1))) AS i
+        FROM tok0)
+),
+g3 AS (
+  SELECT id, array_to_string(ws[i:i+2], ' ') AS w
+  FROM (SELECT id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+        FROM tok0)
+),
+c2 AS (SELECT id, w, count(*) AS c FROM g2 GROUP BY id, w),
+c3 AS (SELECT id, w, count(*) AS c FROM g3 GROUP BY id, w),
+s2 AS (SELECT id, CAST(max(c) AS BIGINT) AS top2_count,
+              CAST(sum(c) AS BIGINT) AS total_2grams FROM c2 GROUP BY id),
+s3 AS (SELECT id, CAST(max(c) AS BIGINT) AS top3_count,
+              CAST(sum(c) AS BIGINT) AS total_3grams FROM c3 GROUP BY id)
+SELECT s2.id AS doc_id,
+       top2_count, total_2grams, top2_count / total_2grams AS top2_frac,
+       top3_count, total_3grams, top3_count / total_3grams AS top3_frac
+FROM s2 JOIN s3 ON s2.id = s3.id
 """,
         # contamination: same 8-word shingle sets (the k=3 slice idiom
         # from near_dup_clusters, widened), benchmark = doc_id % 50 == 0,

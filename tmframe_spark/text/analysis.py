@@ -130,3 +130,46 @@ def rolling_fingerprints(df: DataFrame, col: str = "text", k: int = 5) -> DataFr
         idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, k)))
     )
     return df.withColumn("shingle_hash", F.explode(shingles))
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style repetition signals (the MassiveText/Gopher quality
+    filter family — public practice): for each n in ``ns``, the fraction
+    of ALL n-grams taken by the single most frequent n-gram
+    (``top{n}_frac``, with ``top{n}_count`` / ``total_{n}grams``). High
+    values flag degenerate, repetitive text that the length/punct stats
+    miss entirely.
+
+    Exact arithmetic: integer counts + one IEEE division each, so the
+    registry query hash-matches a DuckDB restatement. Shingles are the
+    MULTISET form (``shingles(..., distinct=False)``) — repetition is
+    precisely what distinct would erase. Per-doc group sizes are bounded
+    by document length, so the groupBy is data-sized and skew-free.
+    """
+    from tmframe_spark.text.dedup import shingles
+
+    out = df.select(F.col(id_col))
+    for n in ns:
+        tok = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(F.col(text_col), n, distinct=False)).alias("w"),
+        )
+        st = (
+            tok.groupBy("id", "w")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("id")
+            .agg(F.max("c").alias("top"), F.sum("c").alias("total"))
+            .select(
+                F.col("id").alias(id_col),
+                F.col("top").alias(f"top{n}_count"),
+                F.col("total").alias(f"total_{n}grams"),
+                (F.col("top") / F.col("total")).alias(f"top{n}_frac"),
+            )
+        )
+        out = out.join(st, id_col)
+    return out
