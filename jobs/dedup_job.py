@@ -11,7 +11,7 @@ End-to-end training-corpus dedup, the pipeline the library operators feed:
    stage never wastes candidates on identical documents. With
    ``--benchmark``, a decontamination pass then drops documents whose
    8-word-shingle overlap with the benchmark exceeds the threshold
-   (text/decontaminate — broadcast semi-join, one corpus pass).
+   (text/decontaminate — one broadcast mark-join, one corpus pass).
 2. Pair generation on the survivors: ``jaccard`` (exact, df-capped when
    the one-pass ``estimate_capped_tokens`` pre-check says the cap bites —
    the BENCH.md routing rule, applied automatically) or ``minhash``

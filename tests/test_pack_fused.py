@@ -189,3 +189,23 @@ def test_fused_equals_compositional_custom_5m_tier(spark):
     comp = blocks_dict(compositional(r5, "5m", "day"), "grp")
     assert set(fused) == set(comp) and len(fused) > 0
     assert fused == comp
+
+
+def test_pack_rejects_non_utc_session(spark):
+    # review finding: the wire contract is UTC end to end — the pack must
+    # fail loudly under a non-UTC session instead of silently skewing
+    # epochs against its UTC calendar arithmetic
+    import pandas as pd
+    import pytest
+
+    rolled = spark.createDataFrame(
+        [("c", pd.Timestamp("2024-01-01").to_pydatetime(), 1, 1)],
+        "conv_id string, bucket timestamp, turns long, token_volume long",
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError, match="timeZone=UTC"):
+            pack_rollup_blocks(rolled, "1m", "day")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

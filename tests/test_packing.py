@@ -103,3 +103,14 @@ def test_packing_oversized_doc_gets_own_bin(spark):
     assert big_bin not in others  # alone in its bin
     with pytest.raises(ValueError, match="max_tokens"):
         pack_documents(df, 0, n_shards=1)
+
+
+def test_packing_null_text_counts_zero_tokens(spark):
+    # review finding: a NULL text must count 0 tokens, not poison the
+    # greedy accumulator with NaN (which would disable bin openings for
+    # the rest of the shard)
+    rows = [(0, "a b c"), (1, None), (2, "d e f g h")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_tokens"] for r in
+           pack_documents(df, 4, n_shards=1).collect()}
+    assert got == {0: 3, 1: 0, 2: 5}

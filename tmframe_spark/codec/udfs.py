@@ -226,6 +226,18 @@ def pack_rollup_blocks(
     aggregation pass over the rollup + a second (dense-rows-only) shuffle
     — pay it when the straggler dominates, not by default.
     """
+    # the wire contract is UTC end to end: bucket_ts_ns casts through the
+    # SESSION timezone while the block/group arithmetic (numpy datetime64,
+    # and the split path's chunk date_trunc) is UTC — a non-UTC session
+    # would silently skew epochs against calendar boundaries (and in the
+    # split path scatter block-local indices out of range), so fail loudly
+    # instead (round-5 review finding #2)
+    tz = rolled.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        raise ValueError(
+            f"pack_rollup_blocks requires spark.sql.session.timeZone=UTC "
+            f"(the engine's wire contract; session has {tz!r})"
+        )
     step = tier_step_ns(tier)
     unit = GROUP_UNIT_CODE[group_unit]
     out_schema = StructType(

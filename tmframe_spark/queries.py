@@ -794,8 +794,8 @@ def q_contamination(spark, sf_dir):
     """Benchmark decontamination scores: fraction of each document's 8-word
     shingles that appear in a benchmark set (here the deterministic
     doc_id % 50 == 0 subset, so the oracle needs no external data — those
-    docs score 1.0, their exact dups too, clean docs 0.0). Broadcast
-    semi-join against the small benchmark shingle set; one corpus pass.
+    docs score 1.0, their exact dups too, clean docs 0.0). One broadcast
+    mark-join against the small benchmark shingle set; one corpus pass.
     Full oracle in the pytest mirror."""
     from tmframe_spark.text.decontaminate import contamination_scores
 

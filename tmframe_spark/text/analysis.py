@@ -153,7 +153,7 @@ def repetition_stats(
     """
     from tmframe_spark.text.dedup import shingles
 
-    out = df.select(F.col(id_col))
+    out = None
     for n in ns:
         tok = df.select(
             F.col(id_col).alias("id"),
@@ -171,5 +171,8 @@ def repetition_stats(
                 (F.col("top") / F.col("total")).alias(f"top{n}_frac"),
             )
         )
-        out = out.join(st, id_col)
+        # join the per-n stats frames directly (one row per id each) — a
+        # df.select(id) base would add a scan + join and silently assume
+        # id uniqueness (round-5 review finding)
+        out = st if out is None else out.join(st, id_col)
     return out

@@ -5,9 +5,9 @@
   splits). Training on benchmark text inflates eval scores; the standard
   defense is n-gram overlap screening (public practice, e.g. the GPT-3 /
   C4 decontamination writeups). The benchmark shingle set is the small
-  side: one distinct-shingle build, then a broadcast semi-join per corpus
-  shingle — the corpus (100 TB side) is touched once, no corpus-side
-  shuffle beyond the per-doc count aggregation.
+  side: one distinct-shingle build, then ONE broadcast mark-join over the
+  corpus shingles — the corpus (100 TB side) is scanned exactly once, and
+  hit + total counts come from a single per-doc aggregation.
 - redact_pii: one-pass regexp scrub of the classic lexical PII shapes
   (emails, URLs, long digit runs). Patterns live in the Spark/RE2 common
   subset so the DuckDB oracle restates them verbatim.
@@ -38,33 +38,36 @@ def contamination_scores(
     ``shingle_k`` defaults to 8 words — long enough that natural reuse is
     rare and matches mean copied benchmark text (the public
     decontamination convention of ~8-13-gram screens). The benchmark's
-    distinct shingle set is built once and met via a broadcast semi-join;
+    distinct shingle set is built once and met via one broadcast mark-join;
     every corpus doc keeps a row (0.0 when clean). The division is one
     IEEE op on exact ints — engine/partitioning independent."""
     bench_sh = (
         benchmark.select(
             F.explode(shingles(F.col(text_col), shingle_k)).alias("w")
-        ).distinct()
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     corp_sh = corpus.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("w"),
     )
-    hits = (
-        corp_sh.join(F.broadcast(bench_sh), "w", "left_semi")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("contaminated"))
-    )
-    totals = corp_sh.groupBy("id").agg(F.count(F.lit(1)).alias("total"))
+    # ONE corpus pass: a broadcast left join marks each shingle, and a
+    # single per-doc aggregation counts both sides (a separate totals
+    # aggregation would scan + explode the 100 TB side twice — round-5
+    # review finding)
     return (
-        totals.join(hits, "id", "left")
+        corp_sh.join(F.broadcast(bench_sh), "w", "left")
+        .groupBy("id")
+        .agg(
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("contaminated"),
+            F.count(F.lit(1)).alias("total"),
+        )
         .select(
             F.col("id").alias(id_col),
-            F.coalesce("contaminated", F.lit(0)).alias("contaminated"),
+            "contaminated",
             "total",
-            (F.coalesce("contaminated", F.lit(0)) / F.col("total")).alias(
-                "contamination"
-            ),
+            (F.col("contaminated") / F.col("total")).alias("contamination"),
         )
     )
 

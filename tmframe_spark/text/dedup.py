@@ -124,10 +124,14 @@ def estimate_capped_tokens(
         F.explode(shingles(F.col(text_col), shingle_k)).alias("w"),
     )
     dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # coalesce: an empty/all-null corpus must report zeros, not NULLs a
+    # caller's int() would choke on (round-5 review finding)
     return dfreq.agg(
-        F.sum((F.col("df") > max_df).cast("long")).alias("capped_tokens"),
+        F.coalesce(F.sum((F.col("df") > max_df).cast("long")), F.lit(0)).alias(
+            "capped_tokens"
+        ),
         F.count(F.lit(1)).alias("total_tokens"),
-        F.max("df").alias("max_observed_df"),
+        F.coalesce(F.max("df"), F.lit(0)).alias("max_observed_df"),
     )
 
 

@@ -46,11 +46,17 @@ def pack_documents(
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
     from tmframe_spark.text.analysis import token_count
 
-    toks = (
-        F.col(token_count_col)
-        if token_count_col
-        else token_count(F.col(text_col))
-    ).cast("long")
+    # NULL text / NULL counts coalesce to 0: a NaN reaching the greedy
+    # accumulator would make 'fill + t > budget' permanently False and
+    # silently pile the rest of the shard into one unbounded bin
+    toks = F.coalesce(
+        (
+            F.col(token_count_col)
+            if token_count_col
+            else token_count(F.col(text_col))
+        ).cast("long"),
+        F.lit(0),
+    )
     keyed = docs.select(
         F.col(id_col),
         toks.alias("n_tokens"),
