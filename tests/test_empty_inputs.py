@@ -151,3 +151,27 @@ def test_empty_inputs_round5_operators(spark):
         [], "vec_id long, cell int, embedding array<float>"
     )
     assert ivf_mstep(empty_vec).count() == 0
+
+
+def test_empty_inputs_histogram_and_spans(spark):
+    from tmframe_spark.ops.rollup import (
+        cascade_histogram_up,
+        histogram_quantile,
+        rollup_histogram,
+    )
+    from tmframe_spark.text.dedup import duplicate_span_stats
+
+    empty_t = with_ts_ns(
+        spark.createDataFrame(
+            [],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp_ntz",
+        )
+    )
+    m = rollup_histogram(empty_t, "1m")
+    assert m.count() == 0
+    h = cascade_histogram_up(m, "1h")
+    assert histogram_quantile(h, 95, 100).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert duplicate_span_stats(empty_docs, "doc_id").count() == 0

@@ -197,6 +197,72 @@ def test_distinct_sketch_cascade_is_lossless_and_exact(spark):
     assert 0 in got.values() or all(v > 0 for v in truth.values())
 
 
+def test_histogram_cascade_and_quantile(spark):
+    """The log2 histogram tier must (a) re-aggregate: cascaded 1m->1h bins
+    equal a histogram built directly from raw turns; (b) partition counts:
+    the bins of each row sum to the row's turn count; (c) read quantiles by
+    the exact integer rank rule, with NULL on all-zero (gap-filled) rows
+    and correct bin edges ([2^(i-1), 2^i), value 0 in bin 0, open tail)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from tmframe_spark.data.transcripts import load_transcripts
+    from tmframe_spark.ops.rollup import (
+        cascade_histogram_up,
+        hist_cols,
+        histogram_quantile,
+        rollup,
+        rollup_histogram,
+    )
+
+    t = load_transcripts(spark, SF_DIR)
+    hs = hist_cols()
+
+    def rows(df):
+        return {
+            (r["conv_id"], r["bucket"]): tuple(r[c] for c in hs)
+            for r in df.collect()
+        }
+
+    casc = cascade_histogram_up(rollup_histogram(t, "1m"), "1h")
+    direct = rows(rollup_histogram(t, "1h"))
+    assert rows(casc) == direct and len(direct) > 0
+
+    # bins partition the turn count
+    turns = {
+        (r["conv_id"], r["bucket"]): r["turns"]
+        for r in rollup(t, "1h").collect()
+    }
+    assert {k: sum(v) for k, v in direct.items()} == turns
+
+    # bin edges on synthetic per-turn text lengths: 0 -> h00, 1 -> h01,
+    # 2,3 -> h02, 16384 -> h15 (open tail)
+    import datetime
+
+    ts0 = datetime.datetime(2024, 1, 1, 0, 0, 30)
+    tiny = spark.createDataFrame(
+        [("c", i, "user", "x" * n, None, ts0) for i, n in enumerate([0, 1, 2, 3, 16384])],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    (row,) = rollup_histogram(tiny, "1m").collect()
+    got = {c: row[c] for c in hs if row[c]}
+    assert got == {"h00": 1, "h01": 1, "h02": 2, "h15": 1}
+
+    # quantile rank rule on a hand-built histogram: counts 2/3/5 in bins
+    # 0/1/2 -> p50 rank ceil(5.0)=5 lands at cum(h00..h01)=5 -> bin 1 lo 1;
+    # p95 rank ceil(9.5)=10 -> bin 2 lo 2; the zero row reads NULL
+    manual = spark.createDataFrame(
+        [tuple([2, 3, 5] + [0] * 13), tuple([0] * 16)],
+        ", ".join(f"{c} long" for c in hs),
+    )
+    q = histogram_quantile(histogram_quantile(manual, 50, 100, out="p50"), 95, 100, out="p95")
+    got_q = {
+        tuple(r[c] for c in ("p50_bin", "p50_lo", "p95_bin", "p95_lo"))
+        for r in q.collect()
+    }
+    assert got_q == {(1, 1, 2, 2), (None, None, None, None)}
+
+
 def test_custom_tier_cascade_and_validation(spark):
     """Custom fixed-step tiers: 5m buckets cascade EXACTLY into the named
     1h tier (sum re-aggregation is tier-agnostic); malformed or

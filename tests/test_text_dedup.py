@@ -353,3 +353,55 @@ def test_dedup_clusters_property_vs_union_find(spark):
             comp.setdefault(find(v), []).append(v)
         ref = {(v, min(mem)) for mem in comp.values() for v in mem}
         assert got == ref, (seed, n_nodes, n_edges)
+
+
+def test_duplicate_span_stats_planted(spark):
+    """Cross-doc duplicated spans against an in-test sequential reference:
+    planted shared boilerplate marks both carriers; a short (<w tokens) doc
+    contributes exactly one whole-doc span; intra-doc repetition alone does
+    NOT mark a span (min_docs counts distinct documents)."""
+    import re
+
+    from tmframe_spark.text.dedup import duplicate_span_stats
+
+    boiler = (
+        "this license text is shared across documents exactly verbatim "
+        "in every mirror of the corpus"
+    )
+    docs = [
+        (1, boiler + " plus a unique tail one alpha beta gamma delta"),
+        (2, "totally different unique leading content here " + boiler),
+        (3, "short doc"),
+        (4, " ".join(["repeat"] * 20)),
+        (5, "another fully unique document with no shared spans anywhere at all"),
+    ]
+
+    def ref(w=8, min_docs=2):
+        span_docs: dict[str, set[int]] = {}
+        per_doc: dict[int, list[str]] = {}
+        for i, t in docs:
+            ws = re.split(r"\s+", t.strip().lower())
+            sp = [" ".join(ws[p : p + w]) for p in range(0, max(len(ws) - w, 0) + 1)]
+            per_doc[i] = sp
+            for s in set(sp):
+                span_docs.setdefault(s, set()).add(i)
+        return {
+            i: (
+                len(sp),
+                sum(1 for s in sp if len(span_docs[s]) >= min_docs),
+            )
+            for i, sp in per_doc.items()
+        }
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in duplicate_span_stats(df, "doc_id", w=8).collect()
+    }
+    expect = ref()
+    assert got == expect
+    # the planted boilerplate is long enough to mark spans in docs 1 and 2
+    assert expect[1][1] > 0 and expect[2][1] > 0
+    # doc 3: one whole-doc span, unique; doc 4: intra-doc repeats only
+    assert expect[3] == (1, 0)
+    assert expect[4][1] == 0 and expect[5][1] == 0

@@ -227,6 +227,106 @@ def cascade_distinct_up(lower: DataFrame, tier: str) -> DataFrame:
     )
 
 
+#: default bin count for the value-distribution histogram tiers; bin 0
+#: holds value 0, bin i (1 <= i < B-1) holds [2^(i-1), 2^i), and the last
+#: bin is the open tail [2^(B-2), inf) — log2 bins cover per-turn text
+#: lengths from one char to 16 KiB+ at B=16.
+HIST_BINS = 16
+
+
+def hist_cols(bins: int = HIST_BINS) -> list[str]:
+    return [f"h{i:02d}" for i in range(bins)]
+
+
+def _hist_sum_cases(value_sql: str, bins: int) -> list[str]:
+    """One aggregate SQL text per bin — identical in Spark and DuckDB
+    (pure integer comparisons; the outer CAST collapses DuckDB's
+    HUGEINT sum to BIGINT, a no-op for Spark's long sum)."""
+    cases = []
+    for i in range(bins):
+        if i == 0:
+            cond = f"({value_sql}) < 1"
+        elif i < bins - 1:
+            cond = f"({value_sql}) >= {1 << (i - 1)} AND ({value_sql}) < {1 << i}"
+        else:
+            cond = f"({value_sql}) >= {1 << (i - 1)}"
+        cases.append(f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)")
+    return cases
+
+
+def rollup_histogram(
+    transcripts: DataFrame,
+    tier: str = "1m",
+    value_sql: str = "length(text)",
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Re-aggregatable VALUE-DISTRIBUTION tier: a fixed log2 histogram of a
+    per-turn value per (conv_id, bucket) — the percentile companion to the
+    sum cascade, same role distribution sketches play in a continuous
+    aggregate (quantiles, like COUNT DISTINCT, do not re-aggregate from
+    per-bucket quantiles; fixed-bin counts merge exactly by element-wise
+    sum).
+
+    Each bin is one integer sum column (``h00``..``h15``) — plain map-side
+    combinable JVM aggregates, so the shuffle carries B longs per
+    (conv, bucket) and the cascade (``cascade_histogram_up``) is exact at
+    any tier depth, unlike approx_percentile whose state neither merges
+    losslessly nor hashes identically cross-engine. B=16 log2 bins bound
+    the relative width of any quantile read to 2x — the honest contract
+    (the reported value is the bin's lower bound, not an interpolation).
+    """
+    bucket = tier_bucket(tier, "ts")
+    exprs = [
+        F.expr(c).alias(h)
+        for c, h in zip(_hist_sum_cases(value_sql, bins), hist_cols(bins))
+    ]
+    return transcripts.groupBy(F.col("conv_id"), bucket).agg(*exprs)
+
+
+def cascade_histogram_up(lower: DataFrame, tier: str, bins: int = HIST_BINS) -> DataFrame:
+    """Re-aggregate a finer histogram tier into a coarser one — element-wise
+    integer bin sums, provably equal to building the coarse histogram from
+    raw turns (asserted cross-engine by the ``hist_quantile_1h`` oracle)."""
+    bucket = tier_bucket(tier, "bucket")
+    sums = [F.sum(c).cast("long").alias(c) for c in hist_cols(bins)]
+    return lower.groupBy(F.col("conv_id"), bucket).agg(*sums)
+
+
+def histogram_quantile(
+    df: DataFrame,
+    q_num: int,
+    q_den: int = 100,
+    bins: int = HIST_BINS,
+    out: str = "q",
+) -> DataFrame:
+    """Read a quantile off a histogram tier: ``{out}_bin`` = the smallest
+    bin whose cumulative count reaches rank ceil(total * q/q_den) (NULL for
+    an all-zero row, e.g. a gap-filled bucket), ``{out}_lo`` = that bin's
+    lower bound. Pure integer arithmetic (ceil via (n*q + d - 1) div d),
+    so results are exact and engine/partitioning-independent; the DuckDB
+    twin is the same text with ``//`` for ``div``
+    (see queries.hist_quantile_sql)."""
+    hs = hist_cols(bins)
+    total = "+".join(hs)
+    rank = f"((({total}) * {q_num} + {q_den - 1}) div {q_den})"
+    whens = " ".join(
+        f"WHEN ({'+'.join(hs[: i + 1])}) >= _rank THEN {i}" for i in range(bins)
+    )
+    lo_whens = " ".join(
+        f"WHEN {out}_bin = {i} THEN {0 if i == 0 else 1 << (i - 1)}"
+        for i in range(bins)
+    )
+    return (
+        df.withColumn("_rank", F.expr(rank))
+        .withColumn(
+            f"{out}_bin",
+            F.expr(f"CAST(CASE WHEN ({total}) = 0 THEN NULL {whens} END AS INT)"),
+        )
+        .withColumn(f"{out}_lo", F.expr(f"CAST(CASE {lo_whens} END AS BIGINT)"))
+        .drop("_rank")
+    )
+
+
 def rollup_tiers(transcripts: DataFrame, salt: int | None = None):
     """The full cascade: returns {'1m': df, '1h': df, '1d': df}, each
     gap-filled over its conversation lifespan.

@@ -876,6 +876,52 @@ def q_distinct_tools_1d(spark, sf_dir):
     )
 
 
+def q_hist_quantile_1h(spark, sf_dir):
+    """Percentile continuous aggregate via CASCADED log2 histograms: the 1m
+    value-distribution tier (16 integer bin sums of per-turn text length)
+    re-aggregated to 1h by element-wise bin addition, then p50/p95 read off
+    the merged bins with pure integer arithmetic
+    (ops/rollup.rollup_histogram / cascade_histogram_up /
+    histogram_quantile). The pytest-mirror oracle builds the 1h histogram
+    DIRECTLY from raw turns — equality proves the bin cascade re-aggregates
+    exactly (the same proof shape as the HLL distinct tier). Quantiles
+    themselves never re-aggregate; fixed-bin counts do."""
+    from tmframe_spark.ops.rollup import (
+        cascade_histogram_up,
+        hist_cols,
+        histogram_quantile,
+        rollup_histogram,
+    )
+
+    m = rollup_histogram(_t(spark, sf_dir), "1m")
+    h = cascade_histogram_up(m, "1h")
+    q = histogram_quantile(histogram_quantile(h, 50, 100, out="p50"), 95, 100, out="p95")
+    total = "+".join(hist_cols())
+    return q.select(
+        "conv_id",
+        "bucket",
+        F.expr(total).cast("long").alias("turns"),
+        "p50_bin",
+        "p50_lo",
+        "p95_bin",
+        "p95_lo",
+    )
+
+
+def q_dup_span_stats(spark, sf_dir):
+    """Cross-document duplicated-span statistics (the detection half of
+    exact-substring training-data dedup, Lee et al. 2021, at fixed w-token
+    span granularity): for every document, how many of its 8-word spans
+    also occur in at least one OTHER document. Span hash = md5 (portable);
+    plan = explode -> (doc, span) partial agg -> span-doc-count ->
+    co-partitioned join back -> per-doc sums — every shuffle data-sized,
+    keyed by span hash or doc id. FULL oracle in the pytest mirror
+    (identical md5 spans in DuckDB)."""
+    from tmframe_spark.text.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(_docs(spark, sf_dir), "doc_id", w=8, min_docs=2)
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """Connected-component near-dup clusters: the exact Jaccard pair set
     (same pairs as the `jaccard_pairs` oracle) folded into components via
@@ -1218,6 +1264,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         # repetition_stats: FULL oracle in the pytest mirror.
         "repetition_stats": q_repetition_stats,
+        # hist_quantile_1h: FULL oracle in the pytest mirror (direct-1h
+        # histogram equality proves the bin cascade re-aggregates).
+        "hist_quantile_1h": q_hist_quantile_1h,
+        # dup_span_stats: FULL oracle in the pytest mirror (identical md5
+        # span hashing in DuckDB).
+        "dup_span_stats": q_dup_span_stats,
     }
 
 
@@ -1895,6 +1947,52 @@ ORDER BY cosine DESC, vec_id LIMIT 10
     return o
 
 
+def _hist_quantile_1h_oracle() -> str:
+    """DuckDB twin of q_hist_quantile_1h, generated from the SAME bin-case
+    helper the engine compiles (ops/rollup._hist_sum_cases) — only the
+    integer-division spelling differs (// here, div in Spark)."""
+    from tmframe_spark.ops.rollup import _hist_sum_cases, hist_cols
+
+    hs = hist_cols()
+    total = "+".join(hs)
+    hist_select = ",\n         ".join(
+        f"{c} AS {h}" for c, h in zip(_hist_sum_cases("length(text)", len(hs)), hs)
+    )
+
+    def bin_sql(qn: int, qd: int) -> str:
+        rank = f"((({total}) * {qn} + {qd - 1}) // {qd})"
+        whens = " ".join(
+            f"WHEN ({'+'.join(hs[: i + 1])}) >= {rank} THEN {i}"
+            for i in range(len(hs))
+        )
+        return f"CAST(CASE WHEN ({total}) = 0 THEN NULL {whens} END AS INT)"
+
+    def lo_sql(out: str) -> str:
+        lo_whens = " ".join(
+            f"WHEN {out}_bin = {i} THEN {0 if i == 0 else 1 << (i - 1)}"
+            for i in range(len(hs))
+        )
+        return f"CAST(CASE {lo_whens} END AS BIGINT)"
+
+    return f"""
+WITH {_T_CTE},
+hist AS (
+  SELECT conv_id, date_trunc('hour', ts) AS bucket,
+         {hist_select}
+  FROM transcripts GROUP BY conv_id, date_trunc('hour', ts)
+),
+q AS (
+  SELECT conv_id, bucket, CAST({total} AS BIGINT) AS turns,
+         {bin_sql(50, 100)} AS p50_bin, {bin_sql(95, 100)} AS p95_bin
+  FROM hist
+)
+SELECT conv_id, bucket, turns,
+       p50_bin, {lo_sql('p50')} AS p50_lo,
+       p95_bin, {lo_sql('p95')} AS p95_lo
+FROM q
+"""
+
+
 def pytest_only_oracles() -> dict[str, str]:
     """Full DuckDB oracles for registry-tail queries the DRIVER record
     cannot carry (its CORRECTNESS harness caps at ~50 rows and all 50 slots
@@ -2086,5 +2184,33 @@ FROM planted
 SELECT doc_id, text, lang, source, n_chars FROM documents
 WHERE CAST(('0x' || substr(md5('7' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 15))
            AS BIGINT) < {int(0.1 * (1 << 60))}
+""",
+        # hist_quantile_1h: the 1h log2 histogram built DIRECTLY from raw
+        # turns + the identical integer quantile read (// for Spark's div)
+        # — equality proves the engine's 1m->1h bin cascade re-aggregates
+        # exactly. CASE texts are generated by the same helper the engine
+        # compiles, so the two plans share their arithmetic by construction.
+        "hist_quantile_1h": _hist_quantile_1h_oracle(),
+        # dup_span_stats: identical md5 8-word span hashing (1-based slice
+        # i..i+7 == Spark slice(ws, i+1, 8); short docs yield their whole
+        # token list as one span in both engines — the shingles rule).
+        "dup_span_stats": r"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+sp AS (
+  SELECT id, md5(array_to_string(ws[i:i+7], ' ')) AS h
+  FROM (SELECT id, ws, unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i
+        FROM toks)
+),
+per AS (SELECT id, h, count(*) AS c FROM sp GROUP BY id, h),
+docs AS (SELECT h, count(*) AS docs FROM per GROUP BY h)
+SELECT per.id AS doc_id,
+       CAST(sum(c) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN docs >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       CAST(sum(CASE WHEN docs >= 2 THEN c ELSE 0 END) AS BIGINT)
+         / CAST(sum(c) AS BIGINT) AS dup_frac
+FROM per JOIN docs USING (h) GROUP BY per.id
 """,
     }

@@ -99,6 +99,58 @@ def jaccard_pairs(
     return j.select("id_a", "id_b", "jaccard")
 
 
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    w: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span statistics — the detection half of
+    exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better") at fixed w-token span granularity:
+    a span is DUPLICATED when its text occurs in >= ``min_docs`` distinct
+    documents. Intra-document repetition alone does not mark a span (that
+    signal is ``analysis.repetition_stats``); this op targets cross-corpus
+    boilerplate (licenses, headers, templated text).
+
+    Output: ``id_col``, ``n_spans`` (total span instances), ``n_dup_spans``
+    (instances whose span is duplicated), ``dup_frac`` (one IEEE division
+    of the exact integers — cross-engine identical). Docs shorter than
+    ``w`` tokens contribute their whole token list as one span (the
+    ``shingles`` short-doc rule, shared with the Jaccard/MinHash family).
+
+    Scale shape (100 TB posture): spans are reduced to md5 hashes before
+    any shuffle (16 bytes/span instead of w words); the (id, hash) partial
+    aggregate collapses intra-doc repeats map-side; the span-document-count
+    aggregate and the join back to per-doc rows share the hash key, so AQE
+    plans one exchange for both; the final per-doc aggregate is keyed by
+    id. No O(n^2) pair space exists anywhere — unlike Jaccard, duplicated
+    spans only ever meet in a count, never a pairwise join.
+    """
+    # md5 applied inside the array transform (a generator like explode cannot
+    # nest inside another expression), so only 16-byte hashes ever explode
+    sp = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(shingles(F.col(text_col), w, distinct=False), F.md5)
+        ).alias("h"),
+    )
+    per = sp.groupBy("id", "h").agg(F.count(F.lit(1)).alias("c"))
+    # distinct-doc count per span == row count of the (id, h) aggregate
+    docs = per.groupBy("h").agg(F.count(F.lit(1)).alias("docs"))
+    dup_c = F.when(F.col("docs") >= min_docs, F.col("c")).otherwise(F.lit(0))
+    return (
+        per.join(docs, "h")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.sum("c").cast("long").alias("n_spans"),
+            F.sum(dup_c).cast("long").alias("n_dup_spans"),
+        )
+        .withColumn("dup_frac", F.col("n_dup_spans") / F.col("n_spans"))
+    )
+
+
 def estimate_capped_tokens(
     df: DataFrame,
     id_col: str,
