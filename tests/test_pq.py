@@ -1,0 +1,128 @@
+"""Product quantization (vec/pq.py): exactness when reconstruction is
+lossless, recall vs the exact cosine baseline on the driver embeddings,
+written-index parity, determinism, and geometry validation."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_DIR
+from tmframe_spark.vec.pq import (
+    ivf_pq_topk,
+    pq_build_index,
+    pq_encode,
+    pq_topk,
+    pq_topk_from_index,
+    pq_train,
+)
+from tmframe_spark.vec.similarity import cosine_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+
+
+def _rows(df):
+    return [(r["vec_id"], r["cosine"]) for r in df.collect()]
+
+
+def _grid_corpus(spark, n=64, m=2, dsub=4, ksub=4):
+    """Vectors whose subvectors come from a small value set on the 2^-20
+    fixed-point grid (multiples of 1/16 — exact in float32, float64 AND the
+    codec's floor(x*2^20) space), ordered so the first ksub rows give each
+    subspace ksub distinct init points. k-means then converges to ZERO
+    distortion: every vector equals its PQ reconstruction exactly."""
+    def sub(val, base):
+        return [(val + 1 + d) / 16.0 + base for d in range(dsub)]
+
+    rows = []
+    for i in range(n):
+        # Latin-square cover: the first ksub rows hit ksub DISTINCT values
+        # in BOTH subspaces, so the lowest-id init seeds every cell
+        a, b = i % ksub, (i + i // ksub) % ksub
+        rows.append((i, [float(np.float32(x)) for x in sub(a, 0.0) + sub(b, 1.0)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_exact_on_codebook_points(spark):
+    """Zero-distortion corpus: the ADC score path must reproduce the exact
+    fixed-point cosine BIT-FOR-BIT (the per-subspace lookup values
+    partition the full-vector integer dot product)."""
+    df = _grid_corpus(spark)
+    books = pq_train(df, m=2, ksub=4, iters=3)
+    # codebooks recovered the grid exactly -> reconstruction is lossless
+    codes = pq_encode(df, books)
+    qv = df.where("vec_id = 0").collect()[0]["embedding"]
+    got = _rows(pq_topk(codes, books, qv, k=10, exclude_id=0))
+    exact = _rows(cosine_topk(df, query_id=0, k=10))
+    assert got == exact  # ids AND float-bit-identical cosines
+
+
+def test_pq_recall_on_driver_corpus(emb):
+    """Lossy regime: recall@10 vs exact cosine on the driver embeddings —
+    m=16 one-byte codes over 64 float32 dims (16x compression). The driver
+    corpus is near-random (the hard case for PQ: no cluster structure to
+    absorb distortion); measured recall across geometries: m=8/ksub=16
+    0.34, m=16/ksub=64 0.58, m=16/ksub=256 0.86 (5 queries, this corpus).
+    The bound pins the chosen operating point with headroom."""
+    books = pq_train(emb, m=16, ksub=256, iters=3)
+    codes = pq_encode(emb, books).persist()
+    recalls = []
+    for qid in (0, 7, 42, 100, 250):
+        qv = emb.where(f"vec_id = {qid}").collect()[0]["embedding"]
+        exact = {r[0] for r in _rows(cosine_topk(emb, query_id=qid, k=10))}
+        approx = {
+            r[0] for r in _rows(pq_topk(codes, books, qv, k=10, exclude_id=qid))
+        }
+        recalls.append(len(exact & approx) / len(exact))
+    codes.unpersist()
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_pq_codes_are_m_bytes_and_training_deterministic(emb):
+    books1 = pq_train(emb, m=8, ksub=16, iters=2)
+    books2 = pq_train(emb, m=8, ksub=16, iters=2)
+    assert books1 == books2  # fixed-point means -> bit-stable retraining
+    lens = (
+        pq_encode(emb, books1)
+        .select("code")
+        .toPandas()["code"]
+        .map(len)
+        .unique()
+        .tolist()
+    )
+    assert lens == [8]
+
+
+def test_pq_written_index_matches_inline(emb, tmp_path, spark):
+    path = str(tmp_path / "pq_index")
+    books = pq_build_index(emb, path, m=8, ksub=16, iters=2)
+    qv = emb.where("vec_id = 3").collect()[0]["embedding"]
+    served = _rows(pq_topk_from_index(spark, path, books, qv, k=10, exclude_id=3))
+    inline = _rows(pq_topk(pq_encode(emb, books), books, qv, k=10, exclude_id=3))
+    assert served == inline and len(served) == 10
+
+
+def test_ivf_pq_all_probes_equals_full_pq_scan(emb):
+    """nprobe == nlist probes every cell, so the composed IVF+PQ result
+    must equal the plain PQ scan with the same codebooks."""
+    full = _rows(ivf_pq_topk(emb, query_id=0, k=10, nlist=4, nprobe=4, m=8, ksub=16))
+    books = pq_train(emb, m=8, ksub=16, iters=3)
+    qv = emb.where("vec_id = 0").collect()[0]["embedding"]
+    plain = _rows(pq_topk(pq_encode(emb, books), books, qv, k=10, exclude_id=0))
+    assert full == plain
+
+
+def test_pq_geometry_validation(spark, emb):
+    with pytest.raises(ValueError, match="equal subspaces"):
+        pq_train(emb, m=7)
+    with pytest.raises(ValueError, match="one byte"):
+        pq_train(emb, m=8, ksub=300)
+    with pytest.raises(ValueError, match="cap"):
+        pq_train(emb, m=8, sample_cap=1 << 30)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="non-null vector"):
+        pq_train(empty, m=8)
+    books = pq_train(emb, m=8, ksub=16, iters=1)
+    assert pq_encode(empty, books).count() == 0
+    assert pq_topk(pq_encode(empty, books), books, [0.0] * 64, k=5).count() == 0

@@ -975,6 +975,22 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_ann_topk(spark.table("embeddings"), query_id=0, k=10)
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantized ANN (vec/pq.py): 16 one-byte codes per 64-dim
+    vector (16x compression), query scored via ADC lookup tables over
+    exact fixed-point integers — the memory-scale serving path that
+    composes with IVF pruning. Rows-only; pytest pins recall vs the exact
+    cosine baseline AND bit-identical cosines on a zero-distortion corpus
+    (tests/test_pq.py)."""
+    from tmframe_spark.vec.pq import pq_encode, pq_topk, pq_train
+
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    books = pq_train(emb, m=16, ksub=64, iters=2)
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return pq_topk(pq_encode(emb, books), books, qv, k=10, exclude_id=0)
+
+
 def _emb_planted(spark):
     """embeddings ∪ deterministic planted near-duplicates.
 
@@ -1239,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         # near_dup_clusters carries a FULL oracle in the pytest mirror
         # (recursive-CTE transitive closure, pytest_only_oracles) — the

@@ -1,0 +1,323 @@
+"""Product quantization (PQ) for embedding columns — the MEMORY-scale ANN
+serving path (Jegou, Douze, Schmid, "Product Quantization for Nearest
+Neighbor Search", IEEE TPAMI 2011 — public).
+
+Where IVF (vec/similarity.py) prunes WHICH vectors a query scans, PQ
+shrinks WHAT each scanned vector costs: the dim-float embedding column is
+replaced by an m-byte code column (one byte per subspace; m=8 over a
+64-dim float32 vector is a 32x compression), and a query scores codes via
+asymmetric distance computation (ADC) — one per-subspace lookup table of
+ksub entries built driver-side from the query, then a table-gather + sum
+per stored code. A 100 TB embedding corpus becomes a ~3 TB code scan with
+no shuffle and no decode of the original vectors.
+
+Determinism contract (the repo's cross-engine float rules,
+tmframe_spark/queries.py top):
+- Codebook training uses the ivf_train fixed-point rule — per-dimension
+  integer sums of floor(x * 2^20), one double division per mean — so
+  codebooks are bit-identical across runs and hosts.
+- ADC scores are EXACT int64 sums of floor(x * 2^20) products: the
+  per-subspace lookup values partition the full-vector fixed-point dot
+  product, so summation order cannot matter and the top-k ordering
+  (score desc, id) is total and partitioning-independent.
+- When every stored vector lies exactly on its codebook reconstruction,
+  the ADC score EQUALS vec/similarity._qdot of the original vectors and
+  the derived cosine is bit-identical to cosine_topk's — pinned by
+  tests/test_pq.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tmframe_spark.vec.similarity import _Q
+
+#: hard bound on the driver-side training collect: sample_cap x dim float64
+#: values (the PQ codebook itself is tiny — m x ksub x dsub — but Lloyd
+#: iterations run on the collected SAMPLE; 2^24 elements = 128 MiB).
+#: Sample-based codebook training is the standard PQ practice (the TPAMI
+#: paper trains on a subset); past this cap, train each subspace with
+#: ivf_train_distributed over sliced columns instead of raising the cap.
+PQ_TRAIN_ELEMENT_CAP = 1 << 24
+
+
+def _check_geometry(dim: int, m: int, ksub: int) -> int:
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"dim {dim} must split into m={m} equal subspaces")
+    if not 1 <= ksub <= 256:
+        raise ValueError(f"ksub={ksub} must be in [1, 256] (codes are one byte)")
+    return dim // m
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 65536,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: per subspace, deterministic Lloyd k-means over
+    the ``sample_cap`` LOWEST-id vectors (seed-free, reproducible — the
+    ivf_train init rule). Returns codebooks[sub][code] = dsub-float
+    centroid.
+
+    Same fixed-point mean rule as ivf_train (integer sums of
+    floor(x * 2^20), one division per dimension), same tie rule (argmin to
+    the lowest code), so retraining anywhere reproduces the codebooks
+    bit-for-bit. The collect is bounded by PQ_TRAIN_ELEMENT_CAP — a loud
+    ValueError, never a silent driver melt.
+    """
+    import numpy as np
+
+    first = embeddings.select(vec_col).limit(1).collect()
+    dim = len(first[0][0]) if first and first[0][0] is not None else 0
+    if dim == 0:
+        raise ValueError("pq_train needs at least one non-null vector")
+    _check_geometry(dim, m, ksub)
+    if sample_cap * dim > PQ_TRAIN_ELEMENT_CAP:
+        raise ValueError(
+            f"pq_train would collect sample_cap*dim = {sample_cap * dim} "
+            f"float64 values (cap {PQ_TRAIN_ELEMENT_CAP}); lower sample_cap "
+            f"or train subspaces with ivf_train_distributed over sliced "
+            f"columns"
+        )
+    sample = embeddings.orderBy(id_col).limit(sample_cap).select(vec_col).collect()
+    X = np.array([[float(v) for v in r[vec_col]] for r in sample], dtype=np.float64)
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        C = Xs[: min(ksub, len(Xs))].copy()
+        if len(C) < ksub:  # degenerate tiny sample: pad with repeats
+            C = np.vstack([C] * ((ksub + len(C) - 1) // len(C)))[:ksub]
+        for _ in range(iters):
+            # elementwise distance (not matmul) keeps the assignment
+            # bitwise-deterministic across hosts; 1024-row chunks bound the
+            # (chunk, ksub, dsub) intermediate at any geometry
+            assign = np.empty(len(Xs), dtype=np.int64)
+            for i in range(0, len(Xs), 1024):
+                blk = Xs[i : i + 1024]
+                d2 = ((blk[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                assign[i : i + 1024] = np.argmin(d2, axis=1)  # ties -> lowest
+            for c in range(ksub):
+                pts = Xs[assign == c]
+                if len(pts):
+                    qsum = np.floor(pts * _Q).astype(np.int64).sum(axis=0)
+                    C[c] = (qsum / len(pts)) / _Q
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def _codebook_matrix(codebooks):
+    import numpy as np
+
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    if B.ndim != 3:
+        raise ValueError("codebooks must be a (m, ksub, dsub) nested list")
+    return B
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to its m-byte PQ code (binary column): per
+    subspace, the nearest codebook entry by squared L2 (ties to the lowest
+    code, matching pq_train's assignment). One numpy matmul-argmin per
+    subspace per Arrow batch against the broadcast codebooks — no shuffle,
+    bounded batch memory; output rows carry ``id_col`` + ``code`` only
+    (the compression is the point: never re-emit the vector)."""
+    spark = embeddings.sparkSession
+    B = _codebook_matrix(codebooks)
+    m, ksub, dsub = B.shape
+    bc = spark.sparkContext.broadcast(B)
+
+    def encode(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        Bm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64)
+            codes = _np.empty((len(X), m), dtype=_np.uint8)
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                Cs = Bm[s]
+                d2 = (Xs * Xs).sum(axis=1)[:, None] - 2.0 * (Xs @ Cs.T) + (
+                    Cs * Cs
+                ).sum(axis=1)
+                codes[:, s] = _np.argmin(d2, axis=1)
+            yield _pd.DataFrame(
+                {"_id": pdf[id_col].to_numpy(), "code": [c.tobytes() for c in codes]}
+            )
+
+    out = embeddings.select(F.col(id_col), vec_col).mapInPandas(
+        encode, "_id long, code binary"
+    )
+    return out.select(F.col("_id").alias(id_col), "code")
+
+
+def _adc_tables(codebooks, query_vec):
+    """Driver-side ADC lookup tables in the repo's exact fixed-point space:
+    dot_lut[s][c] = sum_d floor(q_d*2^20)*floor(codebook[s][c][d]*2^20)
+    (int64 — these values PARTITION the full-vector _qdot, so per-code sums
+    are exact), norm_lut[s][c] = the same rule applied to the codebook
+    entry with itself (the reconstructed vector's _qnorm2), and qn2 = the
+    query's exact fixed-point norm."""
+    import numpy as np
+
+    B = _codebook_matrix(codebooks)
+    m, ksub, dsub = B.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.size != m * dsub:
+        raise ValueError(f"query dim {q.size} != codebook dim {m * dsub}")
+    Qb = np.floor(B * _Q).astype(np.int64)
+    Qq = np.floor(q * _Q).astype(np.int64)
+    dot_lut = np.empty((m, ksub), dtype=np.int64)
+    norm_lut = np.empty((m, ksub), dtype=np.int64)
+    for s in range(m):
+        qs = Qq[s * dsub : (s + 1) * dsub]
+        dot_lut[s] = (Qb[s] * qs[None, :]).sum(axis=1)
+        norm_lut[s] = (Qb[s] * Qb[s]).sum(axis=1)
+    qn2 = int((Qq * Qq).sum())
+    return dot_lut, norm_lut, qn2
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks,
+    query_vec,
+    k: int = 10,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k by cosine against PQ codes via ADC: scores come
+    from two table-gathers per subspace (the query's dot table and the
+    reconstruction-norm table) — the stored vectors are never read.
+    ``cosine`` = exact-int dot / sqrt(exact-int norms), one IEEE division —
+    the cosine of the query with each vector's RECONSTRUCTION, so ranking
+    quality is bounded by quantization distortion (recall pinned by tests);
+    determinism is not: scores are exact integers, ties broken by id.
+
+    The external query vector is float32-rounded first, matching what the
+    same vector would score as a STORED embedding (the
+    lsh/ivf_topk_from_index rule)."""
+    import numpy as np
+
+    spark = codes.sparkSession
+    qv = np.asarray(query_vec, dtype=np.float32).astype(np.float64)
+    dot_lut, norm_lut, qn2 = _adc_tables(codebooks, qv)
+    bc = spark.sparkContext.broadcast((dot_lut, norm_lut))
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        dl, nl = bc.value
+        m = dl.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = _np.frombuffer(b"".join(pdf["code"]), dtype=_np.uint8).reshape(-1, m)
+            dot = _np.zeros(len(C), dtype=_np.int64)
+            xn2 = _np.zeros(len(C), dtype=_np.int64)
+            for s in range(m):
+                dot += dl[s][C[:, s]]
+                xn2 += nl[s][C[:, s]]
+            yield _pd.DataFrame(
+                {"_id": pdf[id_col].to_numpy(), "_dot": dot, "_xn2": xn2}
+            )
+
+    scored = codes.mapInPandas(score, "_id long, _dot long, _xn2 long")
+    if exclude_id is not None:
+        scored = scored.where(F.col("_id") != exclude_id)
+    return (
+        scored.select(
+            F.col("_id").alias(id_col),
+            (
+                F.col("_dot")
+                / F.sqrt(F.lit(float(qn2)) * F.col("_xn2").cast("double"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_build_index(
+    embeddings: DataFrame,
+    path: str,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Build the PERSISTED PQ index: train codebooks, encode every vector,
+    write the m-byte code table to ``path`` (plain parquet — the whole
+    point is that the full scan is now tiny; pair with an IVF cell
+    partitioning when pruning is also wanted). Returns the codebooks —
+    store them beside the index; they are the only state a query needs."""
+    books = pq_train(embeddings, m, ksub, iters, id_col, vec_col)
+    pq_encode(embeddings, books, id_col, vec_col).write.mode("overwrite").parquet(path)
+    return books
+
+
+def pq_topk_from_index(
+    spark,
+    path: str,
+    codebooks,
+    query_vec,
+    k: int = 10,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve PQ top-k from the written code table — bit-identical scoring
+    to the inline ``pq_topk`` over the same codes (asserted by tests)."""
+    return pq_topk(
+        spark.read.parquet(path), codebooks, query_vec, k, exclude_id, id_col
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ composed, the classic two-level ANN serving shape: the IVF
+    coarse quantizer prunes WHICH vectors are scanned (nprobe/nlist of the
+    corpus; a written index turns that into directory pruning), PQ shrinks
+    WHAT each scanned row costs (m bytes + two table-gathers). Inline
+    self-contained form: train both quantizers, assign + encode, score the
+    probed cells' codes only."""
+    from tmframe_spark.vec.similarity import ivf_assign, ivf_train
+
+    cents = ivf_train(embeddings, nlist, iters, id_col, vec_col)
+    qv = [
+        float(x)
+        for x in embeddings.where(F.col(id_col) == query_id).collect()[0][vec_col]
+    ]
+    dists = [
+        (sum((a - b) ** 2 for a, b in zip(qv, cent)), c) for c, cent in enumerate(cents)
+    ]
+    probe = [c for _, c in sorted(dists)[:nprobe]]
+    books = pq_train(embeddings, m, ksub, iters, id_col, vec_col)
+    probed = ivf_assign(embeddings, cents, vec_col).where(F.col("cell").isin(*probe))
+    codes = pq_encode(probed, books, id_col, vec_col)
+    return pq_topk(codes, books, qv, k, exclude_id=query_id, id_col=id_col)
