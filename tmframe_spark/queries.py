@@ -991,6 +991,21 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(pq_encode(emb, books), books, qv, k=10, exclude_id=0)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (vec/semdedup.py): IVF-cell-scoped
+    exact-cosine pairs folded into components, lowest-id member kept.
+    Runs over the planted near-dup corpus (_emb_planted) so the prune is
+    non-vacuous: the 20 planted x1.25 copies are exactly what gets
+    dropped — asserted by tests/test_semdedup.py's driver-corpus pin.
+    Rows-only (k-means is not one SQL statement); the pair-generation
+    arithmetic is pytest-twinned bit-for-bit against a numpy reference."""
+    from tmframe_spark.vec.semdedup import semantic_dedup
+
+    register_tables(spark, sf_dir)
+    kept = semantic_dedup(_emb_planted(spark), nlist=8, iters=2, threshold=0.97)
+    return kept.select("vec_id")
+
+
 def _emb_planted(spark):
     """embeddings ∪ deterministic planted near-duplicates.
 
@@ -1256,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        "semantic_dedup": q_semantic_dedup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         # near_dup_clusters carries a FULL oracle in the pytest mirror
         # (recursive-CTE transitive closure, pytest_only_oracles) — the
