@@ -1006,6 +1006,48 @@ def q_semantic_dedup(spark, sf_dir):
     return kept.select("vec_id")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental cross-corpus dedup (text/incremental.py): even-id
+    documents are indexed as the standing corpus (persisted MinHash
+    band/sig/exact tables, mod-partitioned under the warehouse dir); odd-id
+    documents plus planted copies of corpus docs — exact (+1_000_000,
+    case/whitespace variant) for doc_id%50==0 and near (+2_000_000, one
+    appended token) for doc_id%50==2 — arrive as the new batch, which is
+    deduped by PROBING the index (pruned partition reads; the corpus is
+    never re-paired with itself). Returns surviving batch ids: every
+    planted copy must be gone. Rows-only (index write + probe is not one
+    SQL statement); tests/test_incremental.py pins the probed pair set
+    bit-for-bit to the inline minhash_lsh_pairs cross pairs, est_jaccard
+    included."""
+    import hashlib
+    import os
+
+    from tmframe_spark.text.incremental import dedup_against_index, minhash_index_write
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    exact_copies = corpus.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" ")).alias("text"),
+    )
+    near_copies = corpus.where(F.col("doc_id") % 50 == 2).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzqx")).alias("text"),
+    )
+    batch = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .unionByName(exact_copies)
+        .unionByName(near_copies)
+    )
+    path = os.path.join(
+        os.getcwd(),
+        "spark-warehouse",
+        "incr_idx_" + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10],
+    )
+    minhash_index_write(corpus, path, k=64, bands=16, shingle_k=3)
+    return dedup_against_index(batch, path, threshold=0.5).select("doc_id")
+
+
 def _emb_planted(spark):
     """embeddings ∪ deterministic planted near-duplicates.
 
@@ -1272,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "semantic_dedup": q_semantic_dedup,
+        "incremental_dedup": q_incremental_dedup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         # near_dup_clusters carries a FULL oracle in the pytest mirror
         # (recursive-CTE transitive closure, pytest_only_oracles) — the

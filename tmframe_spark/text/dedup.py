@@ -41,11 +41,19 @@ def shingles(col, k: int = 3, distinct: bool = True):
     return F.array_distinct(sh) if distinct else sh
 
 
+def norm_text_md5(col):
+    """md5 of whitespace-normalized lowercased text — the exact-dedup
+    content key, shared by ``exact_dedup`` and the incremental index's
+    exact table (text/incremental.py) so both agree on what "identical
+    document" means."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Keep the lowest-id row per exact (normalized) text."""
     from pyspark.sql.window import Window
 
-    norm = F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+    norm = norm_text_md5(F.col(text_col))
     w = Window.partitionBy(norm).orderBy(F.col(id_col))
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
@@ -312,6 +320,23 @@ def minhash_signatures(
     return hashed.select("id", sig.alias("sig"))
 
 
+def band_buckets(sig_col, bands: int, r: int):
+    """Per-band bucket hash array over a MinHash signature column: band b's
+    bucket = xxhash64 of its r signature slots, comma-joined. Shared by
+    ``minhash_lsh_pairs`` and the persisted incremental index
+    (text/incremental.py) so inline and index-probed candidate sets are
+    identical by construction."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(F.slice(sig_col, b * r + 1, r), lambda x: x.cast("string")),
+            )
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -341,12 +366,7 @@ def minhash_lsh_pairs(
     )
     band_rows = sigs.select(
         "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(F.concat_ws(",", F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string")))),
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(band_buckets(F.col("sig"), bands, r)).alias("band", "bucket"),
     )
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (
