@@ -89,3 +89,118 @@ def test_sample_plan_is_shuffle_free(docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------- mixture
+
+
+def test_mixture_plan_integer_math():
+    from tmframe_spark.ops.sample import _H60_SPACE, mixture_plan
+
+    counts = {"a": 100, "b": 50}
+    # default total: binding group is whichever runs out first
+    total, plan = mixture_plan(counts, {"a": 3, "b": 1})
+    assert total == min(100 * 4 // 3, 50 * 4 // 1)  # = 133
+    assert plan["a"] == (0, (3 * 133 // 4) * _H60_SPACE // 100)
+    assert plan["b"] == (0, (1 * 133 // 4) * _H60_SPACE // 50)
+    # exact-multiple fold: rate 1 becomes (0, keep-all)
+    total, plan = mixture_plan({"a": 10}, {"a": 1}, total=10)
+    assert plan["a"] == (0, _H60_SPACE)
+    # upsample: 2.5x one group
+    total, plan = mixture_plan({"a": 10}, {"a": 1}, total=25, allow_upsample=True)
+    assert plan["a"] == (2, 5 * _H60_SPACE // 10)
+    # exact multiple with copies folds one into the always-threshold
+    total, plan = mixture_plan({"a": 10}, {"a": 1}, total=30, allow_upsample=True)
+    assert plan["a"] == (2, _H60_SPACE)
+
+
+def test_mixture_plan_errors():
+    from tmframe_spark.ops.sample import mixture_plan
+
+    with pytest.raises(ValueError, match="no rows"):
+        mixture_plan({"a": 10}, {"a": 1, "b": 1})
+    with pytest.raises(ValueError, match="positive int"):
+        mixture_plan({"a": 10}, {"a": 0.5})
+    with pytest.raises(ValueError, match="binding group 'b'"):
+        mixture_plan({"a": 100, "b": 2}, {"a": 1, "b": 1}, total=100)
+
+
+def test_mixture_sample_matches_per_group_cuts(docs):
+    """Each group's kept set is EXACTLY the content-hash cut at the
+    planned threshold — the mixture is deterministic_sample per group with
+    data-derived rates (and repartition-independent)."""
+    from tmframe_spark.ops.sample import _H60_SPACE, mixture_plan, mixture_sample
+
+    parts = {"en": 5, "zh": 2, "de": 1, "fr": 1, "es": 1}
+    out = mixture_sample(docs, parts, "lang", ["doc_id"], seed=11)
+    got = {(r["doc_id"], r["lang"]) for r in out.select("doc_id", "lang").collect()}
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    _, plan = mixture_plan({g: counts[g] for g in parts}, parts)
+    from tmframe_spark.ops.sample import _sample_key
+
+    want = set()
+    for g, (copies, thr) in plan.items():
+        assert copies == 0 and 0 < thr <= _H60_SPACE
+        kept = docs.where(F.col("lang") == g).where(
+            _sample_key(["doc_id"], 11) < F.lit(thr)
+        )
+        want |= {(r["doc_id"], r["lang"]) for r in kept.select("doc_id", "lang").collect()}
+    assert got == want and len(got) > 0
+    rep = mixture_sample(docs.repartition(13), parts, "lang", ["doc_id"], seed=11)
+    assert {(r["doc_id"], r["lang"]) for r in rep.select("doc_id", "lang").collect()} == got
+
+
+def test_mixture_upsample_multiplicity(docs):
+    """allow_upsample: each row appears copies(+1) times with dense epoch
+    ids — multiplicities match the integer plan exactly."""
+    from collections import Counter
+
+    from tmframe_spark.ops.sample import mixture_plan, mixture_sample
+    from tmframe_spark.text.dedup import _portable_hash60
+
+    parts = {"zh": 1, "de": 1}
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.where(F.col("lang").isin(["zh", "de"]))
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    W = sum(parts.values())
+    max_total = min(counts[g] * W // w for g, w in parts.items())
+    total = 2 * max_total + 3
+    out = mixture_sample(
+        docs, parts, "lang", ["doc_id"], seed=5, total=total, allow_upsample=True
+    )
+    rows = out.select("doc_id", "lang", "epoch").collect()
+    mult = Counter((r["doc_id"], r["lang"]) for r in rows)
+    # independent multiplicity computation from the same plan + hash
+    _, plan = mixture_plan(counts, parts, total=total, allow_upsample=True)
+    key = F.concat_ws("\x1f", F.lit("5"), F.col("doc_id").cast("string"))
+    hashes = {
+        (r["doc_id"], r["lang"]): r["h"]
+        for r in docs.where(F.col("lang").isin(["zh", "de"]))
+        .select("doc_id", "lang", _portable_hash60(key).alias("h"))
+        .collect()
+    }
+    want = {}
+    for (did, lang), h in hashes.items():
+        copies, thr = plan[lang]
+        m = copies + (1 if h < thr else 0)
+        if m:
+            want[(did, lang)] = m
+    assert dict(mult) == want
+    assert any(m >= 2 for m in want.values())  # upsampling actually happened
+    # dense epochs per row
+    for (did, lang), m in mult.items():
+        eps = sorted(r["epoch"] for r in rows if r["doc_id"] == did and r["lang"] == lang)
+        assert eps == list(range(m))
+
+
+def test_mixture_unlisted_groups_dropped(docs):
+    from tmframe_spark.ops.sample import mixture_sample
+
+    out = mixture_sample(docs, {"zh": 1}, "lang", ["doc_id"], seed=0)
+    langs = {r["lang"] for r in out.select("lang").collect()}
+    assert langs == {"zh"}

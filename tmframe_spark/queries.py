@@ -1006,6 +1006,44 @@ def q_semantic_dedup(spark, sf_dir):
     return kept.select("vec_id")
 
 
+#: mixture target: integer weight parts per language (en-heavy mix)
+_MIX_PARTS = {"en": 5, "zh": 2, "de": 1, "fr": 1, "es": 1}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Corpus mixture resampling WITH upsampling (ops/sample.mixture_sample):
+    resample documents so language shares hit 5/2/1/1/1 integer parts at
+    total = 2x the no-upsample maximum — every group needs repeats, so the
+    result carries an `epoch` column and each row appears copies(+1) times
+    by the exact integer plan (needed = part*total//W; copies = needed//cnt;
+    threshold = (needed%cnt)*2^60//cnt over the content-keyed hash60).
+    All arithmetic is exact integers, so the DuckDB oracle (pytest mirror,
+    HUGEINT for the 2^60 scale) recomputes the identical plan from the
+    same counts and bit-matches rows AND epochs."""
+    from tmframe_spark.ops.sample import mixture_sample
+
+    docs = _docs(spark, sf_dir)
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.where(F.col("lang").isin(list(_MIX_PARTS)))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    W = sum(_MIX_PARTS.values())
+    max_total = min(counts[g] * W // w for g, w in _MIX_PARTS.items())
+    out = mixture_sample(
+        docs,
+        _MIX_PARTS,
+        "lang",
+        ["doc_id"],
+        seed=11,
+        total=2 * max_total,
+        allow_upsample=True,
+    )
+    return out.select("doc_id", "lang", "epoch")
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental cross-corpus dedup (text/incremental.py): even-id
     documents are indexed as the standing corpus (persisted MinHash
@@ -1315,6 +1353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "semantic_dedup": q_semantic_dedup,
         "incremental_dedup": q_incremental_dedup,
+        # mixture_sample: FULL oracle in the pytest mirror (HUGEINT
+        # integer-plan recomputation, epochs included).
+        "mixture_sample": q_mixture_sample,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         # near_dup_clusters carries a FULL oracle in the pytest mirror
         # (recursive-CTE transitive closure, pytest_only_oracles) — the
@@ -2288,5 +2329,33 @@ SELECT per.id AS doc_id,
        CAST(sum(CASE WHEN docs >= 2 THEN c ELSE 0 END) AS BIGINT)
          / CAST(sum(c) AS BIGINT) AS dup_frac
 FROM per JOIN docs USING (h) GROUP BY per.id
+""",
+        # mixture_sample: the identical integer mixture plan recomputed in
+        # SQL from the same per-lang counts — needed = part*total//10 with
+        # total = 2*min(cnt*10//part); per-row multiplicity = needed//cnt
+        # + (hash60 < (needed%cnt)*2^60//cnt), HUGEINT for the 2^60 scale
+        # (the engine computes the same thresholds in Python big ints; the
+        # fold of exact multiples into a keep-all threshold is multiplicity-
+        # equivalent, see ops/sample.mixture_plan). unnest(range(n))
+        # reproduces the dense epoch ids and drops n=0 rows like the
+        # non-outer explode.
+        "mixture_sample": """
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents
+           WHERE lang IN ('de','en','es','fr','zh') GROUP BY lang),
+w AS (SELECT * FROM (VALUES ('en', 5), ('zh', 2), ('de', 1), ('fr', 1),
+                            ('es', 1)) AS t(lang, part)),
+cw AS (SELECT c.lang, c.cnt, w.part FROM c JOIN w USING (lang)),
+tot AS (SELECT 2 * MIN(cnt * 10 // part) AS total FROM cw),
+plan AS (SELECT lang, cnt, part, (part * total // 10) AS needed,
+                (part * total // 10) // cnt AS copies,
+                CAST((part * total // 10) % cnt AS HUGEINT)
+                  * 1152921504606846976 // cnt AS thr
+         FROM cw, tot),
+mult AS (SELECT d.doc_id, d.lang, p.copies
+           + CASE WHEN CAST(('0x' || substr(md5('11' || chr(31)
+                    || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < p.thr
+                  THEN 1 ELSE 0 END AS n
+         FROM documents d JOIN plan p USING (lang))
+SELECT doc_id, lang, CAST(unnest(range(n)) AS INT) AS epoch FROM mult
 """,
     }
