@@ -1,0 +1,255 @@
+"""Corpus curation entry point: spark-submit --py-files tmframe_spark.zip \\
+        jobs/curate_job.py --input <docs-parquet> --output <dir> \\
+        [--min-tokens 8] [--min-quality 0.3] [--max-top2-frac 0.2] \\
+        [--langs en,fr] [--benchmark <parquet> [--contamination-threshold 0.05]] \\
+        [--dedup minhash|exact|off] [--threshold 0.7] \\
+        [--index <dir> [--update-index]] [--redact] \\
+        [--mix en:5,fr:1 [--mix-total N] [--mix-upsample]] \\
+        [--pack-budget 2048 [--pack-out <dir>]]
+
+The full training-data preparation pipeline, composed from the library
+operators in the order large-scale corpus builds run them (each stage
+optional, each emits one JSON lineage line on stdout — the jobs/ stdout
+contract):
+
+1. QUALITY: length / quality-score floors (text/analysis.with_text_stats)
+   and a Gopher-style repetition ceiling (repetition_stats top-2-gram
+   fraction) — the cheap codegen filters that remove degenerate text
+   before anything expensive runs.
+2. LANGUAGE: marker-lexicon lang_id, keep --langs.
+3. DECONTAMINATE: drop docs overlapping a benchmark set
+   (text/decontaminate — broadcast mark-join, one corpus pass).
+4. DEDUP: exact first-occurrence always; then either whole-corpus MinHash
+   components (text/dedup) or, with --index, INCREMENTAL probe against a
+   persisted corpus index (text/incremental) with optional append of the
+   survivors (--update-index) — the continuous-ingestion form.
+5. REDACT: PII scrub (ordered regexp_replace chain; text is REPLACED by
+   its redacted form, pii_hits kept as metadata).
+6. MIXTURE: resample to integer group weights (ops/sample.mixture_sample
+   over --mix-col — the stage-2 pred_lang by default, or any
+   domain/source column; exact integer plan, optional epoch-style
+   upsampling).
+7. PACK: greedy fixed-token-budget sequence packing sidecar
+   (text/packing.pack_documents) to --pack-out.
+
+Every stage boundary is an eager localCheckpoint (the repo rule: lineage
+counts for the JSON lines must not recompute the upstream chain).
+Idempotent: pure overwrite outputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_mix(spec: str) -> dict:
+    parts = {}
+    for item in spec.split(","):
+        g, _, w = item.partition(":")
+        parts[g.strip()] = int(w)
+    return parts
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    # stage 1: quality
+    p.add_argument("--min-tokens", type=int, default=None)
+    p.add_argument("--min-quality", type=float, default=None)
+    p.add_argument("--max-top2-frac", type=float, default=None,
+                   help="drop docs whose most frequent 2-gram exceeds this "
+                        "fraction of all 2-grams (Gopher-style repetition)")
+    # stage 2: language
+    p.add_argument("--langs", default=None, help="comma list, e.g. en,fr")
+    # stage 3: decontamination
+    p.add_argument("--benchmark", default=None)
+    p.add_argument("--contamination-threshold", type=float, default=0.05)
+    # stage 4: dedup
+    p.add_argument("--dedup", default="minhash", choices=("minhash", "exact", "off"))
+    p.add_argument("--threshold", type=float, default=0.7)
+    p.add_argument("--index", default=None,
+                   help="incremental mode: dedup against this persisted "
+                        "MinHash index instead of whole-corpus pairing")
+    p.add_argument("--update-index", action="store_true",
+                   help="append survivors to --index after the probe")
+    # stage 5: PII
+    p.add_argument("--redact", action="store_true")
+    # stage 6: mixture
+    p.add_argument("--mix", default=None, help="group:part list, e.g. en:5,fr:1")
+    p.add_argument("--mix-col", default="pred_lang",
+                   help="group column to mix on (default the stage-2 "
+                        "pred_lang; any column works, e.g. a source/domain)")
+    p.add_argument("--mix-total", type=int, default=None)
+    p.add_argument("--mix-upsample", action="store_true")
+    # stage 7: packing
+    p.add_argument("--pack-budget", type=int, default=None)
+    p.add_argument("--pack-out", default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("tmframe-curate").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    docs = spark.read.parquet(args.input)
+    n = docs.count()
+    print(json.dumps({"stage": "read", "input": args.input, "docs": n}))
+
+    # ---- 1: quality -----------------------------------------------------
+    if args.min_tokens is not None or args.min_quality is not None:
+        from tmframe_spark.text.analysis import with_text_stats
+
+        s = with_text_stats(docs, args.text_col)
+        if args.min_tokens is not None:
+            s = s.where(F.col("n_tokens") >= args.min_tokens)
+        if args.min_quality is not None:
+            s = s.where(F.col("quality_score") >= args.min_quality)
+        docs = s.drop(
+            "n_chars_calc", "punct_chars", "stopword_hits", "stop_ratio"
+        ).localCheckpoint(eager=True)
+        kept = docs.count()
+        print(json.dumps({"stage": "quality", "docs_out": kept,
+                          "docs_dropped": n - kept}))
+        n = kept
+    if args.max_top2_frac is not None:
+        from tmframe_spark.text.analysis import repetition_stats
+
+        rep = repetition_stats(docs, args.id_col, args.text_col, ns=(2,))
+        bad = rep.where(F.col("top2_frac") > args.max_top2_frac).select(args.id_col)
+        docs = docs.join(bad, args.id_col, "left_anti").localCheckpoint(eager=True)
+        kept = docs.count()
+        print(json.dumps({"stage": "repetition", "max_top2_frac": args.max_top2_frac,
+                          "docs_out": kept, "docs_dropped": n - kept}))
+        n = kept
+
+    # ---- 2: language ----------------------------------------------------
+    need_lang = args.langs is not None or (
+        args.mix is not None and args.mix_col == "pred_lang"
+    )
+    if need_lang:
+        from tmframe_spark.text.analysis import lang_id
+
+        docs = lang_id(docs, args.text_col)
+        if args.langs is not None:
+            keep = [x.strip() for x in args.langs.split(",")]
+            docs = docs.where(F.col("pred_lang").isin(keep))
+        docs = docs.localCheckpoint(eager=True)
+        kept = docs.count()
+        print(json.dumps({"stage": "lang", "langs": args.langs,
+                          "docs_out": kept, "docs_dropped": n - kept}))
+        n = kept
+
+    # ---- 3: decontamination --------------------------------------------
+    if args.benchmark:
+        from tmframe_spark.text.decontaminate import decontaminate
+
+        bench = spark.read.parquet(args.benchmark)
+        docs = decontaminate(
+            docs, bench, args.contamination_threshold, args.id_col, args.text_col
+        ).localCheckpoint(eager=True)
+        kept = docs.count()
+        print(json.dumps({"stage": "decontaminate",
+                          "threshold": args.contamination_threshold,
+                          "docs_out": kept, "docs_dropped": n - kept}))
+        n = kept
+
+    # ---- 4: dedup -------------------------------------------------------
+    if args.index:
+        from tmframe_spark.text.incremental import (
+            dedup_against_index,
+            minhash_index_append,
+        )
+
+        docs = dedup_against_index(
+            docs, args.index, args.threshold, args.id_col, args.text_col,
+            within_batch=True,
+        ).localCheckpoint(eager=True)
+        kept = docs.count()
+        print(json.dumps({"stage": "dedup", "mode": "incremental",
+                          "index": args.index, "docs_out": kept,
+                          "docs_dropped": n - kept}))
+        n = kept
+        if args.update_index:
+            meta = minhash_index_append(docs, args.index, args.id_col, args.text_col)
+            print(json.dumps({"stage": "index_append", "index": args.index,
+                              "params": meta}))
+    elif args.dedup != "off":
+        from tmframe_spark.text.dedup import (
+            dedup_keep_canonical,
+            exact_dedup,
+            minhash_lsh_pairs,
+        )
+
+        docs = exact_dedup(docs, args.id_col, args.text_col).localCheckpoint(
+            eager=True
+        )
+        if args.dedup == "minhash":
+            pairs = minhash_lsh_pairs(
+                docs, args.id_col, args.text_col, threshold=args.threshold
+            )
+            docs = dedup_keep_canonical(docs, pairs, args.id_col).localCheckpoint(
+                eager=True
+            )
+        kept = docs.count()
+        print(json.dumps({"stage": "dedup", "mode": args.dedup,
+                          "docs_out": kept, "docs_dropped": n - kept}))
+        n = kept
+
+    # ---- 5: PII redaction ----------------------------------------------
+    if args.redact:
+        from tmframe_spark.text.decontaminate import with_redacted_text
+
+        docs = (
+            with_redacted_text(docs, args.text_col)
+            .drop(args.text_col)
+            .withColumnRenamed("text_redacted", args.text_col)
+            .localCheckpoint(eager=True)
+        )
+        hits = docs.agg(F.sum("pii_hits")).collect()[0][0] or 0
+        print(json.dumps({"stage": "redact", "pii_hits_total": int(hits)}))
+
+    # ---- 6: mixture -----------------------------------------------------
+    if args.mix:
+        from tmframe_spark.ops.sample import mixture_sample
+
+        docs = mixture_sample(
+            docs, _parse_mix(args.mix), args.mix_col, [args.id_col],
+            total=args.mix_total, allow_upsample=args.mix_upsample,
+        ).localCheckpoint(eager=True)
+        kept = docs.count()
+        print(json.dumps({"stage": "mixture", "mix": args.mix,
+                          "rows_out": kept}))
+
+    docs.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"stage": "write", "output": args.output,
+                      "rows": docs.count()}))
+
+    # ---- 7: sequence packing -------------------------------------------
+    if args.pack_budget is not None:
+        from tmframe_spark.text.packing import bin_stats, pack_documents
+
+        out = args.pack_out or (args.output.rstrip("/") + "_packed")
+        packed = pack_documents(
+            spark.read.parquet(args.output).dropDuplicates([args.id_col]),
+            args.pack_budget, args.id_col, args.text_col,
+        )
+        packed.write.mode("overwrite").parquet(out)
+        stats = bin_stats(spark.read.parquet(out), args.pack_budget).agg(
+            F.count(F.lit(1)).alias("bins"),
+            F.sum(F.col("docs")).alias("docs"),
+        ).collect()[0]
+        print(json.dumps({"stage": "pack", "output": out,
+                          "budget": args.pack_budget,
+                          "bins": int(stats["bins"]),
+                          "docs_packed": int(stats["docs"])}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

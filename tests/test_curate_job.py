@@ -1,0 +1,124 @@
+"""jobs/curate_job.py: the composed curation pipeline (quality -> lang ->
+dedup -> redact -> mixture -> packing), in-process mains with JSON lineage
+checks, plus the incremental-index mode against a prebuilt corpus index."""
+
+import json
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _run(args, capsys):
+    import jobs.curate_job as job
+
+    rc = job.main(args)
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    return rc, {l["stage"]: l for l in lines}, lines
+
+
+def test_curate_full_pipeline(spark, capsys):
+    out = tempfile.mkdtemp(prefix="curate_out_")
+    packed = tempfile.mkdtemp(prefix="curate_pack_")
+    rc, stages, lines = _run([
+        "--input", f"{SF_DIR}/documents.parquet", "--output", out,
+        "--min-tokens", "5", "--min-quality", "0.2", "--max-top2-frac", "0.5",
+        "--langs", "en,und",
+        "--dedup", "minhash", "--threshold", "0.5",
+        "--redact",
+        "--mix", "en:3,fr:1", "--mix-col", "lang",
+        "--pack-budget", "256", "--pack-out", packed,
+    ], capsys)
+    assert rc == 0
+    # lineage: monotone non-increasing doc counts through the filter stages
+    order = ["read", "quality", "repetition", "lang", "dedup"]
+    counts = [stages["read"]["docs"]] + [
+        stages[s]["docs_out"] for s in order[1:]
+    ]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert stages["mixture"]["rows_out"] == stages["write"]["rows"]
+    df = spark.read.parquet(out)
+    assert set(df.select("pred_lang").distinct().toPandas()["pred_lang"]) <= {"en", "und"}
+    assert set(df.select("lang").distinct().toPandas()["lang"]) == {"en", "fr"}
+    assert "pii_hits" in df.columns and "epoch" not in df.columns
+    # packing sidecar respects the budget for multi-doc bins
+    pk = spark.read.parquet(packed)
+    assert stages["pack"]["docs_packed"] == df.select("doc_id").distinct().count()
+    over = (
+        pk.groupBy("shard", "bin")
+        .agg(F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("d"))
+        .where((F.col("t") > 256) & (F.col("d") > 1))
+        .count()
+    )
+    assert over == 0
+
+
+def test_curate_minimal_is_dedup_only(spark, capsys):
+    """Default flags: just exact+minhash dedup — matches dedup_job's
+    composition on the same corpus."""
+    from tmframe_spark.text.dedup import (
+        dedup_keep_canonical,
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+
+    out = tempfile.mkdtemp(prefix="curate_min_")
+    rc, stages, _ = _run([
+        "--input", f"{SF_DIR}/documents.parquet", "--output", out,
+        "--threshold", "0.5",
+    ], capsys)
+    assert rc == 0
+    got = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    surv = exact_dedup(docs, "doc_id")
+    want = {
+        r["doc_id"]
+        for r in dedup_keep_canonical(
+            surv, minhash_lsh_pairs(surv, "doc_id", threshold=0.5), "doc_id"
+        ).select("doc_id").collect()
+    }
+    assert got == want
+
+
+def test_curate_incremental_index_mode(spark, capsys):
+    """--index: the batch is probed against a prebuilt corpus index
+    (planted near-copy dropped) and --update-index folds survivors in so
+    an immediate re-run drops everything."""
+    from tmframe_spark.text.incremental import minhash_index_write
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    corpus = docs.where("doc_id < 250")
+    idx = tempfile.mkdtemp(prefix="curate_idx_")
+    minhash_index_write(corpus, idx, k=64, bands=16, shingle_k=3)
+
+    batch = (
+        docs.where("doc_id >= 250 and doc_id < 300")
+        .unionByName(
+            corpus.where("doc_id % 50 = 1").select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzqx")).alias("text"),
+            )
+        )
+    )
+    binp = tempfile.mkdtemp(prefix="curate_batch_")
+    batch.write.mode("overwrite").parquet(binp)
+    out = tempfile.mkdtemp(prefix="curate_incr_")
+    rc, stages, _ = _run([
+        "--input", binp, "--output", out,
+        "--index", idx, "--threshold", "0.5", "--update-index",
+    ], capsys)
+    assert rc == 0
+    assert stages["dedup"]["mode"] == "incremental"
+    assert stages["index_append"]["params"]["k"] == 64
+    kept = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert kept and not {i for i in kept if i >= 1_000_000}
+    # re-running the same batch now dedups to empty (survivors are indexed)
+    out2 = tempfile.mkdtemp(prefix="curate_incr2_")
+    rc2, stages2, _ = _run([
+        "--input", out, "--output", out2,
+        "--index", idx, "--threshold", "0.5",
+    ], capsys)
+    assert rc2 == 0
+    assert stages2["dedup"]["docs_out"] == 0
