@@ -204,3 +204,65 @@ def test_mixture_unlisted_groups_dropped(docs):
     out = mixture_sample(docs, {"zh": 1}, "lang", ["doc_id"], seed=0)
     langs = {r["lang"] for r in out.select("lang").collect()}
     assert langs == {"zh"}
+
+
+# ---------------------------------------------------------------- splits
+
+
+def test_split_thresholds_math():
+    from tmframe_spark.ops.sample import _H60_SPACE, split_thresholds
+
+    t = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert [n for n, _ in t] == ["train", "val", "test"]
+    assert t[0][1] == int(0.8 * _H60_SPACE)
+    assert t[-1][1] == _H60_SPACE  # exhaustive pin: no rounding sliver
+    hold = split_thresholds({"train": 0.5})
+    assert hold[-1][1] == int(0.5 * _H60_SPACE)  # holdout: NOT pinned
+    with pytest.raises(ValueError, match="sum"):
+        split_thresholds({"a": 0.8, "b": 0.3})
+    with pytest.raises(ValueError, match="fraction"):
+        split_thresholds({"a": 0.0})
+
+
+def test_assign_splits_disjoint_exhaustive(docs):
+    from tmframe_spark.ops.sample import assign_splits
+
+    out = assign_splits(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                        ["doc_id"], seed=13)
+    rows = out.select("doc_id", "split").collect()
+    assert len(rows) == docs.count()
+    assert all(r["split"] in ("train", "val", "test") for r in rows)
+    got = {r["doc_id"]: r["split"] for r in rows}
+    n = len(got)
+    trains = sum(1 for s in got.values() if s == "train")
+    assert 0.65 * n < trains < 0.95 * n  # binomial-style band around 0.8
+    # repartition + append stability: fate is per-row content, not context
+    rep = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(
+            docs.repartition(17), {"train": 0.8, "val": 0.1, "test": 0.1},
+            ["doc_id"], seed=13,
+        ).select("doc_id", "split").collect()
+    }
+    assert rep == got
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(
+            docs.where("doc_id < 100"), {"train": 0.8, "val": 0.1, "test": 0.1},
+            ["doc_id"], seed=13,
+        ).select("doc_id", "split").collect()
+    }
+    assert sub == {k: v for k, v in got.items() if k < 100}
+
+
+def test_assign_splits_holdout_band(docs):
+    from tmframe_spark.ops.sample import _H60_SPACE, _sample_key, assign_splits
+
+    out = assign_splits(docs, {"train": 0.5}, ["doc_id"], seed=2)
+    rows = out.select(
+        "doc_id", "split", _sample_key(["doc_id"], 2).alias("h")
+    ).collect()
+    thr = int(0.5 * _H60_SPACE)
+    for r in rows:
+        assert (r["split"] == "train") == (r["h"] < thr)
+    assert any(r["split"] is None for r in rows)  # held out rows exist

@@ -49,6 +49,51 @@ def deterministic_sample(
     return df.where(_sample_key(key_cols, seed) < F.lit(int(rate * _H60_SPACE)))
 
 
+def split_thresholds(fractions: dict) -> list[tuple[str, int]]:
+    """(name, upper-threshold) bands over the hash60 space, in the dict's
+    insertion order (list 'train' first). Exact-integer cumulative cuts;
+    when fractions sum to 1 (±1e-9) the last band is pinned to exactly
+    2^60 so float rounding can never leave an unassigned sliver."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = 0.0
+    for name, f in fractions.items():
+        if not 0.0 < f <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in (0, 1], got {f}")
+        total += f
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    out, cum = [], 0.0
+    names = list(fractions)
+    for name in names:
+        cum += fractions[name]
+        out.append((name, int(cum * _H60_SPACE)))
+    if abs(total - 1.0) <= 1e-9:
+        out[-1] = (names[-1], _H60_SPACE)
+    return out
+
+
+def assign_splits(
+    df: DataFrame, fractions: dict, key_cols, seed: int = 0, out_col: str = "split"
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: adds ``out_col``
+    naming each row's split, by banding the same content-keyed hash60 the
+    samplers cut — so splits are DISJOINT by construction, EXHAUSTIVE when
+    fractions sum to 1 (rows past the last band get NULL otherwise, i.e.
+    "held out"), and a pure function of the data: stable under
+    repartitioning, appends, engines, and re-runs. One codegen projection,
+    no shuffle. A row's split never changes when other rows arrive — the
+    property random splits lack that makes leakage audits possible."""
+    h = _sample_key(key_cols, seed)
+    expr = None
+    for name, t in reversed(split_thresholds(fractions)):
+        cond = h < F.lit(t)
+        expr = F.when(cond, F.lit(name)) if expr is None else F.when(cond, F.lit(name)).otherwise(expr)
+    # reversed + nested otherwise: the FIRST band whose threshold exceeds h
+    # wins, i.e. standard cumulative banding
+    return df.withColumn(out_col, expr)
+
+
 def mixture_plan(
     counts: dict,
     parts: dict,

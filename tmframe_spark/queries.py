@@ -1006,6 +1006,26 @@ def q_semantic_dedup(spark, sf_dir):
     return kept.select("vec_id")
 
 
+def q_split_docs(spark, sf_dir):
+    """Deterministic train/val/test split assignment (ops/sample.
+    assign_splits): 80/10/10 cumulative bands over the content-keyed
+    hash60 — disjoint by construction, exhaustive (the last band is pinned
+    to exactly 2^60), stable under appends/partitioning/engines. Full
+    oracle in the pytest mirror: the identical integer band thresholds
+    (computed once here in Python) restated as a DuckDB CASE."""
+    from tmframe_spark.ops.sample import assign_splits
+
+    return assign_splits(
+        _docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1},
+        ["doc_id"], seed=13,
+    ).select("doc_id", "split")
+
+
+#: split bands shared by q_split_docs and its oracle (pytest mirror)
+from tmframe_spark.ops.sample import split_thresholds as _split_thresholds
+
+SPLIT_T = _split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+
 #: mixture target: integer weight parts per language (en-heavy mix)
 _MIX_PARTS = {"en": 5, "zh": 2, "de": 1, "fr": 1, "es": 1}
 
@@ -1356,6 +1376,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mixture_sample: FULL oracle in the pytest mirror (HUGEINT
         # integer-plan recomputation, epochs included).
         "mixture_sample": q_mixture_sample,
+        # split_docs: FULL oracle in the pytest mirror (same integer band
+        # thresholds as a DuckDB CASE).
+        "split_docs": q_split_docs,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         # near_dup_clusters carries a FULL oracle in the pytest mirror
         # (recursive-CTE transitive closure, pytest_only_oracles) — the
@@ -2357,5 +2380,19 @@ mult AS (SELECT d.doc_id, d.lang, p.copies
                   THEN 1 ELSE 0 END AS n
          FROM documents d JOIN plan p USING (lang))
 SELECT doc_id, lang, CAST(unnest(range(n)) AS INT) AS epoch FROM mult
+""",
+        # split_docs: the identical cumulative band thresholds (computed
+        # once in Python from the 0.8/0.1/0.1 fractions; the last band is
+        # pinned to exactly 2^60 so the CASE is exhaustive) over the same
+        # md5-prefix hash60 of (seed 13 || doc_id).
+        "split_docs": f"""
+SELECT doc_id,
+       CASE WHEN h < {SPLIT_T[0][1]} THEN 'train'
+            WHEN h < {SPLIT_T[1][1]} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             CAST(('0x' || substr(md5('13' || chr(31)
+                || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM documents)
 """,
     }
