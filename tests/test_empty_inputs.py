@@ -175,3 +175,23 @@ def test_empty_inputs_histogram_and_spans(spark):
 
     empty_docs = spark.createDataFrame([], "doc_id long, text string")
     assert duplicate_span_stats(empty_docs, "doc_id").count() == 0
+
+
+def test_empty_inputs_anomaly_topk_and_removal(spark):
+    from tmframe_spark.ops.anomaly import level_shifts, robust_anomalies
+    from tmframe_spark.ops.rollup import cascade_topk_up, rollup_topk_sketch
+    from tmframe_spark.text.dedup import remove_duplicate_spans
+
+    rolled = spark.createDataFrame([], "conv_id string, bucket timestamp, turns long")
+    assert robust_anomalies(rolled).count() == 0
+    assert level_shifts(rolled).count() == 0
+
+    turns = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    sk = rollup_topk_sketch(turns, "1h", "conv_id", k=4)
+    assert sk.count() == 0
+    assert cascade_topk_up(sk, "1d", k=4).count() == 0
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert remove_duplicate_spans(docs, "doc_id").count() == 0

@@ -405,3 +405,64 @@ def test_duplicate_span_stats_planted(spark):
     # doc 3: one whole-doc span, unique; doc 4: intra-doc repeats only
     assert expect[3] == (1, 0)
     assert expect[4][1] == 0 and expect[5][1] == 0
+
+
+def test_remove_duplicate_spans_planted(spark):
+    """Removal half (Lee et al.) against an in-test sequential reference:
+    the canonical (lowest-doc, lowest-pos) boilerplate occurrence
+    survives, every other occurrence's tokens vanish; unique docs come
+    back untouched; a doc that is ALL boilerplate empties out."""
+    import re
+
+    from tmframe_spark.text.dedup import remove_duplicate_spans
+
+    boiler = (
+        "this license text is shared across documents exactly verbatim "
+        "in every mirror of the corpus"
+    )
+    docs = [
+        (1, boiler + " plus a unique tail one alpha beta gamma delta"),
+        (2, "totally different unique leading content here " + boiler),
+        (3, boiler),  # pure boilerplate, non-canonical -> empties out
+        (4, "another fully unique document with no shared spans anywhere at all"),
+        (5, "short doc"),
+    ]
+
+    def ref(w=8, min_docs=2):
+        tk = {i: re.split(r"\s+", t.strip().lower()) for i, t in docs}
+        inst: dict[str, list[tuple[int, int]]] = {}
+        for i, ws in tk.items():
+            for p in range(1, max(len(ws) - w + 1, 1) + 1):
+                s = " ".join(ws[p - 1 : p - 1 + w])
+                inst.setdefault(s, []).append((i, p))
+        removed: dict[int, set[int]] = {i: set() for i in tk}
+        for s, occ in inst.items():
+            if len({i for i, _ in occ}) < min_docs:
+                continue
+            canon = min(occ)  # (min doc id, then min pos)
+            for i, p in occ:
+                if (i, p) == canon:
+                    continue
+                n = len(tk[i])
+                removed[i].update(range(p, min(p + w - 1, n) + 1))
+        out = {}
+        for i, ws in tk.items():
+            keep = [t for p, t in enumerate(ws, 1) if p not in removed[i]]
+            out[i] = (" ".join(keep), len(ws), len(ws) - len(keep))
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans(df, "doc_id", w=8).collect()
+    }
+    expect = ref()
+    assert got == expect
+    # doc 1 is canonical: its boilerplate survives verbatim as a prefix
+    assert got[1][0].startswith("this license text is shared")
+    # docs 2/3 lose the boilerplate wholesale
+    assert "license" not in got[2][0] and got[2][2] > 0
+    assert got[3] == ("", 15, 15)
+    # untouched docs: zero removals, text equals the normalized original
+    assert got[4] == (docs[3][1], 11, 0)
+    assert got[5] == ("short doc", 2, 0)

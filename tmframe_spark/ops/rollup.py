@@ -327,6 +327,106 @@ def histogram_quantile(
     )
 
 
+def _mg_compress(counts: DataFrame, k: int) -> DataFrame:
+    """Misra-Gries compression of per-bucket counters to at most ``k``
+    survivors: subtract the (k+1)-th largest count from every counter and
+    keep the strictly-positive ones. The threshold is a VALUE, so the
+    surviving set is independent of tie order — at most k keys can exceed
+    it. Input/output schema: (bucket, key, cnt, n_total); ``n_total`` (the
+    bucket's exact item total, summable across buckets) rides along
+    untouched — the error bound is DERIVED, never stored:
+
+        err(bucket) = n_total - sum(stored cnt)
+
+    is exactly the decrement mass and telescopes through any number of
+    merge+compress rounds, so it stays sound at every tier. If compression
+    would drop every key (all counts tied), the top-1 row survives with
+    cnt clamped to 0 purely to keep carrying (bucket, n_total) — without
+    it a child bucket would vanish from a cascade and the parent's bound
+    would silently shrink."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("bucket").orderBy(F.col("cnt").desc(), F.col("key"))
+    wb = Window.partitionBy("bucket")
+    ranked = counts.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_thr",
+        F.coalesce(F.max(F.when(F.col("_rn") == k + 1, F.col("cnt"))).over(wb), F.lit(0)),
+    )
+    return (
+        ranked.where((F.col("cnt") > F.col("_thr")) | (F.col("_rn") == 1))
+        .select(
+            "bucket",
+            "key",
+            F.greatest(F.col("cnt") - F.col("_thr"), F.lit(0)).cast("long").alias("cnt"),
+            F.col("n_total").cast("long").alias("n_total"),
+        )
+    )
+
+
+def _with_mg_err(sk: DataFrame) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("bucket")
+    return sk.withColumn(
+        "err", (F.col("n_total") - F.sum("cnt").over(wb)).cast("long")
+    )
+
+
+def rollup_topk_sketch(
+    transcripts: DataFrame, tier: str = "1h", key_col: str = "conv_id", k: int = 16
+) -> DataFrame:
+    """Re-aggregatable TOP-K (heavy hitters) tier via mergeable Misra-Gries
+    summaries — the third member of the sketch-tier family (HLL distinct
+    counts, fixed-bin histograms): a top-k list does not re-aggregate from
+    child top-k lists, but MG summaries merge with a provable bound
+    (Agarwal et al. 2013, "Mergeable Summaries").
+
+    One row per (bucket, surviving key): ``bucket, key, cnt, n_total,
+    err`` — ``cnt`` is the MG lower bound, ``n_total`` the bucket's exact
+    item count, ``err = n_total - sum(cnt)`` the bucket-wide decrement
+    mass: every true count lies in [cnt, cnt + err], every key with true
+    count > err is guaranteed present, and at most ``k`` keys survive per
+    bucket. With <= k distinct keys per bucket nothing is decremented, so
+    the sketch IS the exact count table with err 0 — the oracle-able
+    exactness limit (`heavy_hitters_exactk` in the pytest mirror).
+
+    Scale shape: the exact (bucket, key) count is one map-side-combined
+    shuffle (data-sized, same key family as the tier aggregates); the
+    compression is a per-bucket window over those counts; the stored tier
+    is <= k rows per bucket. NULL keys are dropped (count(col) semantics).
+    """
+    bucket = tier_bucket(tier, "ts")
+    from pyspark.sql.window import Window
+
+    counts = (
+        transcripts.where(F.col(key_col).isNotNull())
+        .groupBy(bucket, F.col(key_col).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("n_total", F.sum("cnt").over(Window.partitionBy("bucket")))
+    )
+    return _with_mg_err(_mg_compress(counts, k))
+
+
+def cascade_topk_up(lower: DataFrame, tier: str, k: int = 16) -> DataFrame:
+    """Merge a finer MG top-k tier into a coarser one: sum the surviving
+    counters per (coarse bucket, key), sum the child buckets' exact
+    ``n_total`` (each child contributes exactly once — the compression
+    guarantees every nonempty child keeps >= 1 row), then MG-compress
+    again. The derived bound n_total - sum(cnt) telescopes: it equals the
+    total decrement mass across ALL rounds, so the coarse tier's err is
+    sound without any stored error state. The shuffle carries at most k
+    rows per child bucket, never raw keys."""
+    bucket = tier_bucket(tier, "bucket")
+    merged = lower.groupBy(bucket, "key").agg(F.sum("cnt").cast("long").alias("cnt"))
+    n = (
+        lower.groupBy(F.col("bucket").alias("_fb"))
+        .agg(F.max("n_total").alias("_n"))
+        .groupBy(tier_bucket(tier, "_fb"))
+        .agg(F.sum("_n").cast("long").alias("n_total"))
+    )
+    return _with_mg_err(_mg_compress(merged.join(n, "bucket"), k))
+
+
 def rollup_tiers(transcripts: DataFrame, salt: int | None = None):
     """The full cascade: returns {'1m': df, '1h': df, '1d': df}, each
     gap-filled over its conversation lifespan.

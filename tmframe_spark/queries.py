@@ -1290,6 +1290,72 @@ def q_role_mix_archive(spark, sf_dir):
     return out.select("conv_id", "role", "ts_ns", "v0", "v1")
 
 
+def q_heavy_hitters_1d(spark, sf_dir):
+    """Mergeable Misra-Gries heavy-hitters tier: per-day top conversations
+    cascaded from 1h MG summaries (k=8) — cnt is a lower bound, err the
+    bucket's decrement mass (true count in [cnt, cnt+err]; any key with
+    true count > err is guaranteed present). Rows-only by design (the
+    sketch's counts are bounds, not exact values); the MG invariants are
+    pinned against exact counts in tests/test_topk_sketch.py, and the
+    oracle-able exactness limit is `heavy_hitters_exactk`."""
+    from tmframe_spark.ops.rollup import cascade_topk_up, rollup_topk_sketch
+
+    t = _t(spark, sf_dir)
+    return cascade_topk_up(rollup_topk_sketch(t, "1h", "conv_id", k=8), "1d", k=8)
+
+
+def q_heavy_hitters_exactk(spark, sf_dir):
+    """The MG tier at its exactness limit: per-day tool counts cascaded
+    from 1h summaries with k=64 >> tool cardinality — nothing is ever
+    decremented, so the cascaded sketch must equal the exact day count
+    table with err 0 and n_total the exact day total. FULL oracle in the
+    pytest mirror (plain GROUP BY restatement)."""
+    from tmframe_spark.ops.rollup import cascade_topk_up, rollup_topk_sketch
+
+    t = _t(spark, sf_dir)
+    return cascade_topk_up(rollup_topk_sketch(t, "1h", "tool", k=64), "1d", k=64)
+
+
+def q_dup_span_removal(spark, sf_dir):
+    """The removal half of exact-substring dedup (Lee et al. 2021): every
+    token covered by a non-canonical duplicated 8-word span is dropped;
+    the canonical (lowest doc, lowest position — min_by) occurrence
+    survives. One row per doc with the cleaned normalized text + exact
+    removal counts. FULL oracle in the pytest mirror (identical md5 span
+    hashing, arg_min canonical selection, ordered string_agg rebuild)."""
+    from tmframe_spark.text.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs(spark, sf_dir), "doc_id", w=8, min_docs=2)
+
+
+def q_anomaly_1m(spark, sf_dir):
+    """Rolling z-score outliers over the gap-filled 1m tier (subset convs):
+    a minute is anomalous when its turn count departs the preceding hour's
+    baseline by more than 3 sigma — decided in EXACT cross-multiplied
+    int64 (n*(n*v-S)^2 > 9*(n*SS-S^2)), so the flagged set is bit-stable
+    across engines. FULL oracle in the pytest mirror (identical ROWS-frame
+    window SQL)."""
+    from tmframe_spark.ops.anomaly import robust_anomalies
+
+    t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
+    g = gap_fill(rollup(t, "1m"), "1m")
+    return robust_anomalies(g, "turns", window=60, min_n=30, k=3)
+
+
+def q_level_shift_1h(spark, sf_dir):
+    """Level-shift (changepoint) candidates over the gap-filled 1h tier
+    (subset convs): hours where the mean token volume of the next day
+    departs the previous day's by more than 3 chars/hour —
+    |S_n*n_p - S_p*n_n| > delta*n_p*n_n, all exact int64 (the 1m turn
+    series is too sparse for integer thresholds: measured max contrast
+    0.07 turns/min at sf0.001). FULL oracle in the pytest mirror."""
+    from tmframe_spark.ops.anomaly import level_shifts
+
+    t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
+    g = gap_fill(rollup(t, "1h"), "1h")
+    return level_shifts(g, "token_volume", window=24, min_n=24, delta=3)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1410,6 +1476,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dup_span_stats: FULL oracle in the pytest mirror (identical md5
         # span hashing in DuckDB).
         "dup_span_stats": q_dup_span_stats,
+        # heavy_hitters_1d: rows-only by design (MG counts are bounds);
+        # bracketed by the exactk full oracle + planted-invariant tests.
+        "heavy_hitters_1d": q_heavy_hitters_1d,
+        # heavy_hitters_exactk: FULL oracle in the pytest mirror (exact
+        # GROUP BY — the k >> cardinality limit of the same cascade).
+        "heavy_hitters_exactk": q_heavy_hitters_exactk,
+        # dup_span_removal: FULL oracle in the pytest mirror (span-hash
+        # coverage union + ordered rebuild restated in DuckDB).
+        "dup_span_removal": q_dup_span_removal,
+        # anomaly_1m / level_shift_1h: FULL oracles in the pytest mirror
+        # (exact cross-multiplied integer window predicates).
+        "anomaly_1m": q_anomaly_1m,
+        "level_shift_1h": q_level_shift_1h,
     }
 
 
@@ -2394,5 +2473,118 @@ FROM (SELECT doc_id,
              CAST(('0x' || substr(md5('13' || chr(31)
                 || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
       FROM documents)
+""",
+        # heavy_hitters_exactk: at k=64 >> tool cardinality the MG cascade
+        # never decrements, so the day sketch equals the exact GROUP BY
+        # with err 0 and n_total = the day's total tool calls.
+        "heavy_hitters_exactk": f"""
+WITH {_T_CTE},
+c AS (SELECT date_trunc('day', ts) AS bucket, tool AS key, count(*) AS cnt
+      FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2)
+SELECT bucket, key, CAST(cnt AS BIGINT) AS cnt,
+       CAST(sum(cnt) OVER (PARTITION BY bucket) AS BIGINT) AS n_total,
+       CAST(0 AS BIGINT) AS err
+FROM c
+""",
+        # dup_span_removal: identical md5 8-word span hashing (1-based
+        # slice i..i+7 == Spark slice(ws, i, 8)), arg_min == min_by
+        # canonical selection (id unique per (h, id) group, so no ties),
+        # coverage union via DISTINCT positions, ordered string_agg ==
+        # sorted-struct concat_ws rebuild.
+        "dup_span_removal": r"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+tk AS (SELECT id, ws, len(ws) AS n FROM toks),
+sp AS (
+  SELECT id, n, i AS pos, md5(array_to_string(ws[i:i+7], ' ')) AS h
+  FROM (SELECT id, ws, n, unnest(generate_series(1, greatest(n - 7, 1))) AS i
+        FROM tk)
+),
+pi AS (SELECT h, id, min(pos) AS minpos FROM sp GROUP BY h, id),
+hi AS (SELECT h, count(*) AS docs, min(id) AS canon_id,
+              arg_min(minpos, id) AS canon_pos
+       FROM pi GROUP BY h),
+rm0 AS (
+  SELECT sp.id AS id,
+         unnest(generate_series(sp.pos, least(sp.pos + 7, sp.n))) AS p
+  FROM sp JOIN hi USING (h)
+  WHERE hi.docs >= 2 AND NOT (sp.id = hi.canon_id AND sp.pos = hi.canon_pos)
+),
+rmd AS (SELECT DISTINCT id, p FROM rm0),
+tok AS (
+  SELECT id, i AS p, ws[i] AS tok
+  FROM (SELECT id, ws, unnest(generate_series(1, len(ws))) AS i FROM tk)
+),
+kept AS (
+  SELECT t.id, t.p, t.tok FROM tok t
+  ANTI JOIN rmd r ON t.id = r.id AND t.p = r.p
+),
+reb AS (SELECT id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY id)
+SELECT tk.id AS doc_id, coalesce(reb.clean_text, '') AS clean_text,
+       CAST(tk.n AS BIGINT) AS n_tokens,
+       CAST(tk.n - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
+FROM tk LEFT JOIN reb USING (id)
+""",
+        # anomaly_1m: the identical gap-filled 1m spine + the identical
+        # ROWS-frame (60 PRECEDING .. 1 PRECEDING) window, decided by the
+        # same cross-multiplied int64 predicate — n, S, SS casted to
+        # BIGINT before multiplying (DuckDB window SUM is HUGEINT).
+        "anomaly_1m": f"""
+WITH {_T_CTE},
+t AS (SELECT * FROM transcripts WHERE conv_id IN {_SUBSET_SQL}),
+m AS (SELECT conv_id, date_trunc('minute', ts) AS bucket, count(*) AS c
+      FROM t GROUP BY 1, 2),
+b AS (SELECT conv_id, min(bucket) AS mn, max(bucket) AS mx FROM m GROUP BY conv_id),
+sp AS (SELECT conv_id, unnest(generate_series(mn, mx, interval 1 minute)) AS bucket
+       FROM b),
+g AS (SELECT sp.conv_id, sp.bucket, CAST(coalesce(m.c, 0) AS BIGINT) AS value
+      FROM sp LEFT JOIN m ON sp.conv_id = m.conv_id AND sp.bucket = m.bucket),
+sc AS (SELECT conv_id, bucket, value,
+              CAST(count(*) OVER wp AS BIGINT) AS n,
+              CAST(coalesce(sum(value) OVER wp, 0) AS BIGINT) AS s,
+              CAST(coalesce(sum(value * value) OVER wp, 0) AS BIGINT) AS ss
+       FROM g
+       WINDOW wp AS (PARTITION BY conv_id ORDER BY bucket
+                     ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING))
+SELECT conv_id, bucket, value, n,
+       n * (n * value - s) * (n * value - s) AS num,
+       n * ss - s * s AS den
+FROM sc
+WHERE n >= 30 AND n * (n * value - s) * (n * value - s) > 9 * (n * ss - s * s)
+""",
+        # level_shift_1h: gap-filled 1h token-volume spine, two ROWS
+        # frames (24 PRECEDING..1 PRECEDING vs CURRENT..23 FOLLOWING),
+        # |mean delta| > 3 decided as |S_n*n_p - S_p*n_n| > 3*n_p*n_n in
+        # exact int64.
+        "level_shift_1h": f"""
+WITH {_T_CTE},
+t AS (SELECT * FROM transcripts WHERE conv_id IN {_SUBSET_SQL}),
+m AS (SELECT conv_id, date_trunc('hour', ts) AS bucket,
+             CAST(sum(length(text)) AS BIGINT) AS c
+      FROM t GROUP BY 1, 2),
+b AS (SELECT conv_id, min(bucket) AS mn, max(bucket) AS mx FROM m GROUP BY conv_id),
+sp AS (SELECT conv_id, unnest(generate_series(mn, mx, interval 1 hour)) AS bucket
+       FROM b),
+g AS (SELECT sp.conv_id, sp.bucket, CAST(coalesce(m.c, 0) AS BIGINT) AS value
+      FROM sp LEFT JOIN m ON sp.conv_id = m.conv_id AND sp.bucket = m.bucket),
+sc AS (SELECT conv_id, bucket, value,
+              CAST(count(*) OVER wp AS BIGINT) AS n_prev,
+              CAST(coalesce(sum(value) OVER wp, 0) AS BIGINT) AS s_prev,
+              CAST(count(*) OVER wn AS BIGINT) AS n_next,
+              CAST(coalesce(sum(value) OVER wn, 0) AS BIGINT) AS s_next
+       FROM g
+       WINDOW wp AS (PARTITION BY conv_id ORDER BY bucket
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
+              wn AS (PARTITION BY conv_id ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING))
+SELECT conv_id, bucket, value, n_prev, s_prev, n_next, s_next,
+       s_next * n_prev - s_prev * n_next AS diff
+FROM sc
+WHERE n_prev >= 24 AND n_next >= 24
+  AND abs(s_next * n_prev - s_prev * n_next) > 3 * n_prev * n_next
 """,
     }

@@ -159,6 +159,96 @@ def duplicate_span_stats(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    w: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (Lee et al. 2021) at fixed
+    w-token span granularity — the companion of ``duplicate_span_stats``.
+
+    A span (w consecutive tokens; a whole short doc is one span) is
+    DUPLICATED when its text occurs in >= ``min_docs`` distinct documents.
+    One occurrence of each duplicated span survives — the CANONICAL
+    instance: lowest doc id, then lowest position within that doc
+    (min_by, deterministic). Every token covered by any NON-canonical
+    duplicated-span instance is dropped; the cleaned text is the kept
+    tokens of the normalized (lowercased, whitespace-split) stream joined
+    with single spaces. Overlapping spans union their coverage, so a long
+    duplicated region disappears wholesale outside its canonical doc —
+    and inside it, a canonical occurrence survives only where no
+    overlapping non-canonical instance covers it (token-level union
+    semantics, documented contract).
+
+    Output: one row per input doc — ``id_col``, ``clean_text``,
+    ``n_tokens`` (normalized token count), ``n_removed``. Fully-boilerplate
+    docs come back with ``clean_text = ''``.
+
+    Scale shape (100 TB posture): spans shuffle as 16-byte md5 hashes
+    keyed by hash (the per-(h, id) partial agg collapses intra-doc repeats
+    map-side); the coverage explode is bounded by w * tokens; removed
+    positions and the rebuild are keyed by doc id. No pairwise space
+    exists — duplicated spans only ever meet in counts and min_by, never
+    a join of doc pairs.
+    """
+    ws = tokens(F.col(text_col), distinct=False)
+    tk = df.select(F.col(id_col).alias("id"), ws.alias("ws"), F.size(ws).alias("n"))
+    # hash every span inside one array transform (the duplicate_span_stats
+    # pattern: only 16-byte hashes ever explode, the token array does not
+    # ride through the generator), then posexplode for 1-based positions
+    spans = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.col("n") - (w - 1), F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("ws"), i, w))),
+    )
+    sp = tk.select("id", "n", F.posexplode(spans).alias("pos0", "h")).select(
+        "id", "n", (F.col("pos0") + 1).alias("pos"), "h"
+    )
+    pi = sp.groupBy("h", "id").agg(F.min("pos").alias("minpos"))
+    hi = pi.groupBy("h").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.min("id").alias("canon_id"),
+        F.expr("min_by(minpos, id)").alias("canon_pos"),
+    )
+    dup = hi.where(F.col("docs") >= min_docs)
+    # non-canonical duplicated instances -> the token positions they cover
+    rm = (
+        sp.join(dup, "h")
+        .where(~((F.col("id") == F.col("canon_id")) & (F.col("pos") == F.col("canon_pos"))))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.least(F.col("pos") + (w - 1), F.col("n")))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    tok = tk.select(
+        "id", F.posexplode("ws").alias("p0", "tok")
+    ).select("id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = tok.join(rm, ["id", "p"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))), lambda x: x["tok"]
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        tk.select("id", "n")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n").cast("long").alias("n_tokens"),
+            (F.col("n") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def estimate_capped_tokens(
     df: DataFrame,
     id_col: str,
