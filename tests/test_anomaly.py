@@ -142,7 +142,9 @@ def test_empty_input(spark):
     assert level_shifts(e).count() == 0
 
 
-@pytest.mark.parametrize("qname", ["anomaly_1m", "level_shift_1h"])
+@pytest.mark.parametrize(
+    "qname", ["anomaly_1m", "seasonal_anomaly_1h", "level_shift_1h"]
+)
 def test_registry_queries_non_vacuous(spark, qname):
     """The driver-corpus queries must actually flag rows at sf0.001 —
     an empty result would make the DuckDB oracle pass vacuously."""
@@ -150,3 +152,38 @@ def test_registry_queries_non_vacuous(spark, qname):
     from tests.conftest import SF_DIR
 
     assert Q.queries()[qname](spark, SF_DIR).count() > 0
+
+
+def test_seasonal_baseline_ignores_periodic_peaks(spark):
+    """Daily-periodic series: hour-14 peaks are normal against their own
+    season slot (but WOULD flag against the flat global baseline); a
+    doubled peak on the last day is a true seasonal anomaly."""
+    days, vals = 20, []
+    for d in range(days):
+        for h in range(24):
+            vals.append(40 if h == 14 else 5)
+    vals[-10] = 80  # last day's hour 14 doubled
+
+    rows = [
+        ("c0", T0 + datetime.timedelta(hours=i), int(v)) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, bucket timestamp, turns long")
+
+    seasonal = robust_anomalies(
+        df, window=14, min_n=7, k=3, season="hour_of_day"
+    ).collect()
+    assert [(r["bucket"].day, r["bucket"].hour, r["value"]) for r in seasonal] == [
+        (20, 14, 80)
+    ]
+    # without the season the SAME normal daily peaks drown the signal:
+    # every late 40 flags against the mostly-5 mixed baseline
+    plain = robust_anomalies(df, window=14, min_n=7, k=3).collect()
+    assert any(r["value"] == 40 for r in plain)
+
+
+def test_seasonal_unknown_slot_is_loud(spark):
+    df = _series(spark, [1, 2, 3])
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        robust_anomalies(df, season="fortnight")

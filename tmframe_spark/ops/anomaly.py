@@ -28,12 +28,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+#: seasonal baseline groupings: the window compares a bucket only against
+#: prior buckets in the SAME season slot (e.g. 14:00 vs earlier 14:00s) —
+#: the classic guard against flagging a daily rush hour as an anomaly.
+SEASONS = {
+    "hour_of_day": lambda: F.hour("bucket"),
+    "day_of_week": lambda: F.dayofweek("bucket"),
+}
+
+
 def robust_anomalies(
     rolled: DataFrame,
     value_col: str = "turns",
     window: int = 60,
     min_n: int = 12,
     k: int = 3,
+    season: str | None = None,
 ) -> DataFrame:
     """Rolling z-score outliers, decided in exact integer arithmetic.
 
@@ -53,13 +63,18 @@ def robust_anomalies(
     Returns only the flagged rows: conv_id, bucket, value, plus the
     exact decision integers (n, num, den) so callers (and the DuckDB
     oracle) can re-derive z = sqrt(num/den)/... themselves.
+
+    ``season``: optional seasonal baseline ('hour_of_day'/'day_of_week') —
+    the frame then holds the preceding ``window`` observed buckets of the
+    SAME season slot (14:00 compares against earlier 14:00s), so periodic
+    peaks stop reading as outliers. Same shuffle key family (conv + a
+    derived slot), same exact arithmetic.
     """
+    parts = [F.col("conv_id")]
+    if season is not None:
+        parts.append(SEASONS[season]())  # KeyError on unknown season, loud
     v = F.col(value_col).cast("long")
-    w = (
-        Window.partitionBy("conv_id")
-        .orderBy("bucket")
-        .rowsBetween(-window, -1)
-    )
+    w = Window.partitionBy(*parts).orderBy("bucket").rowsBetween(-window, -1)
     n = F.count(F.lit(1)).over(w)
     s = F.sum(v).over(w)
     ss = F.sum(v * v).over(w)

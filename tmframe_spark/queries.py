@@ -1290,6 +1290,22 @@ def q_role_mix_archive(spark, sf_dir):
     return out.select("conv_id", "role", "ts_ns", "v0", "v1")
 
 
+def q_seasonal_anomaly_1h(spark, sf_dir):
+    """Seasonal rolling z-score over the gap-filled 1h tier (subset
+    convs): each hour's token volume compares only against the preceding
+    14 SAME-hour-of-day buckets (two weeks of 14:00s for a 14:00 point),
+    so periodic daily peaks stop reading as outliers — same exact
+    cross-multiplied int64 predicate as `anomaly_1m`. FULL oracle in the
+    pytest mirror (window partitioned by (conv, hour(bucket)))."""
+    from tmframe_spark.ops.anomaly import robust_anomalies
+
+    t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
+    g = gap_fill(rollup(t, "1h"), "1h")
+    return robust_anomalies(
+        g, "token_volume", window=14, min_n=7, k=3, season="hour_of_day"
+    )
+
+
 def q_heavy_hitters_1d(spark, sf_dir):
     """Mergeable Misra-Gries heavy-hitters tier: per-day top conversations
     cascaded from 1h MG summaries (k=8) — cnt is a lower bound, err the
@@ -1485,9 +1501,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dup_span_removal: FULL oracle in the pytest mirror (span-hash
         # coverage union + ordered rebuild restated in DuckDB).
         "dup_span_removal": q_dup_span_removal,
-        # anomaly_1m / level_shift_1h: FULL oracles in the pytest mirror
-        # (exact cross-multiplied integer window predicates).
+        # anomaly_1m / seasonal_anomaly_1h / level_shift_1h: FULL oracles
+        # in the pytest mirror (exact cross-multiplied integer window
+        # predicates).
         "anomaly_1m": q_anomaly_1m,
+        "seasonal_anomaly_1h": q_seasonal_anomaly_1h,
         "level_shift_1h": q_level_shift_1h,
     }
 
@@ -2555,6 +2573,33 @@ SELECT conv_id, bucket, value, n,
        n * ss - s * s AS den
 FROM sc
 WHERE n >= 30 AND n * (n * value - s) * (n * value - s) > 9 * (n * ss - s * s)
+""",
+        # seasonal_anomaly_1h: gap-filled 1h token-volume spine, window
+        # partitioned by (conv, hour(bucket)) — the preceding 14 same-hour
+        # buckets — same exact integer predicate as anomaly_1m.
+        "seasonal_anomaly_1h": f"""
+WITH {_T_CTE},
+t AS (SELECT * FROM transcripts WHERE conv_id IN {_SUBSET_SQL}),
+m AS (SELECT conv_id, date_trunc('hour', ts) AS bucket,
+             CAST(sum(length(text)) AS BIGINT) AS c
+      FROM t GROUP BY 1, 2),
+b AS (SELECT conv_id, min(bucket) AS mn, max(bucket) AS mx FROM m GROUP BY conv_id),
+sp AS (SELECT conv_id, unnest(generate_series(mn, mx, interval 1 hour)) AS bucket
+       FROM b),
+g AS (SELECT sp.conv_id, sp.bucket, CAST(coalesce(m.c, 0) AS BIGINT) AS value
+      FROM sp LEFT JOIN m ON sp.conv_id = m.conv_id AND sp.bucket = m.bucket),
+sc AS (SELECT conv_id, bucket, value,
+              CAST(count(*) OVER wp AS BIGINT) AS n,
+              CAST(coalesce(sum(value) OVER wp, 0) AS BIGINT) AS s,
+              CAST(coalesce(sum(value * value) OVER wp, 0) AS BIGINT) AS ss
+       FROM g
+       WINDOW wp AS (PARTITION BY conv_id, hour(bucket) ORDER BY bucket
+                     ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING))
+SELECT conv_id, bucket, value, n,
+       n * (n * value - s) * (n * value - s) AS num,
+       n * ss - s * s AS den
+FROM sc
+WHERE n >= 7 AND n * (n * value - s) * (n * value - s) > 9 * (n * ss - s * s)
 """,
         # level_shift_1h: gap-filled 1h token-volume spine, two ROWS
         # frames (24 PRECEDING..1 PRECEDING vs CURRENT..23 FOLLOWING),
