@@ -1290,6 +1290,20 @@ def q_role_mix_archive(spark, sf_dir):
     return out.select("conv_id", "role", "ts_ns", "v0", "v1")
 
 
+def q_bpe_subword_stats(spark, sf_dir):
+    """Distributed BPE tokenizer training (16 merges over the corpus
+    word-frequency table, Sennrich-style) + per-document subword counts
+    under the learned merges: (doc_id, n_words, n_pieces). Iterative
+    (merge m+1 depends on merge m's argmax) — rows-only for the driver;
+    bit-equal to a single-threaded classic BPE reference over the SAME
+    corpus in tests/test_bpe.py (merges, encodings, and this query's
+    exact rows)."""
+    from tmframe_spark.text.bpe import bpe_token_counts, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    return bpe_token_counts(docs, bpe_train(docs, num_merges=16), "doc_id")
+
+
 def q_seasonal_anomaly_1h(spark, sf_dir):
     """Seasonal rolling z-score over the gap-filled 1h tier (subset
     convs): each hour's token volume compares only against the preceding
@@ -1492,6 +1506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dup_span_stats: FULL oracle in the pytest mirror (identical md5
         # span hashing in DuckDB).
         "dup_span_stats": q_dup_span_stats,
+        # bpe_subword_stats: rows-only by design (iterative trainer);
+        # bit-equal to the classic sequential BPE reference in test_bpe.
+        "bpe_subword_stats": q_bpe_subword_stats,
         # heavy_hitters_1d: rows-only by design (MG counts are bounds);
         # bracketed by the exactk full oracle + planted-invariant tests.
         "heavy_hitters_1d": q_heavy_hitters_1d,
