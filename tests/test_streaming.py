@@ -544,3 +544,81 @@ def test_stream_rollup_custom_tier_matches_batch(spark, landed):
     assert len(g) == len(w) > 0
     for c in ["b", "turns", "token_volume"]:
         assert (g[c].to_numpy() == w[c].to_numpy()).all(), c
+
+
+def test_streaming_topk_sketch_matches_batch(spark, landed):
+    """Streaming MG heavy-hitters materialization: after draining (flush
+    sentinel closes every real window), the materialized 1h sketches are
+    BIT-IDENTICAL to the batch rollup_topk_sketch on the same data (append
+    windows finalize whole, compression is deterministic), and cascading
+    the materialized table to 1d goes through the same cascade_topk_up the
+    batch path uses."""
+    import os
+    import tempfile
+    import time
+
+    from tmframe_spark.ops.rollup import cascade_topk_up, rollup_topk_sketch
+    from tmframe_spark.streaming.materialize import (
+        materialize_continuous_topk,
+        read_materialized,
+    )
+
+    src_dir, schema, t = landed
+    d = tempfile.mkdtemp(prefix="tmframe_topk_src_")
+    t.write.mode("overwrite").parquet(d)
+    time.sleep(1.1)
+    mx = t.agg(F.max("ts")).collect()[0][0]
+    flush = spark.createDataFrame(
+        [("__flush__", 0, "system", "flush", None, mx)], schema
+    ).withColumn(
+        "ts",
+        (F.col("ts").cast("timestamp") + F.expr("interval 2 days")).cast(
+            schema["ts"].dataType
+        ),
+    )
+    flush.write.mode("append").parquet(d)
+
+    root = tempfile.mkdtemp(prefix="tmframe_topk_tbl_")
+    q = materialize_continuous_topk(
+        spark, d, schema, root, tier="1h", key_col="conv_id", k=8,
+        watermark="10 minutes", max_files=4,
+    )
+    q.awaitTermination(300)
+
+    got = (
+        read_materialized(spark, root, "topk_1h_stream")
+        .where(F.col("key") != "__flush__")
+        .select("bucket", "key", "cnt", "n_total", "err")
+        .toPandas()
+    )
+    want = (
+        rollup_topk_sketch(t, "1h", "conv_id", k=8)
+        .select(F.col("bucket").cast("timestamp").alias("bucket"),
+                "key", "cnt", "n_total", "err")
+        .toPandas()
+    )
+    key = ["bucket", "key"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w), (len(g), len(w))
+    for c in ["key", "cnt", "n_total", "err"]:
+        assert (g[c].to_numpy() == w[c].to_numpy()).all(), c
+
+    # coarse tier from the materialized table, same op as batch
+    day_stream = cascade_topk_up(
+        read_materialized(spark, root, "topk_1h_stream")
+        .where(F.col("key") != "__flush__")
+        .select("bucket", "key", "cnt", "n_total"),
+        "1d", k=8,
+    ).toPandas()
+    day_batch = cascade_topk_up(
+        rollup_topk_sketch(t, "1h", "conv_id", k=8), "1d", k=8
+    ).toPandas()
+    dg = day_stream.sort_values(["bucket", "key"]).reset_index(drop=True)
+    db = day_batch.sort_values(["bucket", "key"]).reset_index(drop=True)
+    assert len(dg) == len(db)
+    for c in ["key", "cnt", "n_total", "err"]:
+        assert (dg[c].to_numpy() == db[c].to_numpy()).all(), c
+
+    mans = os.listdir(os.path.join(root, "_topk_1h_stream_batches"))
+    assert any(m.startswith("batch-") for m in mans)

@@ -345,3 +345,60 @@ def materialize_continuous_blocks(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _topk_batch_writer(table_root: str, table: str, k: int):
+    """MG-compress each finalized bucket's complete count table before it
+    lands: the stored tier is <= k rows per bucket with the derived
+    err = n_total - sum(cnt) bound (ops/rollup semantics, byte-identical
+    to the batch rollup_topk_sketch on the same data because append-mode
+    windows finalize whole)."""
+    from pyspark.sql.window import Window
+
+    from tmframe_spark.ops.rollup import _mg_compress, _with_mg_err
+
+    def write_rows(df: DataFrame, batch_dir: str) -> dict:
+        counts = df.withColumn(
+            "n_total", F.sum("cnt").over(Window.partitionBy("bucket"))
+        )
+        sk = _with_mg_err(_mg_compress(counts, k)).localCheckpoint(eager=True)
+        sk.withColumn("day", F.to_date("bucket")).write.mode(
+            "overwrite"
+        ).partitionBy("day").parquet(batch_dir)
+        return {"rows": sk.count()}
+
+    return _exactly_once_writer(table_root, table, write_rows)
+
+
+def materialize_continuous_topk(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    table_root: str,
+    tier: str = "1h",
+    key_col: str = "conv_id",
+    k: int = 16,
+    watermark: str = "10 minutes",
+    table: str | None = None,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    max_files: int = 64,
+):
+    """Continuously materialize the MG heavy-hitters tier from a landing
+    zone. Coarser tiers come from the SAME merge the batch path uses:
+    cascade_topk_up over read_materialized(...) — sketches merge across
+    batch directories with the telescoping error bound, no raw re-read."""
+    from tmframe_spark.streaming.stream import stream_topk_counts
+
+    table = table or f"topk_{tier}_stream"
+    checkpoint = checkpoint or os.path.join(table_root, f"_{table}_checkpoint")
+    stream = read_transcript_stream(spark, source_path, schema, max_files)
+    counts = stream_topk_counts(stream, tier, key_col, watermark)
+    writer = (
+        counts.writeStream.foreachBatch(_topk_batch_writer(table_root, table, k))
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

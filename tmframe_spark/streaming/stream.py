@@ -195,3 +195,27 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, out_path: str) -> N
         .start()
     )
     q.awaitTermination()
+
+
+def stream_topk_counts(
+    stream: DataFrame,
+    tier: str = "1h",
+    key_col: str = "conv_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked per-(bucket, key) counts — the streaming feed of the
+    Misra-Gries heavy-hitters tier (ops/rollup.rollup_topk_sketch). In
+    append mode a window's counts emit exactly once, complete, after the
+    watermark passes — so the downstream sink sees each bucket's full
+    exact count table and can compress it deterministically."""
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        stream.where(F.col(key_col).isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", tier_window(tier)).alias("w"),
+            F.col(key_col).cast("string").alias("key"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(F.col("w.start").alias("bucket"), "key", "cnt")
+    )
