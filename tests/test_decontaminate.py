@@ -100,3 +100,52 @@ def test_repetition_stats_flags_degenerate_text(spark):
     for r in got.values():
         assert r["top2_frac"] == r["top2_count"] / r["total_2grams"]
         assert r["top3_frac"] == r["top3_count"] / r["total_3grams"]
+
+
+def test_shingle_idf_stats_vs_reference(spark):
+    """IDF-weighted novelty against a sequential reference: a doc built
+    entirely from corpus-wide boilerplate scores low, a unique doc scores
+    the max weight on every shingle, and the integer weights equal
+    floor(log2 N) - floor(log2 df) exactly."""
+    import re
+
+    from tmframe_spark.text.analysis import shingle_idf_stats
+
+    boiler = "the quick brown fox jumps over the lazy dog"
+    docs = [
+        (1, boiler),
+        (2, boiler + " again " + boiler),
+        (3, boiler),
+        (4, "entirely novel phrasing appears nowhere else in this corpus"),
+        (5, "short doc"),
+    ]
+
+    def ref(k=3):
+        per: dict[int, dict[str, int]] = {}
+        for i, t in docs:
+            ws = re.split(r"\s+", t.strip().lower())
+            sh = [" ".join(ws[p : p + k]) for p in range(0, max(len(ws) - k, 0) + 1)]
+            d = per.setdefault(i, {})
+            for s in sh:
+                d[s] = d.get(s, 0) + 1
+        dfreq: dict[str, int] = {}
+        for d in per.values():
+            for s in d:
+                dfreq[s] = dfreq.get(s, 0) + 1
+        n = len(docs)
+        out = {}
+        for i, d in per.items():
+            tot = sum(d.values())
+            idf = sum(c * (n.bit_length() - dfreq[s].bit_length()) for s, c in d.items())
+            out[i] = (tot, idf)
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_shingles"], r["idf_sum"]) for r in
+           shingle_idf_stats(df, "doc_id", k=3).collect()}
+    expect = ref()
+    assert got == expect
+    # doc 4 is fully novel: every shingle at df=1 -> weight floor(log2 5)=2
+    assert got[4][1] == got[4][0] * 2
+    # docs 1/3 are identical boilerplate (df=3): weight 2 - 1 = 1 each
+    assert got[1][1] == got[1][0] * 1

@@ -1290,6 +1290,17 @@ def q_role_mix_archive(spark, sf_dir):
     return out.select("conv_id", "role", "ts_ns", "v0", "v1")
 
 
+def q_doc_novelty(spark, sf_dir):
+    """IDF-weighted shingle novelty per document: every 3-word shingle
+    instance weighted by floor(log2 N) - floor(log2 df) — exact integers
+    via length(bin(x)), no float log; mean_idf is the single IEEE division
+    of the exact sums. FULL oracle in the pytest mirror (identical md5
+    shingles + bin()-length weights in DuckDB)."""
+    from tmframe_spark.text.analysis import shingle_idf_stats
+
+    return shingle_idf_stats(_docs(spark, sf_dir), "doc_id", k=3)
+
+
 def q_bpe_subword_stats(spark, sf_dir):
     """Distributed BPE tokenizer training (16 merges over the corpus
     word-frequency table, Sennrich-style) + per-document subword counts
@@ -1506,6 +1517,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dup_span_stats: FULL oracle in the pytest mirror (identical md5
         # span hashing in DuckDB).
         "dup_span_stats": q_dup_span_stats,
+        # doc_novelty: FULL oracle in the pytest mirror (bin()-length
+        # integer IDF weights over identical md5 shingles).
+        "doc_novelty": q_doc_novelty,
         # bpe_subword_stats: rows-only by design (iterative trainer);
         # bit-equal to the classic sequential BPE reference in test_bpe.
         "bpe_subword_stats": q_bpe_subword_stats,
@@ -2508,6 +2522,31 @@ FROM (SELECT doc_id,
              CAST(('0x' || substr(md5('13' || chr(31)
                 || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
       FROM documents)
+""",
+        # doc_novelty: identical md5 3-word shingles (short docs: whole
+        # token list as one shingle); weight = length(bin(N)) -
+        # length(bin(df)) == floor(log2 N) - floor(log2 df), exact in
+        # both engines; one IEEE division for the mean.
+        "doc_novelty": r"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+sp AS (
+  SELECT id, md5(array_to_string(ws[i:i+2], ' ')) AS h
+  FROM (SELECT id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+        FROM toks)
+),
+per AS (SELECT id, h, count(*) AS c FROM sp GROUP BY id, h),
+dfreq AS (SELECT h, count(*) AS df FROM per GROUP BY h),
+nn AS (SELECT count(*) AS n FROM documents)
+SELECT per.id AS doc_id,
+       CAST(sum(c) AS BIGINT) AS n_shingles,
+       CAST(sum(c * (length(bin(nn.n)) - length(bin(df)))) AS BIGINT) AS idf_sum,
+       CAST(sum(c * (length(bin(nn.n)) - length(bin(df)))) AS BIGINT)
+         / CAST(sum(c) AS BIGINT) AS mean_idf
+FROM per JOIN dfreq USING (h), nn
+GROUP BY per.id
 """,
         # heavy_hitters_exactk: at k=64 >> tool cardinality the MG cascade
         # never decrements, so the day sketch equals the exact GROUP BY

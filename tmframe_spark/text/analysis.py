@@ -176,3 +176,52 @@ def repetition_stats(
         # id uniqueness (round-5 review finding)
         out = st if out is None else out.join(st, id_col)
     return out
+
+
+def shingle_idf_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Corpus-rarity (IDF-weighted) novelty score per document — the
+    rarity-magnitude companion of the binary duplicated-span signal
+    (dedup.duplicate_span_stats): every k-word shingle instance is
+    weighted by floor(log2 N) - floor(log2 df) where df is the shingle's
+    distinct-document frequency and N the corpus size. High mean weight =
+    mostly corpus-unique phrasing (novel or gibberish); low = boilerplate
+    assembled from common phrases. The C4/MassiveText-style heuristic
+    family, in a cross-engine-exact integer form.
+
+    Integer exactness: floor(log2 x) is computed as length(bin(x)) - 1 —
+    pure string length of the binary rendering, identical in Spark and
+    DuckDB (no float log anywhere); ``mean_idf`` is the single IEEE
+    division of the two exact integers.
+
+    Scale shape: identical to duplicate_span_stats — shingles shuffle as
+    md5 hashes, the (id, hash) partial agg collapses repeats map-side,
+    df-counts and the join back share the hash key, the final agg is
+    id-keyed, and the corpus size joins in as a broadcast single row.
+    """
+    from tmframe_spark.text.dedup import shingles
+
+    sp = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(shingles(F.col(text_col), k, distinct=False), F.md5)
+        ).alias("h"),
+    )
+    per = sp.groupBy("id", "h").agg(F.count(F.lit(1)).alias("c"))
+    dfreq = per.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    w = F.length(F.expr("bin(n)")) - F.length(F.expr("bin(df)"))
+    return (
+        per.join(dfreq, "h")
+        .crossJoin(F.broadcast(n))
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.sum("c").cast("long").alias("n_shingles"),
+            F.sum(F.col("c") * w).cast("long").alias("idf_sum"),
+        )
+        .withColumn("mean_idf", F.col("idf_sum") / F.col("n_shingles"))
+    )
