@@ -1,0 +1,98 @@
+"""Cross-series and cohort statistics over rolled tiers.
+
+Same cross-engine determinism discipline as ops/anomaly.py: every
+windowed moment is an EXACT int64 (counts, sums, sums of products of
+integer tier values); the one float column (``corr``) is derived from
+those integers by IEEE operations in a pinned order (int -> double casts
+are exact below 2^53; multiply, sqrt and divide are correctly rounded),
+so even the float bit-compares across engines — the lttb_downsample
+precedent, extended to a sqrt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def rolling_corr(
+    rolled: DataFrame,
+    x_col: str = "turns",
+    y_col: str = "token_volume",
+    window: int = 24,
+    min_n: int = 12,
+) -> DataFrame:
+    """Rolling Pearson correlation between two tier series of the same
+    conversation: over the ``window`` most recent observed buckets
+    (ROWS frame ending at the current row), emit the exact integer
+    cross-moments (n, sx, sy, sxx, syy, sxy) and the correlation
+
+        corr = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2) * (n*syy - sy^2))
+
+    computed int-exact up to the final three IEEE steps (multiply, sqrt,
+    divide — correctly rounded, cross-engine identical). Degenerate
+    windows (either variance 0) yield corr NULL rather than NaN/inf.
+
+    One conv-keyed shuffle; the window is codegen. Overflow bound:
+    |n*sxy| <= W^2 * Vx * Vy must stay under 2^63 — at W=24 that holds to
+    Vx*Vy ~ 1.6e16 (e.g. turns * token_volume tiers comfortably).
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("bucket")
+        .rowsBetween(-(window - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    scored = rolled.select(
+        "conv_id",
+        "bucket",
+        n.cast("long").alias("n"),
+        F.sum(x).over(w).cast("long").alias("sx"),
+        F.sum(y).over(w).cast("long").alias("sy"),
+        F.sum(x * x).over(w).cast("long").alias("sxx"),
+        F.sum(y * y).over(w).cast("long").alias("syy"),
+        F.sum(x * y).over(w).cast("long").alias("sxy"),
+    ).where(F.col("n") >= min_n)
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return scored.withColumn(
+        "corr",
+        F.when(
+            (vx > 0) & (vy > 0),
+            cov.cast("double")
+            / F.sqrt(vx.cast("double") * vy.cast("double")),
+        ),
+    )
+
+
+def cohort_retention(
+    transcripts: DataFrame,
+    max_offset_days: int | None = None,
+) -> DataFrame:
+    """Cohort retention curve: conversations grouped by their FIRST active
+    day; for each (cohort_day, offset_days) the number of cohort
+    conversations active that many days later. All integers.
+
+    Scale shape: one conv-keyed aggregate for cohorts, one distinct over
+    (conv, day) — both map-side combinable — and a conv-keyed join; the
+    output is |cohort| x |offset| sized, tiny at any corpus scale.
+    """
+    day = F.date_trunc("day", "ts").alias("day")
+    cohorts = transcripts.groupBy("conv_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    active = transcripts.select("conv_id", day).distinct()
+    joined = active.join(cohorts, "conv_id").select(
+        "cohort_day",
+        F.datediff("day", "cohort_day").cast("long").alias("offset_days"),
+        "conv_id",
+    )
+    if max_offset_days is not None:
+        joined = joined.where(F.col("offset_days") <= max_offset_days)
+    return joined.groupBy("cohort_day", "offset_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs")
+    )

@@ -1290,6 +1290,29 @@ def q_role_mix_archive(spark, sf_dir):
     return out.select("conv_id", "role", "ts_ns", "v0", "v1")
 
 
+def q_rolling_corr_1h(spark, sf_dir):
+    """Rolling Pearson correlation between the turns and token-volume 1h
+    series of each conversation (24 most recent observed buckets): exact
+    int64 cross-moments; corr itself is three IEEE steps (multiply, sqrt,
+    divide) over exact ints in pinned order, so even the float
+    bit-compares. FULL oracle in the pytest mirror."""
+    from tmframe_spark.ops.stats import rolling_corr
+
+    return rolling_corr(
+        rollup(_t(spark, sf_dir), "1h"), "turns", "token_volume", window=24, min_n=12
+    )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention curve: conversations bucketed by first active day;
+    per (cohort_day, offset_days) the count of cohort conversations active
+    that many days later. All integers. FULL oracle in the pytest
+    mirror."""
+    from tmframe_spark.ops.stats import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir))
+
+
 def q_doc_novelty(spark, sf_dir):
     """IDF-weighted shingle novelty per document: every 3-word shingle
     instance weighted by floor(log2 N) - floor(log2 df) — exact integers
@@ -1517,6 +1540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dup_span_stats: FULL oracle in the pytest mirror (identical md5
         # span hashing in DuckDB).
         "dup_span_stats": q_dup_span_stats,
+        # rolling_corr_1h / cohort_retention: FULL oracles in the pytest
+        # mirror (exact integer cross-moments; pinned-order IEEE finish).
+        "rolling_corr_1h": q_rolling_corr_1h,
+        "cohort_retention": q_cohort_retention,
         # doc_novelty: FULL oracle in the pytest mirror (bin()-length
         # integer IDF weights over identical md5 shingles).
         "doc_novelty": q_doc_novelty,
@@ -2522,6 +2549,46 @@ FROM (SELECT doc_id,
              CAST(('0x' || substr(md5('13' || chr(31)
                 || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
       FROM documents)
+""",
+        # rolling_corr_1h: raw (observed-bucket) 1h tier, ROWS frame of
+        # the 24 most recent buckets; all moments CAST to BIGINT before
+        # multiplying (DuckDB window SUM is HUGEINT); corr = the same
+        # pinned IEEE order (cast cov, cast vx * cast vy, sqrt, divide).
+        "rolling_corr_1h": f"""
+WITH {_T_CTE},
+m AS (SELECT conv_id, date_trunc('hour', ts) AS bucket,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(length(text)) AS BIGINT) AS y
+      FROM transcripts GROUP BY 1, 2),
+sc AS (SELECT conv_id, bucket,
+              CAST(count(*) OVER w AS BIGINT) AS n,
+              CAST(sum(x) OVER w AS BIGINT) AS sx,
+              CAST(sum(y) OVER w AS BIGINT) AS sy,
+              CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+              CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+              CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+       FROM m
+       WINDOW w AS (PARTITION BY conv_id ORDER BY bucket
+                    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+SELECT conv_id, bucket, n, sx, sy, sxx, syy, sxy,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+       END AS corr
+FROM sc WHERE n >= 12
+""",
+        # cohort_retention: min-day cohorts, distinct active (conv, day),
+        # datediff offsets — all integers.
+        "cohort_retention": f"""
+WITH {_T_CTE},
+c AS (SELECT conv_id, min(date_trunc('day', ts)) AS cohort_day
+      FROM transcripts GROUP BY conv_id),
+a AS (SELECT DISTINCT conv_id, date_trunc('day', ts) AS day FROM transcripts)
+SELECT c.cohort_day, CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS offset_days,
+       count(*) AS n_convs
+FROM a JOIN c USING (conv_id)
+GROUP BY c.cohort_day, date_diff('day', c.cohort_day, a.day)
 """,
         # doc_novelty: identical md5 3-word shingles (short docs: whole
         # token list as one shingle); weight = length(bin(N)) -
