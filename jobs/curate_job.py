@@ -3,7 +3,8 @@
         [--min-tokens 8] [--min-quality 0.3] [--max-top2-frac 0.2] \\
         [--langs en,fr] [--benchmark <parquet> [--contamination-threshold 0.05]] \\
         [--dedup minhash|exact|off] [--threshold 0.7] \\
-        [--index <dir> [--update-index]] [--redact] \\
+        [--index <dir> [--update-index]] \\
+        [--remove-spans W [--span-min-docs 2]] [--redact] \\
         [--mix en:5,fr:1 [--mix-total N] [--mix-upsample]] \\
         [--pack-budget 2048 [--pack-out <dir>]]
 
@@ -23,13 +24,18 @@ contract):
    components (text/dedup) or, with --index, INCREMENTAL probe against a
    persisted corpus index (text/incremental) with optional append of the
    survivors (--update-index) — the continuous-ingestion form.
-5. REDACT: PII scrub (ordered regexp_replace chain; text is REPLACED by
+5. SPAN REMOVAL: cross-doc duplicated W-token spans cut at token level
+   (text/dedup.remove_duplicate_spans — the Lee et al. removal half;
+   document-level dedup above cannot catch shared boilerplate inside
+   otherwise-distinct docs). Text is REPLACED by the cleaned NORMALIZED
+   form (lowercased, single-spaced) with n_removed kept as metadata.
+6. REDACT: PII scrub (ordered regexp_replace chain; text is REPLACED by
    its redacted form, pii_hits kept as metadata).
-6. MIXTURE: resample to integer group weights (ops/sample.mixture_sample
+7. MIXTURE: resample to integer group weights (ops/sample.mixture_sample
    over --mix-col — the stage-2 pred_lang by default, or any
    domain/source column; exact integer plan, optional epoch-style
    upsampling).
-7. PACK: greedy fixed-token-budget sequence packing sidecar
+8. PACK: greedy fixed-token-budget sequence packing sidecar
    (text/packing.pack_documents) to --pack-out.
 
 Every stage boundary is an eager localCheckpoint (the repo rule: lineage
@@ -77,16 +83,22 @@ def main(argv=None) -> int:
                         "MinHash index instead of whole-corpus pairing")
     p.add_argument("--update-index", action="store_true",
                    help="append survivors to --index after the probe")
-    # stage 5: PII
+    # stage 5: span removal
+    p.add_argument("--remove-spans", type=int, default=None, metavar="W",
+                   help="cut cross-doc duplicated W-token spans, keeping "
+                        "each span's canonical occurrence; text is REPLACED "
+                        "by the cleaned normalized form")
+    p.add_argument("--span-min-docs", type=int, default=2)
+    # stage 6: PII
     p.add_argument("--redact", action="store_true")
-    # stage 6: mixture
+    # stage 7: mixture
     p.add_argument("--mix", default=None, help="group:part list, e.g. en:5,fr:1")
     p.add_argument("--mix-col", default="pred_lang",
                    help="group column to mix on (default the stage-2 "
                         "pred_lang; any column works, e.g. a source/domain)")
     p.add_argument("--mix-total", type=int, default=None)
     p.add_argument("--mix-upsample", action="store_true")
-    # stage 7: packing
+    # stage 8: packing
     p.add_argument("--pack-budget", type=int, default=None)
     p.add_argument("--pack-out", default=None)
     args = p.parse_args(argv)
@@ -201,7 +213,30 @@ def main(argv=None) -> int:
                           "docs_out": kept, "docs_dropped": n - kept}))
         n = kept
 
-    # ---- 5: PII redaction ----------------------------------------------
+    # ---- 5: span removal ------------------------------------------------
+    if args.remove_spans is not None:
+        from tmframe_spark.text.dedup import remove_duplicate_spans
+
+        cleaned = remove_duplicate_spans(
+            docs, args.id_col, args.text_col,
+            w=args.remove_spans, min_docs=args.span_min_docs,
+        )
+        docs = (
+            docs.drop(args.text_col)
+            .join(cleaned.withColumnRenamed("clean_text", args.text_col),
+                  args.id_col)
+            .localCheckpoint(eager=True)
+        )
+        agg = docs.agg(
+            F.sum("n_removed").alias("tr"),
+            F.sum((F.col("n_removed") > 0).cast("long")).alias("da"),
+        ).collect()[0]
+        print(json.dumps({"stage": "span_removal", "w": args.remove_spans,
+                          "min_docs": args.span_min_docs,
+                          "tokens_removed": int(agg["tr"] or 0),
+                          "docs_affected": int(agg["da"] or 0)}))
+
+    # ---- 6: PII redaction ----------------------------------------------
     if args.redact:
         from tmframe_spark.text.decontaminate import with_redacted_text
 
@@ -214,7 +249,7 @@ def main(argv=None) -> int:
         hits = docs.agg(F.sum("pii_hits")).collect()[0][0] or 0
         print(json.dumps({"stage": "redact", "pii_hits_total": int(hits)}))
 
-    # ---- 6: mixture -----------------------------------------------------
+    # ---- 7: mixture -----------------------------------------------------
     if args.mix:
         from tmframe_spark.ops.sample import mixture_sample
 
@@ -230,7 +265,7 @@ def main(argv=None) -> int:
     print(json.dumps({"stage": "write", "output": args.output,
                       "rows": docs.count()}))
 
-    # ---- 7: sequence packing -------------------------------------------
+    # ---- 8: sequence packing -------------------------------------------
     if args.pack_budget is not None:
         from tmframe_spark.text.packing import bin_stats, pack_documents
 

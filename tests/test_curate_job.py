@@ -122,3 +122,37 @@ def test_curate_incremental_index_mode(spark, capsys):
     ], capsys)
     assert rc2 == 0
     assert stages2["dedup"]["docs_out"] == 0
+
+
+def test_curate_span_removal_stage(spark, capsys):
+    """--remove-spans: planted cross-doc boilerplate is cut at token level
+    (canonical occurrence survives), lineage reports the exact totals, and
+    the written corpus carries the cleaned text + n_removed metadata."""
+    import tempfile
+
+    boiler = ("this license header is shared across documents exactly "
+              "verbatim in every mirror of the corpus")
+    rows = [
+        (1, boiler + " plus unique tail alpha beta gamma delta epsilon zeta"),
+        (2, "totally different unique leading content here " + boiler),
+        (3, "another fully unique document with no shared spans at all"),
+    ]
+    src = tempfile.mkdtemp(prefix="curate_span_src_")
+    out = tempfile.mkdtemp(prefix="curate_span_out_")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    rc, stages, _ = _run([
+        "--input", src, "--output", out,
+        "--dedup", "off", "--remove-spans", "8",
+    ], capsys)
+    assert rc == 0
+    sr = stages["span_removal"]
+    assert sr["w"] == 8 and sr["docs_affected"] == 1 and sr["tokens_removed"] > 0
+
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[1]["text"].startswith("this license header is shared")
+    assert "license" not in got[2]["text"] and got[2]["n_removed"] > 0
+    assert got[3]["n_removed"] == 0
+    assert sr["tokens_removed"] == sum(r["n_removed"] for r in got.values())
