@@ -103,3 +103,65 @@ def test_stats_empty_inputs(spark):
         [], "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
     )
     assert cohort_retention(t).count() == 0
+
+
+def _ref_mase(values, season):
+    errs = [abs(values[i] - values[i - season]) for i in range(season, len(values))]
+    naive = [abs(values[i] - values[i - 1]) for i in range(1, len(values))]
+    nf, es = len(errs), sum(errs)
+    nn, ns = len(naive), sum(naive)
+    mase = float(es * nn) / float(nf * ns) if nf > 0 and ns > 0 else None
+    return nf, es, nn, ns, mase
+
+
+def _mase_row(spark, values, season=4, conv="c0"):
+    from tmframe_spark.ops.stats import seasonal_naive_backtest
+
+    rows = [
+        (conv, T0 + datetime.timedelta(hours=i), int(v))
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, bucket timestamp, token_volume long")
+    return seasonal_naive_backtest(df, "token_volume", season=season).collect()[0]
+
+
+def test_mase_matches_reference_bitwise(spark):
+    values = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2, 3, 8, 4]
+    r = _mase_row(spark, values, season=4)
+    nf, es, nn, ns, mase = _ref_mase(values, 4)
+    assert (
+        r["n_forecasts"], r["err_abs_sum"], r["n_naive"], r["naive_abs_sum"]
+    ) == (nf, es, nn, ns)
+    assert r["mase"] == mase  # one division of exact ints: bit-equal
+
+
+def test_mase_perfectly_seasonal_series_is_zero(spark):
+    values = [10, 2, 7, 5] * 5  # exact period-4 repetition
+    r = _mase_row(spark, values, season=4)
+    assert r["err_abs_sum"] == 0 and r["mase"] == 0.0
+
+
+def test_mase_constant_series_is_null(spark):
+    r = _mase_row(spark, [7] * 12, season=4)
+    assert r["naive_abs_sum"] == 0 and r["mase"] is None
+
+
+def test_mase_short_series_no_forecasts(spark):
+    r = _mase_row(spark, [1, 5, 2], season=4)
+    assert r["n_forecasts"] == 0 and r["mase"] is None
+    assert r["n_naive"] == 2
+
+
+def test_mase_partition_isolated_per_conv(spark):
+    from tmframe_spark.ops.stats import seasonal_naive_backtest
+
+    a = [(f"c{j}", T0 + datetime.timedelta(hours=i), int(i * (j + 1)))
+         for j in range(2) for i in range(10)]
+    df = spark.createDataFrame(a, "conv_id string, bucket timestamp, token_volume long")
+    out = {r["conv_id"]: r for r in
+           seasonal_naive_backtest(df, "token_volume", season=4).collect()}
+    for j in range(2):
+        nf, es, nn, ns, mase = _ref_mase([i * (j + 1) for i in range(10)], 4)
+        r = out[f"c{j}"]
+        assert (r["n_forecasts"], r["err_abs_sum"], r["n_naive"],
+                r["naive_abs_sum"], r["mase"]) == (nf, es, nn, ns, mase)

@@ -96,3 +96,58 @@ def cohort_retention(
     return joined.groupBy("cohort_day", "offset_days").agg(
         F.count(F.lit(1)).cast("long").alias("n_convs")
     )
+
+
+def seasonal_naive_backtest(
+    rolled: DataFrame,
+    value_col: str = "token_volume",
+    season: int = 24,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest with an exact-integer MASE
+    (Hyndman & Koehler 2006) per conversation, over a GAP-FILLED tier —
+    the dense spine makes ``lag(season)`` exactly "this bucket one season
+    ago".
+
+    Forecast f_t = v_{t-season}; scale = the in-sample one-step naive
+    error. Everything up to the last step is exact int64:
+
+        mase = (err_abs_sum * n_naive) / (n_forecasts * naive_abs_sum)
+
+    — ONE IEEE division of two exact integer products, so the float
+    bit-compares across engines (the rolling_corr / lttb discipline).
+    NULL when no forecastable rows or the series is constant
+    (naive_abs_sum = 0; mase undefined). mase < 1 means the seasonal
+    forecast beats the naive one.
+
+    Scale shape: one conv-keyed shuffle; both lags ride the same window
+    sort; the output is one row per conversation. Overflow bound:
+    err_abs_sum * n_naive <= n_buckets^2 * V must stay under 2^63 —
+    ~3e9 hourly bucket-years at V=1e6 chars/hour.
+    """
+    w = Window.partitionBy("conv_id").orderBy("bucket")
+    v = F.col(value_col).cast("long")
+    f = F.lag(v, season).over(w)
+    prev = F.lag(v, 1).over(w)
+    per_row = rolled.select(
+        "conv_id",
+        F.when(f.isNotNull(), F.abs(v - f)).alias("_e"),
+        F.when(prev.isNotNull(), F.abs(v - prev)).alias("_n"),
+    )
+    agg = per_row.groupBy("conv_id").agg(
+        F.count("_e").alias("n_forecasts"),
+        F.coalesce(F.sum("_e"), F.lit(0)).cast("long").alias("err_abs_sum"),
+        F.count("_n").alias("n_naive"),
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("naive_abs_sum"),
+    )
+    return agg.select(
+        "conv_id",
+        "n_forecasts",
+        "err_abs_sum",
+        "n_naive",
+        "naive_abs_sum",
+        F.when(
+            (F.col("n_forecasts") > 0) & (F.col("naive_abs_sum") > 0),
+            (F.col("err_abs_sum") * F.col("n_naive")).cast("double")
+            / (F.col("n_forecasts") * F.col("naive_abs_sum")).cast("double"),
+        ).alias("mase"),
+    )

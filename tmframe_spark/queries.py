@@ -87,6 +87,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("documents")
 
 
+#: planted lm_quality docs: zzq* tokens never occur in the synthetic corpus,
+#: the other words are template vocabulary present at every sf — so
+#: (zzq,known)=backoff, (known,zzq)=oov, (zzq,zzq)=oov positions are
+#: guaranteed, keeping all three Stupid-Backoff classes non-vacuous.
+_LM_PLANTED = [
+    (9_000_000, "zzq1 scan zzq2 column zzq3"),
+    (9_000_010, "window zzq4 sort zzq5 merge"),
+    (9_000_020, "zzq6 zzq7 zzq6"),
+]
+
+
 # --------------------------------------------------------------------------
 # rollup tiers (A1 + cascade; SURVEY §2.5)
 # --------------------------------------------------------------------------
@@ -991,6 +1002,47 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(pq_encode(emb, books), books, qv, k=10, exclude_id=0)
 
 
+def q_ivf_sharded_cells(spark, sf_dir):
+    """Sharded-centroid IVF assignment (vec/similarity.ivf_shard_centroids
+    + ivf_assign_sharded — the BUILT successor past the 1 GiB E-step
+    broadcast cap, round-4 verdict #8): the embeddings' own 16-cell
+    quantizer is itself clustered into 4 coarse groups (two-level
+    quantizer), the fine table written grp-partitioned, and every vector
+    assigned by 2-probe per-task shard loads + a min_by reduce — no stage
+    ever holds the full centroid table. Returns cell occupancy. Rows-only
+    (iterative k-means + task-side shard IO); tests/test_ivf_sharded.py
+    pins probe-all == broadcast assignment bit-for-bit, partitioning
+    independence, and the per-shard cap."""
+    import hashlib
+    import os
+
+    from tmframe_spark.vec.similarity import (
+        ivf_assign_sharded,
+        ivf_shard_centroids,
+        ivf_train,
+    )
+
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    cents = ivf_train(emb, nlist=16, iters=2)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    path = os.path.join(
+        os.getcwd(),
+        "spark-warehouse",
+        "ivf_shard_" + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10],
+    )
+    ivf_shard_centroids(cdf, path, n_coarse=4)
+    return (
+        ivf_assign_sharded(emb, path, p_probe=2)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("cell")
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (vec/semdedup.py): IVF-cell-scoped
     exact-cosine pairs folded into components, lowest-id member kept.
@@ -1313,6 +1365,20 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(_t(spark, sf_dir))
 
 
+def q_seasonal_mase_1h(spark, sf_dir):
+    """Seasonal-naive forecast backtest per conversation over the
+    gap-filled 1h token-volume tier (subset convs): forecast = the value
+    24 buckets ago, scored as an exact-integer MASE — error and naive
+    sums are int64, mase is ONE IEEE division of two exact integer
+    products, so even the float bit-compares. FULL oracle in the pytest
+    mirror."""
+    from tmframe_spark.ops.stats import seasonal_naive_backtest
+
+    t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
+    g = gap_fill(rollup(t, "1h"), "1h")
+    return seasonal_naive_backtest(g, "token_volume", season=24)
+
+
 def q_doc_novelty(spark, sf_dir):
     """IDF-weighted shingle novelty per document: every 3-word shingle
     instance weighted by floor(log2 N) - floor(log2 df) — exact integers
@@ -1322,6 +1388,29 @@ def q_doc_novelty(spark, sf_dir):
     from tmframe_spark.text.analysis import shingle_idf_stats
 
     return shingle_idf_stats(_docs(spark, sf_dir), "doc_id", k=3)
+
+
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style bigram-LM quality classes per document (text/lm.py):
+    Stupid-Backoff position classes — full-bigram hits, unigram backoffs,
+    OOVs — scored against a model trained on the doc_id %% 10 != 0 REFERENCE
+    SLICE. The synthetic corpus shares one template vocabulary, so held-out
+    docs alone would leave the backoff/oov classes vacuously zero; three
+    PLANTED docs (zzq* tokens absent from the corpus, interleaved with
+    known template words) are unioned into the SCORED set only, making all
+    three classes provably non-vacuous at every sf. Integer columns only:
+    the Q32 log-score itself is pinned in tests/test_lm.py (ln is not
+    correctly rounded cross-library — the documented boundary of the
+    pinned-IEEE oracle idiom). FULL oracle in the pytest mirror."""
+    from tmframe_spark.text.lm import lm_score, lm_train
+
+    docs = _docs(spark, sf_dir)
+    planted = spark.createDataFrame(_LM_PLANTED, "doc_id long, text string")
+    model = lm_train(docs.where(F.col("doc_id") % 10 != 0))
+    scored = docs.select("doc_id", "text").unionByName(planted)
+    return lm_score(scored, model).select(
+        "doc_id", "n_scored", "hits", "backoffs", "oovs"
+    )
 
 
 def q_bpe_subword_stats(spark, sf_dir):
@@ -1501,6 +1590,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        # ivf_sharded_cells: rows-only (k-means + task-side shard IO);
+        # probe-all == broadcast assignment pinned in test_ivf_sharded.
+        "ivf_sharded_cells": q_ivf_sharded_cells,
         "semantic_dedup": q_semantic_dedup,
         "incremental_dedup": q_incremental_dedup,
         # mixture_sample: FULL oracle in the pytest mirror (HUGEINT
@@ -1547,6 +1639,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_novelty: FULL oracle in the pytest mirror (bin()-length
         # integer IDF weights over identical md5 shingles).
         "doc_novelty": q_doc_novelty,
+        # lm_quality: FULL oracle in the pytest mirror (bigram/unigram
+        # count CTEs + the same backoff class CASE; integer columns only).
+        "lm_quality": q_lm_quality,
         # bpe_subword_stats: rows-only by design (iterative trainer);
         # bit-equal to the classic sequential BPE reference in test_bpe.
         "bpe_subword_stats": q_bpe_subword_stats,
@@ -1565,6 +1660,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_1m": q_anomaly_1m,
         "seasonal_anomaly_1h": q_seasonal_anomaly_1h,
         "level_shift_1h": q_level_shift_1h,
+        # seasonal_mase_1h: FULL oracle in the pytest mirror (same
+        # gap-filled spine + lag windows; mase = one division of exact
+        # integer products).
+        "seasonal_mase_1h": q_seasonal_mase_1h,
     }
 
 
@@ -2614,6 +2713,83 @@ SELECT per.id AS doc_id,
          / CAST(sum(c) AS BIGINT) AS mean_idf
 FROM per JOIN dfreq USING (h), nn
 GROUP BY per.id
+""",
+        # seasonal_mase_1h: same gap-filled 1h token-volume spine as the
+        # anomaly oracles; lag(24)/lag(1) forecasts; mase = one IEEE
+        # division of exact integer products (bit-comparable).
+        "seasonal_mase_1h": f"""
+WITH {_T_CTE},
+t AS (SELECT * FROM transcripts WHERE conv_id IN {_SUBSET_SQL}),
+m AS (SELECT conv_id, date_trunc('hour', ts) AS bucket,
+             CAST(sum(length(text)) AS BIGINT) AS c
+      FROM t GROUP BY 1, 2),
+b AS (SELECT conv_id, min(bucket) AS mn, max(bucket) AS mx FROM m GROUP BY conv_id),
+sp AS (SELECT conv_id, unnest(generate_series(mn, mx, interval 1 hour)) AS bucket
+       FROM b),
+g AS (SELECT sp.conv_id, sp.bucket, CAST(coalesce(m.c, 0) AS BIGINT) AS v
+      FROM sp LEFT JOIN m ON sp.conv_id = m.conv_id AND sp.bucket = m.bucket),
+l AS (SELECT conv_id, v, lag(v, 24) OVER wp AS f, lag(v, 1) OVER wp AS pv
+      FROM g WINDOW wp AS (PARTITION BY conv_id ORDER BY bucket)),
+a AS (SELECT conv_id,
+             CAST(count(f) AS BIGINT) AS n_forecasts,
+             CAST(coalesce(sum(CASE WHEN f IS NOT NULL THEN abs(v - f) END), 0)
+                  AS BIGINT) AS err_abs_sum,
+             CAST(count(pv) AS BIGINT) AS n_naive,
+             CAST(coalesce(sum(CASE WHEN pv IS NOT NULL THEN abs(v - pv) END), 0)
+                  AS BIGINT) AS naive_abs_sum
+      FROM l GROUP BY conv_id)
+SELECT conv_id, n_forecasts, err_abs_sum, n_naive, naive_abs_sum,
+       CASE WHEN n_forecasts > 0 AND naive_abs_sum > 0
+            THEN CAST(err_abs_sum * n_naive AS DOUBLE)
+                 / CAST(n_forecasts * naive_abs_sum AS DOUBLE)
+       END AS mase
+FROM a
+""",
+        # lm_quality: bigram/unigram counts over the doc_id % 10 != 0
+        # reference slice, identical "w1 w2" gram keys, and the same
+        # three-way Stupid-Backoff position-class CASE; docs with <2
+        # tokens coalesce to all-zero rows on both engines. The scored set
+        # includes the same three _LM_PLANTED docs (restated literally) so
+        # backoff/oov are non-vacuous on the shared-vocabulary corpus.
+        "lm_quality": r"""
+WITH scored_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    (9000000, 'zzq1 scan zzq2 column zzq3'),
+    (9000010, 'window zzq4 sort zzq5 merge'),
+    (9000020, 'zzq6 zzq7 zzq6')) AS p(doc_id, text)
+),
+toks AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM scored_docs
+),
+pos AS (
+  SELECT id, ws[i] AS ctx, ws[i+1] AS w, ws[i] || ' ' || ws[i+1] AS gram
+  FROM (SELECT id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM toks WHERE len(ws) >= 2)
+),
+uni AS (SELECT w, count(*) AS c1
+        FROM (SELECT unnest(ws) AS w FROM toks WHERE id % 10 <> 0)
+        GROUP BY w),
+big AS (SELECT gram, count(*) AS c2 FROM pos WHERE id % 10 <> 0 GROUP BY gram),
+sc AS (
+  SELECT p.id,
+         count(*) AS n_scored,
+         sum(CASE WHEN b.c2 IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+         sum(CASE WHEN b.c2 IS NULL AND u.c1 IS NOT NULL THEN 1 ELSE 0 END)
+           AS backoffs,
+         sum(CASE WHEN b.c2 IS NULL AND u.c1 IS NULL THEN 1 ELSE 0 END)
+           AS oovs
+  FROM pos p LEFT JOIN big b USING (gram) LEFT JOIN uni u ON u.w = p.w
+  GROUP BY p.id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_scored, 0) AS BIGINT) AS n_scored,
+       CAST(coalesce(s.hits, 0) AS BIGINT) AS hits,
+       CAST(coalesce(s.backoffs, 0) AS BIGINT) AS backoffs,
+       CAST(coalesce(s.oovs, 0) AS BIGINT) AS oovs
+FROM scored_docs d LEFT JOIN sc s ON s.id = d.doc_id
 """,
         # heavy_hitters_exactk: at k=64 >> tool cardinality the MG cascade
         # never decrements, so the day sketch equals the exact GROUP BY

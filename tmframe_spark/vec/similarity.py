@@ -147,7 +147,8 @@ def ivf_train(
 #: broadcast payload of the E-step (float64), so the ceiling is broadcast
 #: size, not per-iteration collect volume — 2^27 elements = 1 GiB, a 128x
 #: raise over the literal-expression trainer's cap. Past this, centroids
-#: must shard (assignment via candidate-cell join), which is out of scope.
+#: must shard: ivf_shard_centroids + ivf_assign_sharded (the built
+#: successor — per-task shard loads, never a full broadcast).
 IVF_BROADCAST_CELL_CAP = 1 << 27
 
 
@@ -271,7 +272,7 @@ def ivf_train_distributed(
             f"ivf_train_distributed broadcasts nlist*dim = "
             f"{nlist * max(dim, 1)} float64 centroids per iteration "
             f"(cap {IVF_BROADCAST_CELL_CAP}); shard the centroid table at "
-            f"this scale"
+            f"this scale (ivf_shard_centroids + ivf_assign_sharded)"
         )
     init = embeddings.orderBy(id_col).limit(nlist).select(vec_col).collect()
     C = np.array([[float(x) for x in r[vec_col]] for r in init], dtype=np.float64)
@@ -365,7 +366,8 @@ def ivf_assign_broadcast(
     if C.size > IVF_BROADCAST_CELL_CAP:
         raise ValueError(
             f"centroid matrix has {C.size} elements > broadcast cap "
-            f"{IVF_BROADCAST_CELL_CAP}"
+            f"{IVF_BROADCAST_CELL_CAP}; use ivf_shard_centroids + "
+            f"ivf_assign_sharded"
         )
     bc = spark.sparkContext.broadcast(C)
     out_fields = StructType(list(embeddings.schema.fields)).add("cell", IntegerType())
@@ -781,4 +783,217 @@ def lsh_ann_topk(
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sharded-centroid assignment: the built successor past
+# IVF_BROADCAST_CELL_CAP (round-4 verdict #8's design note, now code).
+# Two-level quantizer: the centroids themselves are clustered into coarse
+# groups with the in-cap trainer; a vector is assigned by probing its
+# p nearest coarse groups and arg-minning against each group's centroid
+# SHARD (loaded executor-side from the written, grp-partitioned table —
+# never broadcast, never all at once), then a min-reduce by vector id picks
+# the winner across probes. Reference scale analog: archiver two-level
+# day/minute seek (archiver/filemgr.go:94-104) — prune coarse, scan fine.
+# ---------------------------------------------------------------------------
+
+#: task-side shard cache: at most this many (index_path, grp) shards stay
+#: loaded per python worker — bounds worker memory at
+#: IVF_SHARD_CACHE_SHARDS x shard cap even when AQE coalesces many groups
+#: into one task. sortWithinPartitions("grp") upstream keeps each group's
+#: rows contiguous so the cache almost never thrashes.
+IVF_SHARD_CACHE_SHARDS = 4
+
+_shard_cache: "dict[tuple[str, int], tuple]" = {}
+
+
+def _load_shard(index_path: str, grp: int):
+    """Load (cells int64[], Cm float64[n,dim]) for one coarse group from the
+    written index, through a tiny per-worker LRU. Rows are sorted by cell id
+    so argmin's first-occurrence tie rule means ties go to the LOWEST cell,
+    matching ivf_assign / ivf_assign_broadcast."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    key = (index_path, int(grp))
+    hit = _shard_cache.pop(key, None)
+    if hit is None:
+        tbl = pq.read_table(f"{index_path}/cells/grp={int(grp)}")
+        cells = np.asarray(tbl.column("cell").to_numpy(zero_copy_only=False))
+        col = tbl.column("centroid").combine_chunks()
+        # fixed-dim list column: one flat copy + reshape, no per-row python
+        Cm = (
+            col.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(col), -1)
+        )
+        order = np.argsort(cells, kind="stable")
+        hit = (cells[order], Cm[order])
+    _shard_cache[key] = hit  # re-insert = most-recently-used
+    while len(_shard_cache) > IVF_SHARD_CACHE_SHARDS:
+        _shard_cache.pop(next(iter(_shard_cache)))
+    return hit
+
+
+def ivf_shard_centroids(
+    centroids: DataFrame,
+    path: str,
+    n_coarse: int = 0,
+    coarse_iters: int = 2,
+) -> list[list[float]]:
+    """Build the SHARDED centroid index for assignment past the broadcast
+    cap. Input: the fine centroid table ``(cell int, centroid
+    array<double>)`` (e.g. ``ivf_mstep`` output or any quantizer). Writes:
+
+    - ``path/coarse``: the tiny coarse quantizer ``(grp, centroid)`` —
+      ``ceil(sqrt(nlist))`` groups by default, trained with the existing
+      in-cap ``ivf_train`` over the centroid ROWS (a two-level quantizer);
+    - ``path/cells``: the fine table partitioned by ``grp`` — each
+      directory is one shard, loaded per-task at assignment time.
+
+    Fails loudly if any single shard would exceed ``IVF_BROADCAST_CELL_CAP``
+    elements (the per-task load bound — the same honest-boundary style as
+    the caps it supersedes). Returns the coarse centroid matrix."""
+    import math
+
+    nlist = centroids.count()
+    if nlist == 0:
+        raise ValueError("ivf_shard_centroids: empty centroid table")
+    dim = len(centroids.select("centroid").limit(1).collect()[0][0])
+    if n_coarse <= 0:
+        n_coarse = max(1, math.isqrt(max(nlist - 1, 0)) + 1)
+    coarse = ivf_train(
+        centroids, nlist=min(n_coarse, nlist), iters=coarse_iters,
+        id_col="cell", vec_col="centroid",
+    )
+    fine = centroids.select(
+        F.col("cell").alias("_fc"), F.col("centroid").alias("_fv")
+    )
+    assigned = (
+        ivf_assign_broadcast(fine, coarse, vec_col="_fv")
+        .select(
+            F.col("cell").alias("grp"),
+            F.col("_fc").alias("cell"),
+            F.col("_fv").alias("centroid"),
+        )
+    )
+    assigned = assigned.localCheckpoint(eager=True)
+    biggest = assigned.groupBy("grp").count().agg(F.max("count")).collect()[0][0]
+    if biggest * dim > IVF_BROADCAST_CELL_CAP:
+        raise ValueError(
+            f"ivf_shard_centroids: hottest coarse group holds {biggest} "
+            f"centroids x dim {dim} > per-shard cap {IVF_BROADCAST_CELL_CAP}; "
+            f"raise n_coarse (currently {n_coarse})"
+        )
+    assigned.write.mode("overwrite").partitionBy("grp").parquet(f"{path}/cells")
+    spark = centroids.sparkSession
+    spark.createDataFrame(
+        [(g, c) for g, c in enumerate(coarse)], "grp int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
+    return coarse
+
+
+def ivf_assign_sharded(
+    embeddings: DataFrame,
+    index_path: str,
+    p_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment against a SHARDED centroid index — the
+    successor to ``ivf_assign_broadcast`` past ``IVF_BROADCAST_CELL_CAP``
+    (the COVERAGE.md design note, built). No stage ever holds the full
+    centroid table:
+
+    1. probe: each vector gets its ``p_probe`` nearest coarse groups from
+       the broadcast coarse matrix (tiny — ~sqrt(nlist) x dim) — one
+       matmul-argsort per Arrow batch, rows duplicated p_probe times;
+    2. shard argmin: rows shuffle ONCE by ``grp`` (+ a local sort so each
+       group's rows are contiguous); each task loads only the shards of the
+       groups it sees (<= cap elements each, tiny worker LRU) and argmins
+       ``-2 X C^T + |C|^2`` exactly like the broadcast form, ties to the
+       lowest cell id;
+    3. min-reduce by ``id_col`` across the p_probe candidates (map-side
+       combined ``min_by``) — the winner's distance never compares across
+       engines, only across shards of the same run.
+
+    ``p_probe >= n_coarse`` probes every shard => assignments equal the
+    broadcast form's (pinned by test); smaller p trades recall exactly like
+    the serving path's nprobe. Requires the index on a filesystem every
+    executor can read — the same contract as every written-index reader."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, IntegerType, StructType
+
+    spark = embeddings.sparkSession
+    coarse_rows = spark.read.parquet(f"{index_path}/coarse").orderBy("grp").collect()
+    G = np.array([r["centroid"] for r in coarse_rows], dtype=np.float64)
+    p = max(1, min(p_probe, G.shape[0]))
+    bc = spark.sparkContext.broadcast(G)
+
+    probe_fields = StructType(list(embeddings.schema.fields)).add("grp", IntegerType())
+
+    def probe(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        Gm = bc.value
+        neg2gt = -2.0 * Gm.T
+        g2 = (Gm * Gm).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64)
+            d = X @ neg2gt + g2
+            near = _np.argsort(d, axis=1, kind="stable")[:, :p]
+            rep = pdf.loc[pdf.index.repeat(p)].reset_index(drop=True)
+            rep["grp"] = near.ravel().astype("int32")
+            yield rep
+
+    probed = embeddings.mapInPandas(probe, probe_fields)
+
+    score_fields = (
+        StructType(list(embeddings.schema.fields))
+        .add("cell", IntegerType())
+        .add("_d", DoubleType())
+    )
+
+    def shard_argmin(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_cell = _np.empty(len(pdf), dtype=_np.int64)
+            out_d = _np.empty(len(pdf), dtype=_np.float64)
+            grps = pdf["grp"].to_numpy()
+            for g in _np.unique(grps):
+                cells, Cm = _load_shard(index_path, int(g))
+                mask = grps == g
+                X = _np.stack(pdf.loc[mask, vec_col].to_numpy()).astype(_np.float64)
+                d = X @ (-2.0 * Cm.T) + (Cm * Cm).sum(axis=1)
+                j = _np.argmin(d, axis=1)
+                out_cell[mask] = cells[j]
+                out_d[mask] = d[_np.arange(len(j)), j]
+            pdf = pdf.drop(columns=["grp"])
+            pdf["cell"] = out_cell.astype("int32")
+            pdf["_d"] = out_d
+            yield pdf
+
+    scored = (
+        probed.repartition("grp")
+        .sortWithinPartitions("grp")
+        .mapInPandas(shard_argmin, score_fields)
+    )
+    orig_cols = [f.name for f in embeddings.schema.fields]
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct(*[c for c in orig_cols if c != id_col], "cell"),
+                F.struct("_d", "cell"),
+            ).alias("_w")
+        )
+        .select(id_col, "_w.*")
     )
