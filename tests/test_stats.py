@@ -165,3 +165,44 @@ def test_mase_partition_isolated_per_conv(spark):
         r = out[f"c{j}"]
         assert (r["n_forecasts"], r["err_abs_sum"], r["n_naive"],
                 r["naive_abs_sum"], r["mase"]) == (nf, es, nn, ns, mase)
+
+
+def test_rolling_median_matches_reference(spark):
+    import statistics
+
+    from tmframe_spark.ops.stats import rolling_median
+
+    values = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2, 3, 8, 4, 6]
+    rows = [("c0", T0 + datetime.timedelta(hours=i), int(v))
+            for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "conv_id string, bucket timestamp, token_volume long")
+    out = {r["bucket"]: (r["value"], r["med"], r["abs_dev"])
+           for r in rolling_median(df, "token_volume", window=5).collect()}
+    # full centered frames exist for i in [2, len-3]
+    assert len(out) == len(values) - 4
+    for i in range(2, len(values) - 2):
+        med = statistics.median(values[i - 2 : i + 3])
+        got = out[T0 + datetime.timedelta(hours=i)]
+        assert got == (values[i], med, abs(values[i] - med)), i
+
+
+def test_rolling_median_spike_resistant(spark):
+    from tmframe_spark.ops.stats import rolling_median
+
+    values = [10] * 9
+    values[4] = 10_000  # single spike
+    rows = [("c0", T0 + datetime.timedelta(hours=i), int(v))
+            for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "conv_id string, bucket timestamp, token_volume long")
+    meds = [r["med"] for r in rolling_median(df, "token_volume", window=5).collect()]
+    assert meds == [10] * 5  # the median never follows the spike
+
+
+def test_rolling_median_even_window_rejected(spark):
+    from tmframe_spark.ops.stats import rolling_median
+
+    df = spark.createDataFrame([], "conv_id string, bucket timestamp, token_volume long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="odd"):
+        rolling_median(df, window=4)

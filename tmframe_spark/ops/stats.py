@@ -151,3 +151,51 @@ def seasonal_naive_backtest(
             / (F.col("n_forecasts") * F.col("naive_abs_sum")).cast("double"),
         ).alias("mase"),
     )
+
+
+def rolling_median(
+    rolled: DataFrame,
+    value_col: str = "token_volume",
+    window: int = 25,
+) -> DataFrame:
+    """Centered rolling-median trend (classic ``runmed``) over a tier
+    series, plus the absolute deviation from it — the robust
+    trend/residual split (a median ignores the spike a mean chases).
+
+    ``window`` must be ODD; the frame is the (window-1)/2 buckets on each
+    side and a row is emitted only when the frame is FULL, so the median
+    is always the exact middle order statistic of ``window`` int64 values
+    — no interpolation, no float, bit-stable across engines (DuckDB's
+    quantile_disc picks the identical element).
+
+    Scale shape: one conv-keyed shuffle; the window is codegen but
+    materializes ``window`` values per row (collect_list + array_sort) —
+    O(window) per-row cost, fine for trend windows (tens to low
+    thousands), not a substitute for the histogram tier at huge windows
+    (rollup_histogram re-aggregates; this does not).
+    """
+    if window % 2 == 0 or window < 1:
+        raise ValueError(f"rolling_median window must be odd, got {window}")
+    half = (window - 1) // 2
+    w = Window.partitionBy("conv_id").orderBy("bucket").rowsBetween(-half, half)
+    v = F.col(value_col).cast("long")
+    mid = (window + 1) // 2
+    med = F.element_at(F.array_sort(F.collect_list(v).over(w)), mid)
+    n = F.count(F.lit(1)).over(w)
+    return (
+        rolled.select(
+            "conv_id",
+            "bucket",
+            v.alias("value"),
+            n.alias("_n"),
+            med.alias("med"),
+        )
+        .where(F.col("_n") == window)
+        .select(
+            "conv_id",
+            "bucket",
+            "value",
+            F.col("med").cast("long").alias("med"),
+            F.abs(F.col("value") - F.col("med")).cast("long").alias("abs_dev"),
+        )
+    )

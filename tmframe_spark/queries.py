@@ -1379,6 +1379,20 @@ def q_seasonal_mase_1h(spark, sf_dir):
     return seasonal_naive_backtest(g, "token_volume", season=24)
 
 
+def q_rolling_median_1h(spark, sf_dir):
+    """Centered 25-bucket rolling-median trend + absolute deviation over
+    the gap-filled 1h token-volume tier (subset convs) — the robust
+    runmed trend/residual split, all exact int64 (the median of an odd
+    full window is the middle order statistic, no interpolation). FULL
+    oracle in the pytest mirror (DuckDB quantile_disc picks the identical
+    element)."""
+    from tmframe_spark.ops.stats import rolling_median
+
+    t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
+    g = gap_fill(rollup(t, "1h"), "1h")
+    return rolling_median(g, "token_volume", window=25)
+
+
 def q_doc_novelty(spark, sf_dir):
     """IDF-weighted shingle novelty per document: every 3-word shingle
     instance weighted by floor(log2 N) - floor(log2 df) — exact integers
@@ -1664,6 +1678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gap-filled spine + lag windows; mase = one division of exact
         # integer products).
         "seasonal_mase_1h": q_seasonal_mase_1h,
+        # rolling_median_1h: FULL oracle in the pytest mirror (odd full
+        # window -> identical middle order statistic via quantile_disc).
+        "rolling_median_1h": q_rolling_median_1h,
     }
 
 
@@ -2744,6 +2761,29 @@ SELECT conv_id, n_forecasts, err_abs_sum, n_naive, naive_abs_sum,
                  / CAST(n_forecasts * naive_abs_sum AS DOUBLE)
        END AS mase
 FROM a
+""",
+        # rolling_median_1h: same gap-filled spine; centered 25-row frame;
+        # quantile_disc(0.5) of an odd full window == the middle order
+        # statistic == Spark's element_at(array_sort(...), 13).
+        "rolling_median_1h": f"""
+WITH {_T_CTE},
+t AS (SELECT * FROM transcripts WHERE conv_id IN {_SUBSET_SQL}),
+m AS (SELECT conv_id, date_trunc('hour', ts) AS bucket,
+             CAST(sum(length(text)) AS BIGINT) AS c
+      FROM t GROUP BY 1, 2),
+b AS (SELECT conv_id, min(bucket) AS mn, max(bucket) AS mx FROM m GROUP BY conv_id),
+sp AS (SELECT conv_id, unnest(generate_series(mn, mx, interval 1 hour)) AS bucket
+       FROM b),
+g AS (SELECT sp.conv_id, sp.bucket, CAST(coalesce(m.c, 0) AS BIGINT) AS v
+      FROM sp LEFT JOIN m ON sp.conv_id = m.conv_id AND sp.bucket = m.bucket),
+sc AS (SELECT conv_id, bucket, v AS value,
+              CAST(count(*) OVER wp AS BIGINT) AS n,
+              CAST(quantile_disc(v, 0.5) OVER wp AS BIGINT) AS med
+       FROM g
+       WINDOW wp AS (PARTITION BY conv_id ORDER BY bucket
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING))
+SELECT conv_id, bucket, value, med, abs(value - med) AS abs_dev
+FROM sc WHERE n = 25
 """,
         # lm_quality: bigram/unigram counts over the doc_id % 10 != 0
         # reference slice, identical "w1 w2" gram keys, and the same
