@@ -206,3 +206,61 @@ def test_rolling_median_even_window_rejected(spark):
 
     with _pytest.raises(ValueError, match="odd"):
         rolling_median(df, window=4)
+
+
+def _ref_ewma(values, k=3):
+    out = []
+    s = None
+    for v in values:
+        vq = int(v) << k
+        s = vq if s is None else s + ((vq - s) >> k)
+        out.append(s)
+    return out
+
+
+def test_ewma_matches_reference(spark):
+    from tmframe_spark.ops.stats import ewma
+
+    values = [100, 0, 0, 50, 7, 7, 7, 9000, 0, 0, 0, 3]
+    rows = [("c0", T0 + datetime.timedelta(hours=i), int(v))
+            for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "conv_id string, bucket timestamp, token_volume long")
+    got = [ (r["ewma_q"], r["ewma"])
+            for r in ewma(df, "token_volume", k=3).orderBy("bucket").collect() ]
+    ref = _ref_ewma(values, 3)
+    assert [q for q, _ in got] == ref
+    for (q, e), rq in zip(got, ref):
+        assert e == rq / 8.0  # one IEEE division of the exact int
+
+
+def test_ewma_partitioning_and_batch_carry(spark):
+    # tiny Arrow batches force cross-batch state carry; different input
+    # partitionings must not change a single state value
+    from tmframe_spark.ops.stats import ewma
+
+    rows = [(f"c{j}", T0 + datetime.timedelta(hours=i), (i * 7 + j) % 23)
+            for j in range(3) for i in range(200)]
+    df = spark.createDataFrame(rows, "conv_id string, bucket timestamp, token_volume long")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        a = {(r["conv_id"], r["bucket"]): r["ewma_q"]
+             for r in ewma(df.repartition(11), "token_volume").collect()}
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    b = {(r["conv_id"], r["bucket"]): r["ewma_q"]
+         for r in ewma(df.repartition(2), "token_volume").collect()}
+    assert a == b
+    for j in range(3):
+        ref = _ref_ewma([(i * 7 + j) % 23 for i in range(200)], 3)
+        got = [a[(f"c{j}", T0 + datetime.timedelta(hours=i))] for i in range(200)]
+        assert got == ref
+
+
+def test_ewma_k_validation(spark):
+    from tmframe_spark.ops.stats import ewma
+
+    df = spark.createDataFrame([], "conv_id string, bucket timestamp, token_volume long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ewma k"):
+        ewma(df, k=0)

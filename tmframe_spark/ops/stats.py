@@ -199,3 +199,73 @@ def rolling_median(
             F.abs(F.col("value") - F.col("med")).cast("long").alias("abs_dev"),
         )
     )
+
+
+def ewma(
+    rolled: DataFrame,
+    value_col: str = "token_volume",
+    k: int = 3,
+) -> DataFrame:
+    """Exponentially weighted moving average over a tier series with
+    alpha = 1/2^k, as an EXACT integer recurrence:
+
+        S_0 = v_0 << k
+        S_i = S_{i-1} + ((v_i << k) - S_{i-1}) >> k     (arithmetic shift
+                                                         = floor division)
+
+    so the Q_k fixed-point state ``ewma_q`` is deterministic and
+    engine-comparable (the float ``ewma`` is ewma_q / 2^k — ONE IEEE
+    division of an exact int). Rounding floors each step, so ewma_q is
+    within 1 of the real-valued EWMA times 2^k at every step.
+
+    Scale shape: the recurrence is inherently sequential PER CONVERSATION,
+    so this is the count-window-dedup pattern — repartition by conv, sort
+    within partitions, one streaming mapInPandas whose state is ONE int64
+    per conversation seen in the partition (never a whole-group
+    materialization; rows stream through in Arrow batches). CPU is a
+    per-row python step — fine for tier-sized series (the tiers are
+    already thousands-to-millions of rows per conv-year, not raw turns).
+    """
+    import pandas as _pd
+    from pyspark.sql.types import LongType, StructType
+
+    if k < 1 or k > 30:
+        raise ValueError(f"ewma k must be in [1, 30], got {k}")
+    shift = k
+
+    src = rolled.select(
+        "conv_id", "bucket", F.col(value_col).cast("long").alias("value")
+    )
+    out_schema = StructType(list(src.schema.fields)).add("ewma_q", LongType())
+
+    def run(batches):
+        state: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = pdf["value"].to_numpy()
+            convs = pdf["conv_id"].to_numpy()
+            out = [0] * len(pdf)
+            for i in range(len(pdf)):
+                c = convs[i]
+                v = int(vals[i]) << shift
+                s = state.get(c)
+                s = v if s is None else s + ((v - s) >> shift)
+                state[c] = s
+                out[i] = s
+            pdf = pdf.copy()
+            pdf["ewma_q"] = _pd.Series(out, index=pdf.index, dtype="int64")
+            yield pdf
+
+    smoothed = (
+        src.repartition("conv_id")
+        .sortWithinPartitions("conv_id", "bucket")
+        .mapInPandas(run, out_schema)
+    )
+    return smoothed.select(
+        "conv_id",
+        "bucket",
+        "value",
+        "ewma_q",
+        (F.col("ewma_q").cast("double") / F.lit(float(1 << shift))).alias("ewma"),
+    )

@@ -1393,6 +1393,21 @@ def q_rolling_median_1h(spark, sf_dir):
     return rolling_median(g, "token_volume", window=25)
 
 
+def q_ewma_1h(spark, sf_dir):
+    """Exponential smoothing (alpha = 1/8) over the gap-filled 1h
+    token-volume tier (subset convs) as an EXACT integer recurrence —
+    S_i = S_{i-1} + ((v_i<<3) - S_{i-1}) >> 3, arithmetic-shift floor each
+    step, so the Q3 state is engine-comparable and the float is one IEEE
+    division. FULL oracle in the pytest mirror (recursive CTE replays the
+    identical recurrence; DuckDB's truncating // is floored via a
+    positive-offset divide)."""
+    from tmframe_spark.ops.stats import ewma
+
+    t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
+    g = gap_fill(rollup(t, "1h"), "1h")
+    return ewma(g, "token_volume", k=3)
+
+
 def q_doc_novelty(spark, sf_dir):
     """IDF-weighted shingle novelty per document: every 3-word shingle
     instance weighted by floor(log2 N) - floor(log2 df) — exact integers
@@ -1681,6 +1696,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rolling_median_1h: FULL oracle in the pytest mirror (odd full
         # window -> identical middle order statistic via quantile_disc).
         "rolling_median_1h": q_rolling_median_1h,
+        # ewma_1h: FULL oracle in the pytest mirror (recursive-CTE replay
+        # of the exact integer recurrence).
+        "ewma_1h": q_ewma_1h,
     }
 
 
@@ -2761,6 +2779,36 @@ SELECT conv_id, n_forecasts, err_abs_sum, n_naive, naive_abs_sum,
                  / CAST(n_forecasts * naive_abs_sum AS DOUBLE)
        END AS mase
 FROM a
+""",
+        # ewma_1h: the same gap-filled 1h spine; a recursive CTE replays
+        # the exact integer recurrence step-by-step per conversation.
+        # DuckDB's // truncates toward zero, so the >>3 floor is restated
+        # as ((x + 2^40*8) // 8) - 2^40 (offset keeps the dividend
+        # positive, where truncation == floor).
+        "ewma_1h": f"""
+WITH RECURSIVE {_T_CTE},
+t AS (SELECT * FROM transcripts WHERE conv_id IN {_SUBSET_SQL}),
+m AS (SELECT conv_id, date_trunc('hour', ts) AS bucket,
+             CAST(sum(length(text)) AS BIGINT) AS c
+      FROM t GROUP BY 1, 2),
+b AS (SELECT conv_id, min(bucket) AS mn, max(bucket) AS mx FROM m GROUP BY conv_id),
+sp AS (SELECT conv_id, unnest(generate_series(mn, mx, interval 1 hour)) AS bucket
+       FROM b),
+g0 AS (SELECT sp.conv_id, sp.bucket, CAST(coalesce(m.c, 0) AS BIGINT) AS v
+       FROM sp LEFT JOIN m ON sp.conv_id = m.conv_id AND sp.bucket = m.bucket),
+g AS (SELECT conv_id, bucket, v,
+             row_number() OVER (PARTITION BY conv_id ORDER BY bucket) AS rn
+      FROM g0),
+r AS (
+  SELECT conv_id, bucket, rn, v, v * 8 AS s FROM g WHERE rn = 1
+  UNION ALL
+  SELECT g.conv_id, g.bucket, g.rn, g.v,
+         r.s + (((g.v * 8 - r.s) + 8796093022208) // 8) - 1099511627776
+  FROM g JOIN r ON g.conv_id = r.conv_id AND g.rn = r.rn + 1
+)
+SELECT conv_id, bucket, CAST(v AS BIGINT) AS value,
+       CAST(s AS BIGINT) AS ewma_q, CAST(s AS DOUBLE) / 8.0 AS ewma
+FROM r
 """,
         # rolling_median_1h: same gap-filled spine; centered 25-row frame;
         # quantile_disc(0.5) of an odd full window == the middle order
