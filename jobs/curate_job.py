@@ -1,6 +1,7 @@
 """Corpus curation entry point: spark-submit --py-files tmframe_spark.zip \\
         jobs/curate_job.py --input <docs-parquet> --output <dir> \\
         [--min-tokens 8] [--min-quality 0.3] [--max-top2-frac 0.2] \\
+        [--min-lm-logprob -14 [--lm-ref <parquet>] [--lm-min-count 1]] \\
         [--langs en,fr] [--benchmark <parquet> [--contamination-threshold 0.05]] \\
         [--dedup minhash|exact|off] [--threshold 0.7] \\
         [--index <dir> [--update-index]] \\
@@ -17,6 +18,9 @@ contract):
    and a Gopher-style repetition ceiling (repetition_stats top-2-gram
    fraction) — the cheap codegen filters that remove degenerate text
    before anything expensive runs.
+1b. LM PERPLEXITY (--min-lm-logprob): CCNet-style bigram Stupid-Backoff
+   floor (text/lm) against --lm-ref (or self-trained); the scored
+   avg_logprob survives as the lm_logprob metadata column.
 2. LANGUAGE: marker-lexicon lang_id, keep --langs.
 3. DECONTAMINATE: drop docs overlapping a benchmark set
    (text/decontaminate — broadcast mark-join, one corpus pass).
@@ -70,6 +74,17 @@ def main(argv=None) -> int:
     p.add_argument("--max-top2-frac", type=float, default=None,
                    help="drop docs whose most frequent 2-gram exceeds this "
                         "fraction of all 2-grams (Gopher-style repetition)")
+    # stage 1b: LM perplexity filter (CCNet-style)
+    p.add_argument("--min-lm-logprob", type=float, default=None,
+                   help="drop docs whose bigram Stupid-Backoff avg "
+                        "log-probability falls below this floor (lower = "
+                        "higher perplexity = worse; unscorable <2-token "
+                        "docs are kept — the token floor owns those)")
+    p.add_argument("--lm-ref", default=None,
+                   help="parquet of the CLEAN reference corpus to train "
+                        "the LM on (default: self-train on the surviving "
+                        "docs)")
+    p.add_argument("--lm-min-count", type=int, default=1)
     # stage 2: language
     p.add_argument("--langs", default=None, help="comma list, e.g. en,fr")
     # stage 3: decontamination
@@ -137,6 +152,32 @@ def main(argv=None) -> int:
         docs = docs.join(bad, args.id_col, "left_anti").localCheckpoint(eager=True)
         kept = docs.count()
         print(json.dumps({"stage": "repetition", "max_top2_frac": args.max_top2_frac,
+                          "docs_out": kept, "docs_dropped": n - kept}))
+        n = kept
+
+    # ---- 1b: LM perplexity filter ---------------------------------------
+    if args.min_lm_logprob is not None:
+        from tmframe_spark.text.lm import lm_score, lm_train
+
+        ref = spark.read.parquet(args.lm_ref) if args.lm_ref else docs
+        model = lm_train(ref, args.id_col, args.text_col,
+                         min_count=args.lm_min_count)
+        scores = lm_score(
+            docs, model, id_col=args.id_col, text_col=args.text_col
+        ).select(args.id_col, "avg_logprob")
+        docs = (
+            docs.join(scores, args.id_col)
+            .where(
+                F.col("avg_logprob").isNull()
+                | (F.col("avg_logprob") >= args.min_lm_logprob)
+            )
+            .withColumnRenamed("avg_logprob", "lm_logprob")
+            .localCheckpoint(eager=True)
+        )
+        kept = docs.count()
+        print(json.dumps({"stage": "lm_quality",
+                          "min_lm_logprob": args.min_lm_logprob,
+                          "ref": args.lm_ref or "self",
                           "docs_out": kept, "docs_dropped": n - kept}))
         n = kept
 

@@ -156,3 +156,48 @@ def test_curate_span_removal_stage(spark, capsys):
     assert "license" not in got[2]["text"] and got[2]["n_removed"] > 0
     assert got[3]["n_removed"] == 0
     assert sr["tokens_removed"] == sum(r["n_removed"] for r in got.values())
+
+
+def test_curate_lm_quality_stage(spark, capsys):
+    """--min-lm-logprob: docs that the reference-trained bigram LM finds
+    implausible are dropped; fluent-in-reference docs and unscorable
+    (<2-token) docs survive, with lm_logprob kept as metadata."""
+    import tempfile
+
+    ref_rows = [(i, "the quick brown fox jumps over the lazy dog again and again")
+                for i in range(8)]
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),   # in-model
+        (2, "dog lazy the over jumps fox brown quick the"),   # scrambled
+        (3, "zz qq ww ee rr tt yy uu"),                       # all-oov
+        (4, "single"),                                        # unscorable
+    ]
+    ref = tempfile.mkdtemp(prefix="curate_lm_ref_")
+    src = tempfile.mkdtemp(prefix="curate_lm_src_")
+    out = tempfile.mkdtemp(prefix="curate_lm_out_")
+    spark.createDataFrame(ref_rows, "doc_id long, text string").write.mode(
+        "overwrite").parquet(ref)
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite").parquet(src)
+
+    from tmframe_spark.text.lm import lm_score, lm_train
+
+    model = lm_train(spark.read.parquet(ref))
+    scores = {r["doc_id"]: r["avg_logprob"]
+              for r in lm_score(spark.read.parquet(src), model).collect()}
+    # the fluent doc scores strictly above the scrambled and oov docs
+    assert scores[1] > scores[2] > scores[3]
+    floor = (scores[1] + scores[2]) / 2
+
+    rc, stages, _ = _run([
+        "--input", src, "--output", out,
+        "--dedup", "off",
+        "--min-lm-logprob", str(floor), "--lm-ref", ref,
+    ], capsys)
+    assert rc == 0
+    st = stages["lm_quality"]
+    assert st["docs_dropped"] == 2 and st["ref"] == ref
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 4}
+    assert got[1]["lm_logprob"] == scores[1]
+    assert got[4]["lm_logprob"] is None
