@@ -264,3 +264,16 @@ def test_ewma_k_validation(spark):
 
     with _pytest.raises(ValueError, match="ewma k"):
         ewma(df, k=0)
+
+
+def test_ewma_plan_shape_single_exchange_no_grouped_pandas(spark):
+    # the scale contract: ONE conv-keyed exchange (the repartition), a
+    # partition-local sort, and a streaming mapInPandas — never a
+    # FlatMapGroupsInPandas (whole-group materialization)
+    from tmframe_spark.ops.stats import ewma
+
+    rows = [("c0", T0 + datetime.timedelta(hours=i), i) for i in range(50)]
+    df = spark.createDataFrame(rows, "conv_id string, bucket timestamp, token_volume long")
+    plan = ewma(df)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert plan.count("Exchange") == 1, plan

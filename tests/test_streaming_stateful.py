@@ -110,3 +110,57 @@ def test_stateful_dedup_live_incremental_trigger(spark):
         ).collect()
     ]
     assert got == python_ring_dedup(values, 3) == [1, 2, 3, 4, 2, 5, 1, 6, 3, 7, 1, 8]
+
+
+def test_stream_ewma_state_across_microbatches(spark):
+    """stream_ewma: the Q3 state survives the micro-batch boundary, and
+    every emitted value equals the batch recurrence applied to the same
+    arrival-ordered sequence."""
+    from tmframe_spark.streaming.stream import stream_ewma
+
+    texts = ["a" * n for n in [100, 0, 0, 50, 7, 7, 9000, 0, 3, 12, 12, 1]]
+    rows = pd.DataFrame(
+        {
+            "conv_id": "c0",
+            "turn_idx": range(len(texts)),
+            "role": "user",
+            "text": texts,
+            "tool": None,
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(range(len(texts)), "s"),
+        }
+    )
+    rows["tool"] = rows["tool"].astype("string")
+    rows["ts"] = rows["ts"].astype("datetime64[us]")
+    src = tempfile.mkdtemp(prefix="tmframe_sewma_")
+    half = len(texts) // 2
+    rows.iloc[:half].to_parquet(os.path.join(src, "a.parquet"))
+    rows.iloc[half:].to_parquet(os.path.join(src, "b.parquet"))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream_ewma(stream, k=3)
+        .writeStream.format("memory")
+        .queryName("sewma")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = [
+        r["ewma_q"]
+        for r in spark.sql("select * from sewma order by turn_idx").collect()
+    ]
+    # batch-identical recurrence over the same sequence
+    ref, s = [], None
+    for v in [len(t) for t in texts]:
+        vq = v << 3
+        s = vq if s is None else s + ((vq - s) >> 3)
+        ref.append(s)
+    assert got == ref
+    # the first second-batch value (index half) depends on state from the
+    # first batch — equality above proves the carry, but make it explicit:
+    assert got[half] != (len(texts[half]) << 3)

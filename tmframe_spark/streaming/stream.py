@@ -219,3 +219,58 @@ def stream_topk_counts(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .select(F.col("w.start").alias("bucket"), "key", "cnt")
     )
+
+
+def stream_ewma(
+    stream: DataFrame,
+    k: int = 3,
+    value_col: str = None,
+) -> DataFrame:
+    """Streaming exponential smoothing per conversation — the stateful
+    form of ops/stats.ewma's EXACT integer recurrence
+    (S += (v<<k - S) >> k, arithmetic-shift floor), state = ONE int64 per
+    conversation carried across micro-batches by applyInPandasWithState.
+
+    ``value_col`` defaults to per-turn text length. Rows are smoothed in
+    event order WITHIN the stream's delivery (ts, turn_idx sorted per
+    micro-batch — the same arrival-order contract as
+    stream_count_window_dedup); calendar gap-fill semantics belong to the
+    batch op over materialized tiers, not here: a stream never observes
+    an empty bucket. The emitted ``ewma_q`` values are bit-identical to
+    the batch recurrence applied to the same value sequence (pinned in
+    tests/test_streaming_stateful.py).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if k < 1 or k > 30:
+        raise ValueError(f"stream_ewma k must be in [1, 30], got {k}")
+    src = stream.withColumn(
+        "value",
+        (F.length("text") if value_col is None else F.col(value_col)).cast("long"),
+    )
+    out_schema = StructType([f for f in src.schema.fields]).add("ewma_q", LongType())
+    state_schema = StructType([StructField("s", LongType())])
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        s = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            out = []
+            for v in pdf["value"]:
+                vq = int(v) << k
+                s = vq if s is None else s + ((vq - s) >> k)
+                out.append(s)
+            pdf = pdf.copy()
+            pdf["ewma_q"] = pd.Series(out, index=pdf.index, dtype="int64")
+            yield pdf
+        if s is not None:
+            state.update((s,))
+
+    return src.groupBy("conv_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
