@@ -1,10 +1,14 @@
 """Production entry point: spark-submit --py-files tmframe_spark.zip \\
         jobs/rollup_job.py --input <transcripts> --output <dir> \\
-        --manifests <dir> [--salt N] [--synth-turns N --synth-convs N]
+        --manifests <dir> [--salt N] [--backfill] \\
+        [--synth-turns N --synth-convs N]
 
 Resumable from per-partition checkpoints (ops/checkpoint.py): rerunning
 after a failure processes only days without a committed manifest, and each
-manifest records lineage + throughput metrics.
+manifest records lineage + throughput metrics. --backfill additionally
+re-rolls committed days whose input has since GROWN (late arrivals —
+ops/checkpoint.stale_days): the overwrite-day unit keeps it idempotent
+and untouched days are never rewritten.
 
 Build the archive with scripts/make_pyfiles.sh (writes tmframe_spark.zip).
 On a real cluster the session builder's master/sizing comes from
@@ -25,6 +29,9 @@ def main(argv=None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--manifests", required=True)
     p.add_argument("--salt", type=int, default=None, help="two-phase salting fan-out for hot conversations")
+    p.add_argument("--backfill", action="store_true",
+                   help="also re-roll committed days whose input row count "
+                        "changed since commit (late-data maintenance)")
     p.add_argument("--synth-turns", type=int, default=None, help="generate synthetic input instead of --input")
     p.add_argument("--synth-convs", type=int, default=2000)
     args = p.parse_args(argv)
@@ -48,6 +55,13 @@ def main(argv=None) -> int:
     manifests = checkpointed_rollup_run(t, args.output, args.manifests, salt=args.salt)
     for m in manifests:
         print(json.dumps(m.__dict__))
+    if args.backfill:
+        from tmframe_spark.ops.checkpoint import backfill_run
+
+        bf = backfill_run(t, args.output, args.manifests, salt=args.salt)
+        for m in bf:
+            print(json.dumps({**m.__dict__, "backfilled": True}))
+        manifests = manifests + bf
     print(json.dumps({"partitions_processed": len(manifests)}))
     return 0
 

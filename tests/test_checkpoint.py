@@ -181,3 +181,77 @@ def test_job_blocks_equal_compositional_form(spark):
     }
     assert set(got) == set(want)
     assert all(got[k] == want[k] for k in want)
+
+
+def test_backfill_rerolls_only_stale_days_byte_identical(spark):
+    """Late rows landing in an ALREADY-COMMITTED day: stale_days flags
+    exactly that day, backfill_run rewrites it to the same bytes a
+    from-scratch run over the complete input produces, and untouched
+    days' blocks are not rewritten."""
+    from pyspark.sql import functions as F
+
+    from tmframe_spark.data.catalog import Catalog
+    from tmframe_spark.ops.checkpoint import backfill_run, stale_days
+
+    t = with_ts_ns(load_transcripts(spark, SF_DIR)).where(
+        "conv_id in ('conv-0','conv-1')"
+    )
+    days = sorted(
+        r["d"] for r in t.select(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("d")
+        ).distinct().collect()
+    )[:3]
+    t3 = t.where(F.date_format(F.to_date("ts"), "yyyy-MM-dd").isin(days))
+    late_day = days[1]
+    # hold back half of the middle day's rows (odd turn_idx = "late")
+    late_mask = (
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd") == late_day
+    ) & (F.col("turn_idx") % 2 == 1)
+    early = t3.where(~late_mask)
+
+    out_a = tempfile.mkdtemp(prefix="tmframe_bf_a_")
+    man_a = tempfile.mkdtemp(prefix="tmframe_bf_ma_")
+    checkpointed_rollup_run(early, out_a, man_a)
+    assert stale_days(early, man_a) == []  # nothing late yet
+    assert backfill_run(early, out_a, man_a) == []
+
+    # the late rows arrive: exactly the middle day is stale
+    assert stale_days(t3, man_a) == [late_day]
+    cat_a = Catalog(spark, out_a)
+    cat_a.kind["rollup_1m_blocks"] = "parquet"
+    pre = {
+        d: sorted(
+            (r["conv_id"], bytes(r["frame"]))
+            for r in cat_a.read_day("rollup_1m_blocks", d).collect()
+        )
+        for d in days
+    }
+    bf = backfill_run(t3, out_a, man_a)
+    assert [m.partition for m in bf] == [f"day={late_day}"]
+    assert stale_days(t3, man_a) == []  # manifest updated
+    assert checkpointed_rollup_run(t3, out_a, man_a) == []  # nothing pending
+
+    # from-scratch truth over the complete input
+    out_b = tempfile.mkdtemp(prefix="tmframe_bf_b_")
+    man_b = tempfile.mkdtemp(prefix="tmframe_bf_mb_")
+    checkpointed_rollup_run(t3, out_b, man_b)
+    cat_b = Catalog(spark, out_b)
+    cat_b.kind["rollup_1m_blocks"] = "parquet"
+    for d in days:
+        got = sorted(
+            (r["conv_id"], bytes(r["frame"]))
+            for r in cat_a.read_day("rollup_1m_blocks", d).collect()
+        )
+        want = sorted(
+            (r["conv_id"], bytes(r["frame"]))
+            for r in cat_b.read_day("rollup_1m_blocks", d).collect()
+        )
+        assert got == want, f"day {d} diverges from the from-scratch run"
+        if d != late_day:
+            assert got == pre[d], f"untouched day {d} was rewritten"
+    # non-vacuity: the pre-backfill middle day (built from half the rows)
+    # genuinely differed from the backfilled truth
+    assert pre[late_day] != sorted(
+        (r["conv_id"], bytes(r["frame"]))
+        for r in cat_b.read_day("rollup_1m_blocks", late_day).collect()
+    )

@@ -72,6 +72,47 @@ def pending_days(transcripts: DataFrame, manifest_root: str) -> list[str]:
     return sorted(d for d in days if d not in done)
 
 
+def read_manifests(root: str) -> dict[str, dict]:
+    """All committed manifests keyed by partition (tiny at any scale —
+    one JSON per day)."""
+    if not os.path.isdir(root):
+        return {}
+    out = {}
+    for fn in os.listdir(root):
+        if fn.endswith(".json"):
+            with open(os.path.join(root, fn)) as f:
+                m = json.load(f)
+            out[m["partition"]] = m
+    return out
+
+
+def stale_days(transcripts: DataFrame, manifest_root: str) -> list[str]:
+    """COMMITTED days whose current input row count no longer matches the
+    ``input_rows`` recorded at commit time — late arrivals (or deletions)
+    that landed after the day was packed. ``pending_days`` finds
+    never-committed days; this finds committed-but-outdated ones.
+
+    One day-keyed count aggregate (map-side combined) against the tiny
+    driver-side manifest set. Row count is the cheap staleness signal for
+    an append-only transcript feed (late arrival = more rows); a
+    count-preserving in-place mutation would need a content-hash variant,
+    at the price of hashing the full day — not this op's contract."""
+    counts = {
+        r["day"]: r["n"]
+        for r in transcripts.groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    stale = []
+    for part, m in read_manifests(manifest_root).items():
+        day = part.split("=", 1)[1]
+        if counts.get(day, 0) != m["input_rows"]:
+            stale.append(day)
+    return sorted(stale)
+
+
 def checkpointed_rollup_run(
     transcripts: DataFrame,
     out_dir: str,
@@ -89,6 +130,41 @@ def checkpointed_rollup_run(
     paths rely on — with a ``day=`` parquet fallback); the overwrite-day
     unit keeps re-runs idempotent either way.
     """
+    return _run_days(
+        transcripts, out_dir, manifest_root,
+        pending_days(transcripts, manifest_root), salt, table,
+    )
+
+
+def backfill_run(
+    transcripts: DataFrame,
+    out_dir: str,
+    manifest_root: str,
+    salt: int | None = None,
+    table: str = "rollup_1m_blocks",
+) -> list[PartitionManifest]:
+    """Late-data maintenance: re-roll exactly the ``stale_days`` — days
+    already committed whose input has since grown. ``overwrite_day`` makes
+    the data rewrite idempotent and the manifest replaces atomically, so
+    a crash mid-backfill leaves the day either old-complete or
+    new-complete, never mixed. Untouched days are not read, not written
+    (test-pinned). The backfilled bytes equal a from-scratch run over the
+    complete input (per-day pack is a pure function of the day's rows —
+    the partition-independence invariant the codec tests pin)."""
+    return _run_days(
+        transcripts, out_dir, manifest_root,
+        stale_days(transcripts, manifest_root), salt, table,
+    )
+
+
+def _run_days(
+    transcripts: DataFrame,
+    out_dir: str,
+    manifest_root: str,
+    days: list[str],
+    salt: int | None = None,
+    table: str = "rollup_1m_blocks",
+) -> list[PartitionManifest]:
     from tmframe_spark import __version__
     from tmframe_spark.codec.udfs import pack_rollup_blocks
     from tmframe_spark.data.catalog import Catalog
@@ -96,7 +172,7 @@ def checkpointed_rollup_run(
 
     cat = Catalog(transcripts.sparkSession, out_dir)
     manifests = []
-    for day in pending_days(transcripts, manifest_root):
+    for day in days:
         t0 = time.time()
         day_df = transcripts.where(F.to_date("ts") == F.lit(day))
         input_rows = day_df.count()
