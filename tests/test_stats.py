@@ -277,3 +277,45 @@ def test_ewma_plan_shape_single_exchange_no_grouped_pandas(spark):
     plan = ewma(df)._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_interarrival_fano_matches_reference(spark):
+    from tmframe_spark.ops.stats import interarrival_stats
+
+    gaps = [10, 10, 10, 1, 1, 300, 10]  # seconds; bursty
+    ts, acc = [T0], 0
+    for g in gaps:
+        acc += g
+        ts.append(T0 + datetime.timedelta(seconds=acc))
+    rows = [("c0", i, t) for i, t in enumerate(ts)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx long, ts timestamp")
+    r = interarrival_stats(df).collect()[0]
+    ms = [g * 1_000 for g in gaps]
+    n, s, sq = len(ms), sum(ms), sum(g * g for g in ms)
+    assert (r["n_gaps"], r["sum_gap_ms"], r["sum_gap_sq"]) == (n, s, sq)
+    assert r["fano"] == float(n * sq - s * s) / float(n * s)
+
+
+def test_interarrival_fano_poisson_vs_regular(spark):
+    # regular cadence -> fano 0; bursty -> large
+    from tmframe_spark.ops.stats import interarrival_stats
+
+    reg = [("r", i, T0 + datetime.timedelta(seconds=10 * i)) for i in range(50)]
+    burst = [("b", i, T0 + datetime.timedelta(seconds=(i % 10) + (i // 10) * 3600))
+             for i in range(50)]
+    df = spark.createDataFrame(reg + burst, "conv_id string, turn_idx long, ts timestamp")
+    out = {r["conv_id"]: r["fano"] for r in interarrival_stats(df).collect()}
+    assert out["r"] == 0.0
+    assert out["b"] > 1_000  # hour-scale bursts vs second-scale mean (ms units)
+
+
+def test_interarrival_single_turn_null(spark):
+    from tmframe_spark.ops.stats import interarrival_stats
+
+    df = spark.createDataFrame(
+        [("c0", 0, T0), ("c1", 0, T0), ("c1", 1, T0 + datetime.timedelta(seconds=5))],
+        "conv_id string, turn_idx long, ts timestamp",
+    )
+    out = {r["conv_id"]: r for r in interarrival_stats(df).collect()}
+    assert "c0" not in out  # zero gaps -> no row (no gap ever observed)
+    assert out["c1"]["n_gaps"] == 1 and out["c1"]["fano"] is None

@@ -269,3 +269,57 @@ def ewma(
         "ewma_q",
         (F.col("ewma_q").cast("double") / F.lit(float(1 << shift))).alias("ewma"),
     )
+
+
+def interarrival_stats(
+    transcripts: DataFrame,
+) -> DataFrame:
+    """Per-conversation inter-arrival burstiness: exact integer moments of
+    the MILLISECOND gaps between consecutive turns, plus the Fano factor
+    (variance-to-mean ratio, in ms units — ~1 for Poisson-at-1/ms
+    arrivals; what matters operationally is the ORDERING: regular cadence
+    ~0, bursty agent traffic orders of magnitude higher):
+
+        fano = (n * sum_gap_sq - sum_gap^2) / (n * sum_gap)
+
+    — ONE IEEE division of exact int64 products (the rolling_corr
+    discipline), so the float bit-compares across engines. NULL when
+    fewer than two gaps or all gaps zero. One conv-keyed shuffle; the lag
+    rides the window sort.
+
+    Milliseconds, not microseconds, are the deliberate unit: a single
+    month-long gap in us would overflow sum(g^2) past 2^63 (ANSI mode
+    fails loudly, not silently — measured). In ms the STORED moments fit
+    int64 to ~35-day single gaps / ~1e4 day-scale gaps per conversation;
+    the final contrast n*sum_sq - sum^2 can still exceed 2^63 on real
+    feeds (measured on the driver corpus), so it is computed in EXACT
+    decimal(38,0) — the mixture_sample HUGEINT precedent — and the two
+    decimal->double casts before the one division are correctly rounded
+    on both engines.
+    """
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    # transcripts carry TIMESTAMP_NTZ; the session runs UTC, so the cast
+    # to (ltz) TIMESTAMP is epoch-exact and unix_millis accepts it
+    ms = (F.unix_millis(F.col("ts").cast("timestamp"))).cast("long")
+    gap = ms - F.lag(ms, 1).over(w)
+    per = transcripts.select("conv_id", gap.alias("_g")).where(
+        F.col("_g").isNotNull()
+    )
+    agg = per.groupBy("conv_id").agg(
+        F.count("_g").alias("n_gaps"),
+        F.sum("_g").cast("long").alias("sum_gap_ms"),
+        F.sum(F.col("_g") * F.col("_g")).cast("long").alias("sum_gap_sq"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = dec("n_gaps") * dec("sum_gap_sq") - dec("sum_gap_ms") * dec("sum_gap_ms")
+    den = dec("n_gaps") * dec("sum_gap_ms")
+    return agg.select(
+        "conv_id",
+        "n_gaps",
+        "sum_gap_ms",
+        "sum_gap_sq",
+        F.when(
+            (F.col("n_gaps") >= 2) & (F.col("sum_gap_ms") > 0),
+            num.cast("double") / den.cast("double"),
+        ).alias("fano"),
+    )

@@ -1408,6 +1408,18 @@ def q_ewma_1h(spark, sf_dir):
     return ewma(g, "token_volume", k=3)
 
 
+def q_interarrival_fano(spark, sf_dir):
+    """Inter-arrival burstiness per conversation (subset convs): exact
+    int64 moments of the microsecond gaps between consecutive turns;
+    fano = (n*sum_sq - sum^2) / (n*sum) as ONE IEEE division of exact
+    integer products — Poisson traffic ~1, bursty agent traffic >>1.
+    FULL oracle in the pytest mirror."""
+    from tmframe_spark.ops.stats import interarrival_stats
+
+    t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
+    return interarrival_stats(t)
+
+
 def q_doc_novelty(spark, sf_dir):
     """IDF-weighted shingle novelty per document: every 3-word shingle
     instance weighted by floor(log2 N) - floor(log2 df) — exact integers
@@ -1699,6 +1711,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ewma_1h: FULL oracle in the pytest mirror (recursive-CTE replay
         # of the exact integer recurrence).
         "ewma_1h": q_ewma_1h,
+        # interarrival_fano: FULL oracle in the pytest mirror (lag over
+        # epoch-us; fano = one division of exact integer products).
+        "interarrival_fano": q_interarrival_fano,
     }
 
 
@@ -2778,6 +2793,29 @@ SELECT conv_id, n_forecasts, err_abs_sum, n_naive, naive_abs_sum,
             THEN CAST(err_abs_sum * n_naive AS DOUBLE)
                  / CAST(n_forecasts * naive_abs_sum AS DOUBLE)
        END AS mase
+FROM a
+""",
+        # interarrival_fano: identical (ts, turn_idx) lag ordering;
+        # epoch_ms == Spark unix_millis; the final contrast runs in
+        # HUGEINT (== Spark decimal(38,0)) before one double division.
+        "interarrival_fano": f"""
+WITH {_T_CTE},
+t AS (SELECT * FROM transcripts WHERE conv_id IN {_SUBSET_SQL}),
+g AS (SELECT conv_id,
+             epoch_ms(ts) - lag(epoch_ms(ts), 1)
+               OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS gp
+      FROM t),
+a AS (SELECT conv_id,
+             CAST(count(gp) AS BIGINT) AS n_gaps,
+             CAST(sum(gp) AS BIGINT) AS sum_gap_ms,
+             CAST(sum(gp * gp) AS BIGINT) AS sum_gap_sq
+      FROM g WHERE gp IS NOT NULL GROUP BY conv_id)
+SELECT conv_id, n_gaps, sum_gap_ms, sum_gap_sq,
+       CASE WHEN n_gaps >= 2 AND sum_gap_ms > 0
+            THEN CAST(CAST(n_gaps AS HUGEINT) * sum_gap_sq
+                      - CAST(sum_gap_ms AS HUGEINT) * sum_gap_ms AS DOUBLE)
+                 / CAST(CAST(n_gaps AS HUGEINT) * sum_gap_ms AS DOUBLE)
+       END AS fano
 FROM a
 """,
         # ewma_1h: the same gap-filled 1h spine; a recursive CTE replays
