@@ -12,10 +12,12 @@
   oracle-verified exact form); the block round-trip, msgpack decode,
   display render, simhash, bpe counting and multimodal header decode all
   carry full DuckDB value-hash oracles. The driver record holds the first
-  ~50 registry rows, all 50 with full oracles; three tail entries carry
-  their full oracles in the pytest mirror instead (rollup_1m_salted via
-  test_synth's salted==unsalted equality; tiered_read and role_mix_archive
-  via queries.pytest_only_oracles — same rows+schema+bit-value compare).
+  ~50 registry rows, all 50 with full oracles; 26 tail entries carry
+  their full oracles in the pytest mirror instead
+  (queries.pytest_only_oracles — the identical rows+schema+bit-value
+  compare, run by tests/test_queries_vs_duckdb.py), and the remaining 14
+  are rows-only by documented design, each pytest-twinned against an
+  exact reference or bracketed by an oracled exactness limit.
 """
 
 from __future__ import annotations
