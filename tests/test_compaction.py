@@ -142,3 +142,38 @@ def test_compact_day_missing_day_raises(spark, tmp_path):
     cat = _fixture_table(spark, tmp_path)
     with pytest.raises(ValueError, match="phantom"):
         cat.compact_day("blk", "2099-01-01")
+
+
+def test_compact_day_cluster_by_sorts_and_zorders(spark, tmp_path):
+    """cluster_by turns compaction into the layout fix: 'sort' leaves each
+    file ordered by the compound key; 'zorder' clusters on the Morton
+    value — both preserve rows exactly and stay day-scoped."""
+    import glob
+    import os
+
+    cat = _fixture_table(spark, tmp_path)
+    before = sorted(
+        (r["conv_id"], r["v"]) for r in cat.read_day("blk", "2024-03-01").collect()
+    )
+
+    stats = cat.compact_day("blk", "2024-03-01", target_files=1, cluster_by=["v"])
+    assert stats["files_after"] == 1 and stats["rows"] == len(before)
+    day_dir = os.path.join(str(tmp_path), "blk", "day=2024-03-01")
+    f = glob.glob(os.path.join(day_dir, "*.parquet"))[0]
+    vs = [r["v"] for r in spark.read.parquet(f).collect()]
+    assert vs == sorted(vs), "file not sorted by the cluster key"
+    after = sorted(
+        (r["conv_id"], r["v"]) for r in cat.read_day("blk", "2024-03-01").collect()
+    )
+    assert after == before
+
+    # zorder layout: same rows, valid layout arg gate
+    stats2 = cat.compact_day(
+        "blk", "2024-03-02", target_files=1, cluster_by=["v", "conv_id"],
+        layout="zorder",
+    )
+    assert stats2["rows"] == 200
+    after2 = cat.read_day("blk", "2024-03-02").count()
+    assert after2 == 200
+    with pytest.raises(ValueError, match="layout"):
+        cat.compact_day("blk", "2024-03-01", cluster_by=["v"], layout="hilbert")

@@ -212,7 +212,14 @@ class Catalog:
         self._day(day)
         return self.read(name).where(F.col(self.day_col) == F.lit(day))
 
-    def compact_day(self, name: str, day: str, target_files: int = 1) -> dict:
+    def compact_day(
+        self,
+        name: str,
+        day: str,
+        target_files: int = 1,
+        cluster_by: list | None = None,
+        layout: str = "sort",
+    ) -> dict:
         """Rewrite one committed day partition into ``target_files`` files.
 
         Maintenance twin of ``overwrite_day``: each checkpointed commit
@@ -245,10 +252,27 @@ class Catalog:
                 f"no committed day {day!r} in table {name!r}; compacting a "
                 f"missing day would create a phantom empty partition"
             )
+        if layout not in ("sort", "zorder"):
+            raise ValueError(f"layout must be 'sort' or 'zorder', got {layout!r}")
         before = self.day_file_count(name, day)
         df = self.read_day(name, day).localCheckpoint()
         rows = df.count()
-        self.overwrite_day(name, df.repartition(target_files), day)
+        if cluster_by:
+            # compaction is ALSO the layout fix: "sort" = compound lexical
+            # sort (perfect row-group stats on the leading column — the
+            # right choice when probes always carry it); "zorder" = Morton
+            # clustering (data/layout.py — balances stats across ALL listed
+            # columns for mixed probe shapes; strings rank by hash there,
+            # so prefer numeric/time columns for stats-visible gains)
+            if layout == "zorder":
+                from tmframe_spark.data.layout import zorder_clustered
+
+                out = zorder_clustered(df, list(cluster_by), num_files=target_files)
+            else:
+                out = df.repartition(target_files).sortWithinPartitions(*cluster_by)
+        else:
+            out = df.repartition(target_files)
+        self.overwrite_day(name, out, day)
         return {
             "files_before": before,
             "files_after": self.day_file_count(name, day),

@@ -43,23 +43,22 @@ def zorder_value(codes: list, bits: int):
     return z
 
 
-def write_zordered(
+def zorder_clustered(
     df: DataFrame,
-    path: str,
     cols: list[str],
     bits: int = 12,
     num_files: int | None = None,
-    writer_options: dict | None = None,
-) -> None:
-    """Write ``df`` clustered on the z-order of ``cols`` (numeric or
-    hashable; strings are ranked by xxhash64 — conversations have no
-    meaningful total order, so a uniform hash rank is the right surrogate,
-    while numeric/time columns keep their calendar-linear binning).
-
-    The layout job is one range exchange + local sort; the z column is not
-    written. ``bits`` bounds interleave work at bits x len(cols) codegen
-    ops per row; 12 bits x 2 cols = 24 levels resolves ~16M distinct cells
-    — row-group granularity saturates far earlier."""
+) -> DataFrame:
+    """Return ``df`` clustered on the z-order of ``cols`` — range
+    partitioned + locally sorted on the Morton value, z column dropped —
+    ready for any writer (write_zordered's path write, or the catalog's
+    overwrite_day during compaction). Strings rank by xxhash64
+    (conversations have no meaningful total order, so a uniform hash rank
+    is the right surrogate); numeric/time columns keep their
+    calendar-linear binning. ``bits`` bounds interleave work at
+    bits x len(cols) codegen ops per row; 12 bits x 2 cols = 24 levels
+    resolves ~16M distinct cells — row-group granularity saturates far
+    earlier."""
     if not cols or bits * len(cols) > 62:
         raise ValueError(
             f"zorder: need 1+ cols and bits*len(cols) <= 62, got "
@@ -82,12 +81,24 @@ def write_zordered(
     ]
     zed = df.withColumn("_z", zorder_value(codes, bits))
     parts = num_files or zed.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    w = (
+    return (
         zed.repartitionByRange(int(parts), "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
-        .write.mode("overwrite")
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 12,
+    num_files: int | None = None,
+    writer_options: dict | None = None,
+) -> None:
+    """Write ``df`` clustered on the z-order of ``cols`` (see
+    zorder_clustered). One range exchange + local sort + one write."""
+    w = zorder_clustered(df, cols, bits, num_files).write.mode("overwrite")
     for k, v in (writer_options or {}).items():
         w = w.option(k, v)
     w.parquet(path)
