@@ -1454,6 +1454,27 @@ def q_lm_quality(spark, sf_dir):
     )
 
 
+def q_dsir_scores(spark, sf_dir):
+    """DSIR-style importance evidence per document (text/dsir.py): hashed
+    unigram+bigram features (portable md5 hash, 512 buckets), target =
+    the doc_id %% 10 == 0 slice, raw = the rest. Integer columns only —
+    n_feats plus the exact kernel inner products against both fitted
+    count tables (the ln-based weight itself is Q32-pinned in
+    tests/test_dsir.py; the lm_quality float boundary). FULL oracle in
+    the pytest mirror."""
+    from tmframe_spark.text.dsir import dsir_fit, dsir_weights
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    target = dsir_fit(docs.where(F.col("doc_id") % 10 == 0), n_buckets=512)
+    raw = dsir_fit(docs.where(F.col("doc_id") % 10 != 0), n_buckets=512)
+    return dsir_weights(docs, target, raw).select(
+        "doc_id",
+        "n_feats",
+        F.col("dot_target").cast("long").alias("dot_target"),
+        F.col("dot_raw").cast("long").alias("dot_raw"),
+    )
+
+
 def q_bpe_subword_stats(spark, sf_dir):
     """Distributed BPE tokenizer training (16 merges over the corpus
     word-frequency table, Sennrich-style) + per-document subword counts
@@ -1714,6 +1735,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # interarrival_fano: FULL oracle in the pytest mirror (lag over
         # epoch-us; fano = one division of exact integer products).
         "interarrival_fano": q_interarrival_fano,
+        # dsir_scores: FULL oracle in the pytest mirror (identical md5
+        # bucketing; exact integer kernel inner products).
+        "dsir_scores": q_dsir_scores,
     }
 
 
@@ -2794,6 +2818,42 @@ SELECT conv_id, n_forecasts, err_abs_sum, n_naive, naive_abs_sum,
                  / CAST(n_forecasts * naive_abs_sum AS DOUBLE)
        END AS mase
 FROM a
+""",
+        # dsir_scores: identical unigram+2-shingle features (the
+        # doc_novelty short-doc convention), identical md5-prefix
+        # bucketing mod 512, exact integer kernel inner products
+        # against the doc_id-%-10 target/raw count tables.
+        "dsir_scores": r"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+uni AS (SELECT id, unnest(ws) AS g FROM toks),
+big AS (
+  SELECT id, array_to_string(ws[i:i+1], ' ') AS g
+  FROM (SELECT id, ws, unnest(generate_series(1, greatest(len(ws) - 1, 1))) AS i
+        FROM toks)
+),
+feats AS (
+  SELECT id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 512 AS f
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+),
+per AS (SELECT id, f, count(*) AS c FROM feats GROUP BY id, f),
+tcnt AS (SELECT f, count(*) AS ct FROM feats WHERE id % 10 = 0 GROUP BY f),
+rcnt AS (SELECT f, count(*) AS cr FROM feats WHERE id % 10 <> 0 GROUP BY f),
+sc AS (
+  SELECT per.id,
+         sum(c) AS n_feats,
+         sum(c * coalesce(ct, 0)) AS dot_target,
+         sum(c * coalesce(cr, 0)) AS dot_raw
+  FROM per LEFT JOIN tcnt USING (f) LEFT JOIN rcnt USING (f)
+  GROUP BY per.id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(s.dot_target AS BIGINT) AS dot_target,
+       CAST(s.dot_raw AS BIGINT) AS dot_raw
+FROM documents d LEFT JOIN sc s ON s.id = d.doc_id
 """,
         # interarrival_fano: identical (ts, turn_idx) lag ordering;
         # epoch_ms == Spark unix_millis; the final contrast runs in
