@@ -33,6 +33,10 @@ def main(argv=None) -> int:
     p.add_argument("--keep-days", type=int, default=None, help="override the tier's default retention days")
     p.add_argument("--compact", action="store_true", help="enable the compaction pass")
     p.add_argument("--target-files", type=int, default=1)
+    p.add_argument("--cluster-by", default=None,
+                   help="comma list of columns: compaction also fixes the "
+                        "file layout (sorted or z-ordered on these)")
+    p.add_argument("--cluster-layout", default="sort", choices=("sort", "zorder"))
     p.add_argument("--behind-days", type=int, default=1,
                    help="leave the newest N days uncompacted (the ingest frontier)")
     args = p.parse_args(argv)
@@ -71,7 +75,14 @@ def main(argv=None) -> int:
             # days that newly left the frontier, not the whole archive
             if cat.day_file_count(args.table, d) <= args.target_files:
                 continue
-            stats = cat.compact_day(args.table, d, target_files=args.target_files)
+            stats = cat.compact_day(
+                args.table, d, target_files=args.target_files,
+                cluster_by=(
+                    [c.strip() for c in args.cluster_by.split(",")]
+                    if args.cluster_by else None
+                ),
+                layout=args.cluster_layout,
+            )
             if stats["files_before"] > stats["files_after"]:
                 compacted += 1
             print(json.dumps({"action": "compact", "table": args.table, "day": d, **stats}))

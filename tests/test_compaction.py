@@ -177,3 +177,28 @@ def test_compact_day_cluster_by_sorts_and_zorders(spark, tmp_path):
     assert after2 == 200
     with pytest.raises(ValueError, match="layout"):
         cat.compact_day("blk", "2024-03-01", cluster_by=["v"], layout="hilbert")
+
+
+def test_maintenance_job_cluster_by_flag(spark, tmp_path, capsys):
+    import json
+
+    import jobs.maintenance_job as job
+
+    _fixture_table(spark, tmp_path)
+    rc = job.main([
+        "--root", str(tmp_path), "--table", "blk", "--compact",
+        "--behind-days", "0", "--target-files", "1",
+        "--cluster-by", "v", "--cluster-layout", "sort",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    compacts = [l for l in lines if l.get("action") == "compact"]
+    assert compacts and all(c["files_after"] == 1 for c in compacts)
+    # the rewritten day is sorted by the cluster key
+    import glob
+    import os
+
+    f = glob.glob(os.path.join(str(tmp_path), "blk", "day=2024-03-01", "*.parquet"))[0]
+    vs = [r["v"] for r in spark.read.parquet(f).collect()]
+    assert vs == sorted(vs)
