@@ -109,3 +109,59 @@ def test_mismatched_buckets_and_empty_fit_raise(spark):
     )
     with pytest.raises(ValueError, match="empty"):
         dsir_weights(docs, fit, empty)
+
+
+def test_corpus_drift_identical_corpora_zero(spark):
+    from tmframe_spark.text.dsir import corpus_drift
+
+    docs = spark.createDataFrame(TARGET, "doc_id long, text string")
+    fa = dsir_fit(docs, n_buckets=512)
+    fb = dsir_fit(docs, n_buckets=512)
+    rows = corpus_drift(fa, fb).collect()
+    assert rows and all(int(r["contrast"]) == 0 and r["psi_q32"] == 0 for r in rows)
+
+
+def test_corpus_drift_planted_shift_tops_both_signals(spark):
+    import hashlib
+
+    from tmframe_spark.text.dsir import corpus_drift
+
+    base = TARGET + RAW
+    shifted = base + [(900 + i, "zzqdrift " * 30) for i in range(5)]
+    fa = dsir_fit(spark.createDataFrame(base, "doc_id long, text string"),
+                  n_buckets=512)
+    fb = dsir_fit(spark.createDataFrame(shifted, "doc_id long, text string"),
+                  n_buckets=512)
+    rows = corpus_drift(fa, fb).collect()
+    planted_f = int(hashlib.md5(b"zzqdrift").hexdigest()[:15], 16) % 512
+    top_contrast = min(rows, key=lambda r: int(r["contrast"]))  # most B-heavy
+    top_psi = max(rows, key=lambda r: r["psi_q32"])
+    assert top_contrast["f"] == planted_f
+    assert top_psi["f"] == planted_f and top_psi["psi_q32"] > 0
+
+
+def test_corpus_drift_reference_and_psi_sum(spark):
+    import math
+
+    from tmframe_spark.text.dsir import DSIR_Q, corpus_drift
+
+    a_rows, b_rows = TARGET, RAW
+    fa = dsir_fit(spark.createDataFrame(a_rows, "doc_id long, text string"),
+                  n_buckets=512)
+    fb = dsir_fit(spark.createDataFrame(b_rows, "doc_id long, text string"),
+                  n_buckets=512)
+    got = {r["f"]: r for r in corpus_drift(fa, fb).collect()}
+    from collections import Counter
+
+    ca = Counter(f for _, t in a_rows for f in _feats(t))
+    cb = Counter(f for _, t in b_rows for f in _feats(t))
+    na, nb, m = sum(ca.values()), sum(cb.values()), 512
+    assert set(got) == set(ca) | set(cb)
+    for f in got:
+        r = got[f]
+        assert (r["c_a"], r["c_b"]) == (ca.get(f, 0), cb.get(f, 0))
+        assert int(r["contrast"]) == ca.get(f, 0) * nb - cb.get(f, 0) * na
+        pa = (ca.get(f, 0) + 1) / (na + m)
+        pb = (cb.get(f, 0) + 1) / (nb + m)
+        ref_q = math.floor((pa - pb) * math.log(pa / pb) * DSIR_Q)
+        assert abs(r["psi_q32"] - ref_q) <= 1, f

@@ -1475,6 +1475,24 @@ def q_dsir_scores(spark, sf_dir):
     )
 
 
+def q_corpus_drift(spark, sf_dir):
+    """Corpus drift between two snapshots (text/dsir.corpus_drift): the
+    even-id and odd-id document slices fitted as hashed-n-gram
+    multinomials (512 buckets, portable md5), one row per bucket with the
+    exact counts and the cross-multiplied rate contrast
+    c_a*N_b - c_b*N_a (sign = direction, 0 = identical rates). Integer
+    columns only; the PSI contribution is Q32-pinned in tests/test_dsir.py.
+    FULL oracle in the pytest mirror."""
+    from tmframe_spark.text.dsir import corpus_drift, dsir_fit
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    fa = dsir_fit(docs.where(F.col("doc_id") % 2 == 0), n_buckets=512)
+    fb = dsir_fit(docs.where(F.col("doc_id") % 2 == 1), n_buckets=512)
+    return corpus_drift(fa, fb).select(
+        "f", "c_a", "c_b", F.col("contrast").cast("long").alias("contrast")
+    )
+
+
 def q_bpe_subword_stats(spark, sf_dir):
     """Distributed BPE tokenizer training (16 merges over the corpus
     word-frequency table, Sennrich-style) + per-document subword counts
@@ -1738,6 +1756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dsir_scores: FULL oracle in the pytest mirror (identical md5
         # bucketing; exact integer kernel inner products).
         "dsir_scores": q_dsir_scores,
+        # corpus_drift: FULL oracle in the pytest mirror (same bucketing;
+        # exact cross-multiplied rate contrasts).
+        "corpus_drift": q_corpus_drift,
     }
 
 
@@ -2818,6 +2839,34 @@ SELECT conv_id, n_forecasts, err_abs_sum, n_naive, naive_abs_sum,
                  / CAST(n_forecasts * naive_abs_sum AS DOUBLE)
        END AS mase
 FROM a
+""",
+        # corpus_drift: the dsir feature/bucket pipeline split into the
+        # even/odd doc_id slices; exact integer cross-multiplied contrast.
+        "corpus_drift": r"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+uni AS (SELECT id, unnest(ws) AS g FROM toks),
+big AS (
+  SELECT id, array_to_string(ws[i:i+1], ' ') AS g
+  FROM (SELECT id, ws, unnest(generate_series(1, greatest(len(ws) - 1, 1))) AS i
+        FROM toks)
+),
+feats AS (
+  SELECT id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 512 AS f
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+),
+ca AS (SELECT f, count(*) AS c FROM feats WHERE id % 2 = 0 GROUP BY f),
+cb AS (SELECT f, count(*) AS c FROM feats WHERE id % 2 = 1 GROUP BY f),
+na AS (SELECT count(*) AS n FROM feats WHERE id % 2 = 0),
+nb AS (SELECT count(*) AS n FROM feats WHERE id % 2 = 1)
+SELECT coalesce(ca.f, cb.f) AS f,
+       CAST(coalesce(ca.c, 0) AS BIGINT) AS c_a,
+       CAST(coalesce(cb.c, 0) AS BIGINT) AS c_b,
+       CAST(coalesce(ca.c, 0) * nb.n - coalesce(cb.c, 0) * na.n AS BIGINT)
+         AS contrast
+FROM ca FULL OUTER JOIN cb ON ca.f = cb.f, na, nb
 """,
         # dsir_scores: identical unigram+2-shingle features (the
         # doc_novelty short-doc convention), identical md5-prefix

@@ -123,3 +123,51 @@ def dsir_weights(
             / F.lit(float(DSIR_Q))
         ).alias("avg_weight"),
     )
+
+
+def corpus_drift(fit_a: dict, fit_b: dict) -> DataFrame:
+    """Distribution drift between two fitted corpora (snapshot monitoring:
+    did yesterday's crawl shift against today's?). One row per hashed
+    feature bucket:
+
+    - ``c_a`` / ``c_b``: the exact counts (0 where absent);
+    - ``contrast = c_a * N_b - c_b * N_a`` (decimal(38,0)): the exact
+      cross-multiplied rate difference — sign = direction, 0 = identical
+      rates — comparable without any float;
+    - ``psi_q32``: this bucket's Population-Stability-Index contribution,
+      (p_a - p_b) * ln(p_a / p_b) with add-one smoothing, Q32-floored to
+      int64 so the corpus-level PSI is an EXACT sum (sum(psi_q32) / 2^32);
+      each contribution is >= 0 up to the one-quantum floor error.
+
+    Both fitted tables are <= n_buckets rows; the join is trivially
+    broadcast. The count columns are DuckDB-oracle-hashable; psi rides
+    the lm.py Q32 float discipline.
+    """
+    if fit_a["n_buckets"] != fit_b["n_buckets"]:
+        raise ValueError(
+            f"fits use different n_buckets: {fit_a['n_buckets']} vs "
+            f"{fit_b['n_buckets']}"
+        )
+    m = fit_a["n_buckets"]
+    na, nb = fit_a["total"], fit_b["total"]
+    if na <= 0 or nb <= 0:
+        raise ValueError("corpus_drift: a fitted corpus is empty")
+    a = fit_a["counts"].select("f", F.col("cnt").alias("c_a"))
+    b = fit_b["counts"].select("f", F.col("cnt").alias("c_b"))
+    j = a.join(b, "f", "full_outer").select(
+        "f",
+        F.coalesce("c_a", F.lit(0)).cast("long").alias("c_a"),
+        F.coalesce("c_b", F.lit(0)).cast("long").alias("c_b"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    pa = (F.col("c_a") + 1).cast("double") / F.lit(float(na + m))
+    pb = (F.col("c_b") + 1).cast("double") / F.lit(float(nb + m))
+    psi = (pa - pb) * (F.log(pa) - F.log(pb))
+    return j.select(
+        "f",
+        "c_a",
+        "c_b",
+        (dec("c_a") * F.lit(nb).cast("decimal(38,0)")
+         - dec("c_b") * F.lit(na).cast("decimal(38,0)")).alias("contrast"),
+        F.floor(psi * F.lit(float(DSIR_Q))).cast("long").alias("psi_q32"),
+    )
