@@ -21,6 +21,9 @@ contract):
 1b. LM PERPLEXITY (--min-lm-logprob): CCNet-style bigram Stupid-Backoff
    floor (text/lm) against --lm-ref (or self-trained); the scored
    avg_logprob survives as the lm_logprob metadata column.
+1c. DSIR (--min-dsir-weight + --dsir-target): hashed-n-gram importance
+   floor (text/dsir) — keep docs whose distribution leans toward the
+   target corpus; avg weight survives as dsir_weight metadata.
 2. LANGUAGE: marker-lexicon lang_id, keep --langs.
 3. DECONTAMINATE: drop docs overlapping a benchmark set
    (text/decontaminate — broadcast mark-join, one corpus pass).
@@ -85,6 +88,14 @@ def main(argv=None) -> int:
                         "the LM on (default: self-train on the surviving "
                         "docs)")
     p.add_argument("--lm-min-count", type=int, default=1)
+    # stage 1c: DSIR importance floor (target-likeness)
+    p.add_argument("--min-dsir-weight", type=float, default=None,
+                   help="drop docs whose DSIR avg importance weight vs "
+                        "--dsir-target falls below this floor")
+    p.add_argument("--dsir-target", default=None,
+                   help="parquet of the TARGET corpus for DSIR (required "
+                        "with --min-dsir-weight; raw = the input corpus)")
+    p.add_argument("--dsir-buckets", type=int, default=4096)
     # stage 2: language
     p.add_argument("--langs", default=None, help="comma list, e.g. en,fr")
     # stage 3: decontamination
@@ -178,6 +189,36 @@ def main(argv=None) -> int:
         print(json.dumps({"stage": "lm_quality",
                           "min_lm_logprob": args.min_lm_logprob,
                           "ref": args.lm_ref or "self",
+                          "docs_out": kept, "docs_dropped": n - kept}))
+        n = kept
+
+    # ---- 1c: DSIR importance floor --------------------------------------
+    if args.min_dsir_weight is not None:
+        if not args.dsir_target:
+            p.error("--min-dsir-weight requires --dsir-target")
+        from tmframe_spark.text.dsir import dsir_fit, dsir_weights
+
+        target = dsir_fit(
+            spark.read.parquet(args.dsir_target),
+            args.id_col, args.text_col, n_buckets=args.dsir_buckets,
+        )
+        raw = dsir_fit(docs, args.id_col, args.text_col,
+                       n_buckets=args.dsir_buckets)
+        scores = dsir_weights(
+            docs, target, raw, id_col=args.id_col, text_col=args.text_col
+        ).select(args.id_col, "avg_weight")
+        docs = (
+            docs.join(scores, args.id_col)
+            .where(
+                F.col("avg_weight").isNull()
+                | (F.col("avg_weight") >= args.min_dsir_weight)
+            )
+            .withColumnRenamed("avg_weight", "dsir_weight")
+            .localCheckpoint(eager=True)
+        )
+        kept = docs.count()
+        print(json.dumps({"stage": "dsir", "min_dsir_weight": args.min_dsir_weight,
+                          "target": args.dsir_target,
                           "docs_out": kept, "docs_dropped": n - kept}))
         n = kept
 

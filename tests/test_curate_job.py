@@ -201,3 +201,41 @@ def test_curate_lm_quality_stage(spark, capsys):
     assert set(got) == {1, 4}
     assert got[1]["lm_logprob"] == scores[1]
     assert got[4]["lm_logprob"] is None
+
+
+def test_curate_dsir_stage(spark, capsys):
+    """--min-dsir-weight: docs leaning toward the target corpus survive;
+    off-domain docs drop; dsir_weight kept as metadata."""
+    import tempfile
+
+    target_rows = [(i, "the quick brown fox jumps over the lazy dog")
+                   for i in range(6)]
+    rows = [
+        (1, "the quick brown fox naps near the lazy dog"),   # target-like
+        (2, "stock prices fell sharply in early trading today"),
+        (3, "market volatility increased amid economic uncertainty"),
+    ]
+    tgt = tempfile.mkdtemp(prefix="curate_dsir_t_")
+    src = tempfile.mkdtemp(prefix="curate_dsir_s_")
+    out = tempfile.mkdtemp(prefix="curate_dsir_o_")
+    spark.createDataFrame(target_rows, "doc_id long, text string").write.mode(
+        "overwrite").parquet(tgt)
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite").parquet(src)
+
+    from tmframe_spark.text.dsir import dsir_fit, dsir_weights
+
+    docs = spark.read.parquet(src)
+    scores = {r["doc_id"]: r["avg_weight"] for r in dsir_weights(
+        docs, dsir_fit(spark.read.parquet(tgt)), dsir_fit(docs)).collect()}
+    assert scores[1] > max(scores[2], scores[3])
+    floor = (scores[1] + max(scores[2], scores[3])) / 2
+
+    rc, stages, _ = _run([
+        "--input", src, "--output", out, "--dedup", "off",
+        "--min-dsir-weight", str(floor), "--dsir-target", tgt,
+    ], capsys)
+    assert rc == 0
+    assert stages["dsir"]["docs_dropped"] == 2
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1} and got[1]["dsir_weight"] == scores[1]
