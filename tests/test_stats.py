@@ -319,3 +319,24 @@ def test_interarrival_single_turn_null(spark):
     out = {r["conv_id"]: r for r in interarrival_stats(df).collect()}
     assert "c0" not in out  # zero gaps -> no row (no gap ever observed)
     assert out["c1"]["n_gaps"] == 1 and out["c1"]["fano"] is None
+
+
+def test_role_transitions_reference(spark):
+    from tmframe_spark.ops.stats import role_transitions
+
+    rows = [
+        ("c0", 0, "user", T0),
+        ("c0", 1, "assistant", T0 + datetime.timedelta(seconds=1)),
+        ("c0", 2, "tool", T0 + datetime.timedelta(seconds=2)),
+        ("c0", 3, "assistant", T0 + datetime.timedelta(seconds=3)),
+        ("c1", 0, "user", T0),
+        ("c1", 1, "assistant", T0 + datetime.timedelta(seconds=1)),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx long, role string, ts timestamp")
+    got = {(r["role_from"], r["role_to"]): r["n"]
+           for r in role_transitions(df).collect()}
+    assert got == {
+        ("user", "assistant"): 2,
+        ("assistant", "tool"): 1,
+        ("tool", "assistant"): 1,
+    }

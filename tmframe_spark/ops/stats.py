@@ -323,3 +323,19 @@ def interarrival_stats(
             num.cast("double") / den.cast("double"),
         ).alias("fano"),
     )
+
+
+def role_transitions(transcripts: DataFrame) -> DataFrame:
+    """Turn-taking transition matrix: counts of (role_from, role_to) over
+    consecutive turns within each conversation, aggregated corpus-wide —
+    the conversation-flow fingerprint (user->assistant vs assistant->tool
+    chains etc.). All integers; one conv-keyed window + one
+    map-side-combined aggregate over a |roles|^2-sized output."""
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    prev = F.lag("role", 1).over(w)
+    return (
+        transcripts.select(prev.alias("role_from"), F.col("role").alias("role_to"))
+        .where(F.col("role_from").isNotNull())
+        .groupBy("role_from", "role_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

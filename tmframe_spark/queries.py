@@ -1420,6 +1420,16 @@ def q_interarrival_fano(spark, sf_dir):
     return interarrival_stats(t)
 
 
+def q_role_transitions(spark, sf_dir):
+    """Turn-taking transition matrix over the full corpus: counts of
+    (role_from, role_to) across consecutive turns per conversation — the
+    conversation-flow fingerprint, all integers. FULL oracle in the
+    pytest mirror."""
+    from tmframe_spark.ops.stats import role_transitions
+
+    return role_transitions(_t(spark, sf_dir))
+
+
 def q_doc_novelty(spark, sf_dir):
     """IDF-weighted shingle novelty per document: every 3-word shingle
     instance weighted by floor(log2 N) - floor(log2 df) — exact integers
@@ -1759,6 +1769,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_drift: FULL oracle in the pytest mirror (same bucketing;
         # exact cross-multiplied rate contrasts).
         "corpus_drift": q_corpus_drift,
+        # role_transitions: FULL oracle in the pytest mirror (same lag
+        # ordering; integer transition counts).
+        "role_transitions": q_role_transitions,
     }
 
 
@@ -2839,6 +2852,18 @@ SELECT conv_id, n_forecasts, err_abs_sum, n_naive, naive_abs_sum,
                  / CAST(n_forecasts * naive_abs_sum AS DOUBLE)
        END AS mase
 FROM a
+""",
+        # role_transitions: identical (ts, turn_idx) lag ordering per
+        # conversation; integer transition counts.
+        "role_transitions": f"""
+WITH {_T_CTE},
+l AS (SELECT conv_id, role,
+             lag(role, 1) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+               AS role_from
+      FROM transcripts)
+SELECT role_from, role AS role_to, CAST(count(*) AS BIGINT) AS n
+FROM l WHERE role_from IS NOT NULL
+GROUP BY role_from, role
 """,
         # corpus_drift: the dsir feature/bucket pipeline split into the
         # even/odd doc_id slices; exact integer cross-multiplied contrast.
