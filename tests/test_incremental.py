@@ -183,3 +183,60 @@ def test_empty_batch_and_bad_params(spark, tmp_path):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert dedup_against_index(empty, path).count() == 0
     assert cross_dup_pairs(empty, path).count() == 0
+
+
+def test_append_is_crash_atomic(spark, tmp_path):
+    """A crash ANYWHERE inside minhash_index_append — simulated at its worst
+    point, all three tables fully written but the meta commit not reached —
+    leaves every probe answering exactly as before the append; a later
+    committed append under a FRESH token brings the batch in whole, and
+    vacuum removes the orphan (round-5 verdict finding #3)."""
+    from tmframe_spark.text.incremental import minhash_index_vacuum
+
+    base = spark.createDataFrame(
+        [(i, f"base document number {i} about topic {i % 7} alpha beta gamma")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    minhash_index_write(base, path, k=64, bands=16)
+    committed_before = read_index_meta(path)["batches"]
+
+    b1 = spark.createDataFrame(
+        [(100, "crashy batch text epsilon zeta eta theta iota kappa unique")],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(300, "crashy batch text epsilon zeta eta theta iota kappa unique"),
+         (301, "entirely different content lambda mu nu xi omicron pi rho")],
+        "doc_id long, text string",
+    )
+    before = {r["doc_id"] for r in dedup_against_index(probe, path, 0.5).collect()}
+    assert before == {300, 301}  # b1 not ingested yet: 300 survives
+
+    # the simulated crash: tables written (same code path as append), meta
+    # commit never runs
+    params = {x: read_index_meta(path)[x] for x in ("k", "bands", "shingle_k", "nmods")}
+    minhash_index_write(b1, path, mode="append", **params)
+    assert read_index_meta(path)["batches"] == committed_before
+    after_crash = {r["doc_id"] for r in dedup_against_index(probe, path, 0.5).collect()}
+    assert after_crash == before, "half-committed batch leaked into a probe"
+
+    # retried ingest commits under a fresh token -> the batch is in WHOLE
+    minhash_index_append(b1, path)
+    meta = read_index_meta(path)
+    assert len(meta["batches"]) == len(committed_before) + 1
+    after = {r["doc_id"] for r in dedup_against_index(probe, path, 0.5).collect()}
+    assert after == {301}
+
+    # vacuum removes exactly the orphan token's directories
+    import os
+
+    orphans = minhash_index_vacuum(path)
+    assert len(orphans) == 1 and orphans[0] not in meta["batches"]
+    for table in ("sigs", "bands", "exact"):
+        toks = {d.split("=", 1)[1] for d in os.listdir(os.path.join(path, table))
+                if d.startswith("batch=")}
+        assert toks <= set(meta["batches"])
+    # and the vacuumed index still answers identically
+    assert {r["doc_id"] for r in dedup_against_index(probe, path, 0.5).collect()} == after

@@ -175,3 +175,55 @@ def test_init_centroids_matches_collect_rule(spark):
         for i, r in enumerate(emb.orderBy("vec_id").limit(5).collect())
     }
     assert got == ref
+
+
+# --- round-5 advice fixes --------------------------------------------------
+
+
+def test_dead_coarse_groups_dropped_and_renumbered(spark, tmp_path):
+    # duplicate 1-dim centroids make ivf_train's coarse quantizer carry a
+    # never-winning init cell: init coarse = [0],[0],[10]; every fine row
+    # ties to the LOWEST group, so group 1 owns zero fine centroids. Before
+    # the fix the probe stage could argsort a vector into the dead group and
+    # _load_shard crashed on the missing cells/grp=1 directory.
+    cdf = spark.createDataFrame(
+        [(0, [0.0]), (1, [0.0]), (2, [10.0]), (3, [10.0])],
+        "cell int, centroid array<double>",
+    )
+    path = str(tmp_path / "idx")
+    coarse = ivf_shard_centroids(cdf, path, n_coarse=3)
+    # the written coarse matrix holds only LIVE groups, contiguously numbered
+    assert len(coarse) == 2
+    import os
+
+    grp_dirs = sorted(d for d in os.listdir(f"{path}/cells") if d.startswith("grp="))
+    assert grp_dirs == ["grp=0", "grp=1"]
+    # a probe wider than the live groups (this would have crashed pre-fix)
+    emb = spark.createDataFrame(
+        [(100, [0.0]), (101, [10.0])], "vec_id long, embedding array<float>"
+    )
+    got = _amap(ivf_assign_sharded(emb, path, p_probe=3))
+    assert got == {100: 0, 101: 2}  # argmin ties -> lowest fine cell
+
+
+def test_rebuild_at_same_path_invalidates_worker_shard_cache(spark, tmp_path):
+    # python workers are REUSED across Spark jobs: before the per-build
+    # token, rebuilding an index at the same path served the FIRST build's
+    # shards from the task-side LRU (the CLAUDE.md task-cache trap).
+    path = str(tmp_path / "idx")
+    emb = spark.createDataFrame(
+        [(i, [0.0]) for i in range(40)], "vec_id long, embedding array<float>"
+    )
+    a = spark.createDataFrame(
+        [(0, [0.0]), (1, [10.0])], "cell int, centroid array<double>"
+    )
+    ivf_shard_centroids(a, path, n_coarse=1)
+    got_a = _amap(ivf_assign_sharded(emb, path, p_probe=1))
+    assert set(got_a.values()) == {0}
+    # rebuild at the SAME path with the cells' values swapped
+    b = spark.createDataFrame(
+        [(0, [10.0]), (1, [0.0])], "cell int, centroid array<double>"
+    )
+    ivf_shard_centroids(b, path, n_coarse=1)
+    got_b = _amap(ivf_assign_sharded(emb, path, p_probe=1))
+    assert set(got_b.values()) == {1}, "stale shard served after rebuild"

@@ -126,3 +126,61 @@ def test_pq_geometry_validation(spark, emb):
     books = pq_train(emb, m=8, ksub=16, iters=1)
     assert pq_encode(empty, books).count() == 0
     assert pq_topk(pq_encode(empty, books), books, [0.0] * 64, k=5).count() == 0
+
+
+# --- distributed full-corpus trainer (round-5 verdict next #2) ------------
+
+
+def test_pq_train_distributed_bit_equals_sample_twin(emb):
+    # corpus fits inside pq_train's sample (sf0.001 embeddings) => the two
+    # trainers see the SAME rows, share the init rule, and the fixed-point
+    # M-step is order-free integer sums + two exact IEEE ops => bit-equal
+    from tmframe_spark.vec.pq import pq_train_distributed
+
+    n = emb.count()
+    ref = pq_train(emb, m=8, ksub=16, iters=2, sample_cap=n)
+    stats = []
+    got = pq_train_distributed(emb, m=8, ksub=16, iters=2, stats_out=stats)
+    assert got == ref
+    # the per-iteration driver collect is codebook-shaped, never corpus-shaped
+    dim = len(emb.select("embedding").limit(1).collect()[0][0])
+    assert all(s <= dim * 16 for s in stats) and len(stats) == 2
+
+
+def test_pq_train_distributed_partitioning_invariant(emb):
+    from tmframe_spark.vec.pq import pq_train_distributed
+
+    a = pq_train_distributed(emb.repartition(3), m=4, ksub=8, iters=2)
+    b = pq_train_distributed(emb.repartition(11), m=4, ksub=8, iters=2)
+    assert a == b
+
+
+def test_pq_train_distributed_past_the_sample_cap(emb, monkeypatch):
+    # shrink the collect cap so the driver-sample twin REFUSES the corpus;
+    # the distributed trainer must still train (and on this corpus — which
+    # equals the untouched twin's sample — reproduce its codebooks exactly)
+    from tmframe_spark.vec import pq as pqmod
+    from tmframe_spark.vec.pq import pq_train_distributed
+
+    n = emb.count()
+    ref = pq_train(emb, m=4, ksub=8, iters=1, sample_cap=n)
+    dim = len(emb.select("embedding").limit(1).collect()[0][0])
+    monkeypatch.setattr(pqmod, "PQ_TRAIN_ELEMENT_CAP", dim * 8 + 1)
+    with pytest.raises(ValueError, match="pq_train would collect"):
+        pq_train(emb, m=4, ksub=8, iters=1, sample_cap=n)
+    assert pq_train_distributed(emb, m=4, ksub=8, iters=1) == ref
+
+
+def test_pq_build_index_full_corpus_matches_sample_trainer(emb, tmp_path, spark):
+    # sf0.001 corpus <= sample => identical codebooks => identical codes and
+    # identical serving results through the written index
+    n = emb.count()
+    books_s = pq_build_index(emb, str(tmp_path / "s"), m=8, ksub=16, iters=2)
+    books_f = pq_build_index(
+        emb, str(tmp_path / "f"), m=8, ksub=16, iters=2, full_corpus=True
+    )
+    assert books_f == books_s
+    qv = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    a = _rows(pq_topk_from_index(spark, str(tmp_path / "s"), books_s, qv, k=5))
+    b = _rows(pq_topk_from_index(spark, str(tmp_path / "f"), books_f, qv, k=5))
+    assert a == b

@@ -1410,7 +1410,9 @@ def q_ewma_1h(spark, sf_dir):
 
 def q_interarrival_fano(spark, sf_dir):
     """Inter-arrival burstiness per conversation (subset convs): exact
-    int64 moments of the microsecond gaps between consecutive turns;
+    int64 moments of the MILLISECOND gaps between consecutive turns
+    (ms, not us, deliberately: one month-sized us gap squared overflows
+    the int64 sum of squares — do not "fix" the unit back to us);
     fano = (n*sum_sq - sum^2) / (n*sum) as ONE IEEE division of exact
     integer products — Poisson traffic ~1, bursty agent traffic >>1.
     FULL oracle in the pytest mirror."""
@@ -1761,7 +1763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of the exact integer recurrence).
         "ewma_1h": q_ewma_1h,
         # interarrival_fano: FULL oracle in the pytest mirror (lag over
-        # epoch-us; fano = one division of exact integer products).
+        # epoch-MS — ms not us, us gaps overflow int64 squared sums;
+        # fano = one division of exact integer products).
         "interarrival_fano": q_interarrival_fano,
         # dsir_scores: FULL oracle in the pytest mirror (identical md5
         # bucketing; exact integer kernel inner products).

@@ -29,11 +29,20 @@ to (corpus, batch) pairs — asserted bit-for-bit in the tests, est_jaccard
 included.
 
 Scale shape (100 TB posture): the index is append-only (``
-minhash_index_append`` folds each batch's survivors in — parquet appends
-into the same partition dirs); probing shuffles only batch-sized and
-candidate-sized data keyed by (band, bucket) or id; the corpus is never
-self-joined. Reference analog: the archive's ingest-then-serve lifecycle
-(SURVEY §2.1 S10) applied to the dedup domain.
+minhash_index_append`` folds each batch's survivors in); probing shuffles
+only batch-sized and candidate-sized data keyed by (band, bucket) or id;
+the corpus is never self-joined. Reference analog: the archive's
+ingest-then-serve lifecycle (SURVEY §2.1 S10) applied to the dedup domain.
+
+Crash atomicity (round-5 verdict finding #3): each ingest writes its rows
+under a fresh ``batch=<token>`` partition in all three tables, and the
+batch token is added to ``meta.json``'s ``batches`` list ONLY after all
+three writes succeed (``os.replace`` — the same atomic fence as the
+consolidation manifest). Probes filter every table to committed batches,
+so a crash anywhere mid-append leaves the index answering exactly as if
+the batch never arrived; tokens are never reused, so a retried ingest can
+never double-count a half-written batch. ``minhash_index_vacuum`` removes
+uncommitted batch directories after a crash.
 """
 
 from __future__ import annotations
@@ -89,35 +98,57 @@ def minhash_index_write(
     shingle_k: int = 3,
     nmods: int = INDEX_NMODS,
     mode: str = "overwrite",
+    batch: str | None = None,
 ) -> dict:
     """Build (or, mode='append', extend) the persisted dedup index for a
     corpus. Returns the params manifest. The signature projection is
     eagerly localCheckpoint'd once and feeds all three tables (the repo's
-    multi-consumer rule)."""
+    multi-consumer rule).
+
+    Every write lands under a fresh ``batch=<token>`` partition; the token
+    enters ``meta.json``'s committed ``batches`` list only AFTER all three
+    tables are written (overwrite commits here; append's commit lives in
+    ``minhash_index_append`` so a crash anywhere before it leaves the batch
+    invisible to probes)."""
+    import uuid
+
     if k % bands != 0:
         raise ValueError(f"k={k} must be a multiple of bands={bands}")
     r = k // bands
+    if batch is None:
+        batch = uuid.uuid4().hex
+    bcol = F.lit(batch).alias("batch")
     sigs = minhash_signatures(df, id_col, text_col, k, shingle_k).localCheckpoint(
         eager=True
     )
-    sigs.withColumn("id_mod", _mod(F.col("id"), nmods)).write.mode(mode).partitionBy(
-        "id_mod"
-    ).parquet(os.path.join(path, "sigs"))
+    sigs.select("*", bcol).withColumn("id_mod", _mod(F.col("id"), nmods)).write.mode(
+        mode
+    ).partitionBy("batch", "id_mod").parquet(os.path.join(path, "sigs"))
     band_rows = sigs.select(
         "id", F.posexplode(band_buckets(F.col("sig"), bands, r)).alias("band", "bucket")
     )
-    band_rows.withColumn("bucket_mod", _mod(F.col("bucket"), nmods)).write.mode(
-        mode
-    ).partitionBy("bucket_mod").parquet(os.path.join(path, "bands"))
+    band_rows.select("*", bcol).withColumn(
+        "bucket_mod", _mod(F.col("bucket"), nmods)
+    ).write.mode(mode).partitionBy("batch", "bucket_mod").parquet(
+        os.path.join(path, "bands")
+    )
     exact = df.select(
         norm_text_md5(F.col(text_col)).alias("h"), F.col(id_col).alias("id")
     )
-    exact.withColumn("h_mod", _mod(F.xxhash64(F.col("h")), nmods)).write.mode(
-        mode
-    ).partitionBy("h_mod").parquet(os.path.join(path, "exact"))
-    meta = {"k": k, "bands": bands, "shingle_k": shingle_k, "nmods": nmods}
+    exact.select("*", bcol).withColumn(
+        "h_mod", _mod(F.xxhash64(F.col("h")), nmods)
+    ).write.mode(mode).partitionBy("batch", "h_mod").parquet(
+        os.path.join(path, "exact")
+    )
+    meta = {
+        "k": k,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "nmods": nmods,
+        "batches": [batch],
+    }
     if mode == "overwrite":
-        _write_meta(path, meta)
+        _write_meta(path, meta)  # the commit fence: tables first, meta last
     return meta
 
 
@@ -126,11 +157,53 @@ def minhash_index_append(
 ) -> dict:
     """Fold a new batch (normally ``dedup_against_index``'s survivors) into
     an existing index, with the index's OWN stored parameters — a caller
-    cannot drift k/bands/shingle_k between batches."""
+    cannot drift k/bands/shingle_k between batches.
+
+    CRASH-ATOMIC: the three table appends land under one fresh batch token,
+    and the token is committed into ``meta.json`` (atomic ``os.replace``)
+    only after every write succeeded. Probes read committed batches only,
+    so a crash at ANY point in here makes the whole batch invisible — never
+    a sigs/bands/exact mix that silently under-detects duplicates. Tokens
+    are never reused; a crashed ingest's directories are garbage until
+    ``minhash_index_vacuum``."""
     meta = read_index_meta(path)
-    return minhash_index_write(
-        df, path, id_col, text_col, mode="append", **meta
-    )
+    params = {x: meta[x] for x in ("k", "bands", "shingle_k", "nmods")}
+    written = minhash_index_write(df, path, id_col, text_col, mode="append", **params)
+    new_batch = written["batches"][0]
+    committed = dict(meta, batches=meta.get("batches", []) + [new_batch])
+    _write_meta(path, committed)
+    return committed
+
+
+def minhash_index_vacuum(path: str) -> list[str]:
+    """Delete UNCOMMITTED batch directories (a crashed ingest's leftovers)
+    from the three tables; returns the removed batch tokens. Safe to run
+    concurrently with probes: probes never read uncommitted batches."""
+    import shutil
+
+    committed = set(read_index_meta(path).get("batches", []))
+    removed = set()
+    for table in ("sigs", "bands", "exact"):
+        troot = os.path.join(path, table)
+        if not os.path.isdir(troot):
+            continue
+        for d in os.listdir(troot):
+            if d.startswith("batch=") and d.split("=", 1)[1] not in committed:
+                shutil.rmtree(os.path.join(troot, d))
+                removed.add(d.split("=", 1)[1])
+    return sorted(removed)
+
+
+def _committed(spark, path: str, table: str, nmods_col: str, mods: list):
+    """Read one index table pruned to committed batches + the probe's
+    touched mod partitions (both are partition columns -> PartitionFilters;
+    an uncommitted batch is never listed into the scan)."""
+    meta = read_index_meta(path)
+    df = spark.read.parquet(os.path.join(path, table))
+    batches = meta.get("batches")
+    if batches is not None and "batch" in df.columns:
+        df = df.where(F.col("batch").isin(batches))
+    return df.where(F.col(nmods_col).isin(mods))
 
 
 def exact_dups_against_index(
@@ -145,10 +218,8 @@ def exact_dups_against_index(
         F.col(id_col).alias("id_new"), norm_text_md5(F.col(text_col)).alias("h")
     ).withColumn("h_mod", _mod(F.xxhash64(F.col("h")), nmods))
     mods = [r[0] for r in probe.select("h_mod").distinct().collect()]
-    idx = (
-        spark.read.parquet(os.path.join(path, "exact"))
-        .where(F.col("h_mod").isin(mods))
-        .select("h", F.col("id").alias("id_corpus"))
+    idx = _committed(spark, path, "exact", "h_mod", mods).select(
+        "h", F.col("id").alias("id_corpus")
     )
     return (
         probe.join(idx, "h")
@@ -182,10 +253,8 @@ def cross_dup_pairs(
         F.posexplode(band_buckets(F.col("sig"), bands, r)).alias("band", "bucket"),
     ).withColumn("bucket_mod", _mod(F.col("bucket"), nmods))
     probed = [r_[0] for r_ in band_new.select("bucket_mod").distinct().collect()]
-    idx = (
-        spark.read.parquet(os.path.join(path, "bands"))
-        .where(F.col("bucket_mod").isin(probed))
-        .select("band", "bucket", F.col("id").alias("id_corpus"))
+    idx = _committed(spark, path, "bands", "bucket_mod", probed).select(
+        "band", "bucket", F.col("id").alias("id_corpus")
     )
     # candidate-sized from here on; checkpoint before the two driver-visible
     # consumers (mod collect + verify join) so the band join runs once
@@ -201,10 +270,8 @@ def cross_dup_pairs(
         .distinct()
         .collect()
     ]
-    sigs_idx = (
-        spark.read.parquet(os.path.join(path, "sigs"))
-        .where(F.col("id_mod").isin(cmods))
-        .select(F.col("id").alias("id_corpus"), F.col("sig").alias("sig_corpus"))
+    sigs_idx = _committed(spark, path, "sigs", "id_mod", cmods).select(
+        F.col("id").alias("id_corpus"), F.col("sig").alias("sig_corpus")
     )
     est = F.size(
         F.filter(F.zip_with("sig_new", "sig_corpus", lambda x, y: x == y), lambda e: e)

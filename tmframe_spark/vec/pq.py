@@ -83,8 +83,8 @@ def pq_train(
         raise ValueError(
             f"pq_train would collect sample_cap*dim = {sample_cap * dim} "
             f"float64 values (cap {PQ_TRAIN_ELEMENT_CAP}); lower sample_cap "
-            f"or train subspaces with ivf_train_distributed over sliced "
-            f"columns"
+            f"or use pq_train_distributed (full-corpus Lloyd, bounded task "
+            f"memory, no driver collect of vectors)"
         )
     sample = embeddings.orderBy(id_col).limit(sample_cap).select(vec_col).collect()
     X = np.array([[float(v) for v in r[vec_col]] for r in sample], dtype=np.float64)
@@ -111,6 +111,128 @@ def pq_train(
                     C[c] = (qsum / len(pts)) / _Q
         books.append([[float(x) for x in row] for row in C])
     return books
+
+
+def pq_train_distributed(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats_out: list | None = None,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks on the FULL corpus with bounded task memory — the
+    scale successor to ``pq_train``'s driver-sample form (round-5 verdict
+    next #2): per-subspace distributed Lloyd reusing ``ivf_mstep``'s
+    partial-sum pattern with cell = (subspace, code).
+
+    Per iteration, ONE pass over the table:
+    - E-step (in the same Arrow batch): per subspace, the chunked
+      ELEMENTWISE squared-L2 argmin ``pq_train`` uses (not matmul — the
+      twin's bitwise-deterministic assignment rule, ties to the lowest
+      code);
+    - M-step partials: per (sub, code, pos-within-subspace), fixed-point
+      integer sums of floor(x * 2^20) reduced inside the task
+      (argsort + ``add.reduceat``) then combined by Spark's built-in
+      map-side (sub, code, pos) aggregation — a hot code with billions of
+      rows costs bounded memory at every stage;
+    - the driver collects exactly the codebook-shaped aggregate
+      (≤ m x ksub x dsub = dim x ksub rows — the codebook IS the result, so
+      this is the floor of any trainer) and patches its broadcast copy;
+      empty codes keep their previous centroid (the ``pq_train`` rule).
+
+    Init: the ``ksub`` lowest-id vectors' subvectors (seed-free), identical
+    to ``pq_train``'s first-ksub-of-the-sorted-sample rule — so on a corpus
+    no larger than ``pq_train``'s sample the two trainers are BIT-IDENTICAL
+    (integer sums are order-free; s/n then /2^20 are the same two exact
+    IEEE operations; pinned by tests/test_pq.py). ``stats_out`` receives
+    the per-iteration collected row count (bound test hook).
+    """
+    import numpy as np
+
+    first = embeddings.select(vec_col).limit(1).collect()
+    dim = len(first[0][0]) if first and first[0][0] is not None else 0
+    if dim == 0:
+        raise ValueError("pq_train_distributed needs at least one non-null vector")
+    dsub = _check_geometry(dim, m, ksub)
+    if dim * ksub > PQ_TRAIN_ELEMENT_CAP:
+        raise ValueError(
+            f"codebook itself has dim*ksub = {dim * ksub} elements "
+            f"(cap {PQ_TRAIN_ELEMENT_CAP}) — it must broadcast to encode, "
+            f"so a codebook this large cannot serve anyway; lower ksub or m"
+        )
+    init = embeddings.orderBy(id_col).limit(ksub).select(vec_col).collect()
+    X0 = np.array([[float(v) for v in r[vec_col]] for r in init], dtype=np.float64)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for s in range(m):
+        C = X0[: min(ksub, len(X0)), s * dsub : (s + 1) * dsub].copy()
+        if len(C) < ksub:  # degenerate tiny corpus: pad with repeats
+            C = np.vstack([C] * ((ksub + len(C) - 1) // len(C)))[:ksub]
+        books[s] = C
+    spark = embeddings.sparkSession
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(books)
+
+        def partials(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            B = bc.value
+            m_, ksub_, dsub_ = B.shape
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64)
+                frames = []
+                for s in range(m_):
+                    Xs = X[:, s * dsub_ : (s + 1) * dsub_]
+                    C = B[s]
+                    # the pq_train assignment verbatim: chunked elementwise
+                    # distances, argmin ties to the lowest code
+                    assign = _np.empty(len(Xs), dtype=_np.int64)
+                    for i in range(0, len(Xs), 1024):
+                        blk = Xs[i : i + 1024]
+                        d2 = ((blk[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                        assign[i : i + 1024] = _np.argmin(d2, axis=1)
+                    Qm = _np.floor(Xs * (1 << 20)).astype(_np.int64)
+                    order = _np.argsort(assign, kind="stable")
+                    cs = assign[order]
+                    uniq, firsts = _np.unique(cs, return_index=True)
+                    sums = _np.add.reduceat(Qm[order], firsts, axis=0)
+                    counts = _np.diff(_np.append(firsts, len(cs)))
+                    frames.append(
+                        _pd.DataFrame(
+                            {
+                                "sub": _np.full(len(uniq) * dsub_, s, dtype="int32"),
+                                "code": _np.repeat(uniq, dsub_).astype("int32"),
+                                "pos": _np.tile(
+                                    _np.arange(dsub_, dtype="int32"), len(uniq)
+                                ),
+                                "s": sums.ravel(),
+                                "n": _np.repeat(counts, dsub_).astype("int64"),
+                            }
+                        )
+                    )
+                yield _pd.concat(frames, ignore_index=True)
+
+        agg = (
+            embeddings.select(vec_col)
+            .mapInPandas(partials, "sub int, code int, pos int, s long, n long")
+            .groupBy("sub", "code", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        if stats_out is not None:
+            stats_out.append(len(agg))
+        for r in agg:
+            # (s / n) / 2^20: same two exact IEEE ops as pq_train's
+            # (qsum / len(pts)) / _Q — division by 2^20 only scales the
+            # exponent, so equal s, n give bit-equal centroids
+            books[r["sub"], r["code"], r["pos"]] = (r["s"] / r["n"]) / _Q
+        bc.unpersist()
+    return [[[float(x) for x in row] for row in books[s]] for s in range(m)]
 
 
 def _codebook_matrix(codebooks):
@@ -261,13 +383,19 @@ def pq_build_index(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    full_corpus: bool = False,
 ) -> list[list[list[float]]]:
     """Build the PERSISTED PQ index: train codebooks, encode every vector,
     write the m-byte code table to ``path`` (plain parquet — the whole
     point is that the full scan is now tiny; pair with an IVF cell
     partitioning when pruning is also wanted). Returns the codebooks —
-    store them beside the index; they are the only state a query needs."""
-    books = pq_train(embeddings, m, ksub, iters, id_col, vec_col)
+    store them beside the index; they are the only state a query needs.
+
+    ``full_corpus=True`` trains with ``pq_train_distributed`` (every vector
+    participates, bounded task memory) instead of the driver-sample twin —
+    the right choice at corpus scale."""
+    train = pq_train_distributed if full_corpus else pq_train
+    books = train(embeddings, m, ksub, iters, id_col, vec_col)
     pq_encode(embeddings, books, id_col, vec_col).write.mode("overwrite").parquet(path)
     return books
 

@@ -798,25 +798,33 @@ def lsh_ann_topk(
 # day/minute seek (archiver/filemgr.go:94-104) — prune coarse, scan fine.
 # ---------------------------------------------------------------------------
 
-#: task-side shard cache: at most this many (index_path, grp) shards stay
-#: loaded per python worker — bounds worker memory at
+#: task-side shard cache: at most this many (index_path, build, grp) shards
+#: stay loaded per python worker — bounds worker memory at
 #: IVF_SHARD_CACHE_SHARDS x shard cap even when AQE coalesces many groups
 #: into one task. sortWithinPartitions("grp") upstream keeps each group's
 #: rows contiguous so the cache almost never thrashes.
 IVF_SHARD_CACHE_SHARDS = 4
 
-_shard_cache: "dict[tuple[str, int], tuple]" = {}
+_shard_cache: "dict[tuple[str, str, int], tuple]" = {}
 
 
-def _load_shard(index_path: str, grp: int):
+def _load_shard(index_path: str, grp: int, build: str = ""):
     """Load (cells int64[], Cm float64[n,dim]) for one coarse group from the
     written index, through a tiny per-worker LRU. Rows are sorted by cell id
     so argmin's first-occurrence tie rule means ties go to the LOWEST cell,
-    matching ivf_assign / ivf_assign_broadcast."""
+    matching ivf_assign / ivf_assign_broadcast.
+
+    ``build`` is the index's per-build token (``_build`` table, written by
+    ``ivf_shard_centroids``) and is part of the cache key: python workers
+    are REUSED across Spark jobs, so rebuilding an index at the SAME path
+    within one session would otherwise silently serve the previous build's
+    shards from this cache (the task-side-cache trap in CLAUDE.md — the
+    round-5 design dodged it only by convention via fresh per-iteration
+    paths)."""
     import numpy as np
     import pyarrow.parquet as pq
 
-    key = (index_path, int(grp))
+    key = (index_path, build, int(grp))
     hit = _shard_cache.pop(key, None)
     if hit is None:
         tbl = pq.read_table(f"{index_path}/cells/grp={int(grp)}")
@@ -851,12 +859,24 @@ def ivf_shard_centroids(
       ``ceil(sqrt(nlist))`` groups by default, trained with the existing
       in-cap ``ivf_train`` over the centroid ROWS (a two-level quantizer);
     - ``path/cells``: the fine table partitioned by ``grp`` — each
-      directory is one shard, loaded per-task at assignment time.
+      directory is one shard, loaded per-task at assignment time;
+    - ``path/build``: a fresh per-build token — part of the executor-side
+      shard-cache key, so rebuilding at the same path never serves a stale
+      shard from a reused python worker.
+
+    Coarse groups that win ZERO fine centroids (``ivf_train`` carries empty
+    cells' init centroids, so the trained coarse matrix can contain them)
+    are DROPPED and the survivors renumbered before writing: the probe
+    stage argsorts over the written coarse matrix, and a dead group has no
+    ``cells/grp=g`` directory to load — routing a vector there would fail
+    the whole assignment job (round-5 advice, medium).
 
     Fails loudly if any single shard would exceed ``IVF_BROADCAST_CELL_CAP``
     elements (the per-task load bound — the same honest-boundary style as
-    the caps it supersedes). Returns the coarse centroid matrix."""
+    the caps it supersedes). Returns the (live-only) coarse centroid
+    matrix."""
     import math
+    import uuid
 
     nlist = centroids.count()
     if nlist == 0:
@@ -880,18 +900,39 @@ def ivf_shard_centroids(
         )
     )
     assigned = assigned.localCheckpoint(eager=True)
-    biggest = assigned.groupBy("grp").count().agg(F.max("count")).collect()[0][0]
+    # drop dead coarse groups (zero fine members) and renumber contiguously;
+    # the per-group counts double as the hottest-shard cap check. n_coarse
+    # rows at most — a bounded driver read.
+    counts = {
+        r["grp"]: r["n"]
+        for r in assigned.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    biggest = max(counts.values())
     if biggest * dim > IVF_BROADCAST_CELL_CAP:
         raise ValueError(
             f"ivf_shard_centroids: hottest coarse group holds {biggest} "
             f"centroids x dim {dim} > per-shard cap {IVF_BROADCAST_CELL_CAP}; "
             f"raise n_coarse (currently {n_coarse})"
         )
+    live = sorted(counts)
+    if len(live) < len(coarse):
+        remap = F.create_map(
+            *[F.lit(v) for old, new in zip(live, range(len(live))) for v in (old, new)]
+        )
+        assigned = assigned.select(
+            remap[F.col("grp")].cast("int").alias("grp"), "cell", "centroid"
+        )
+        coarse = [coarse[g] for g in live]
     assigned.write.mode("overwrite").partitionBy("grp").parquet(f"{path}/cells")
     spark = centroids.sparkSession
     spark.createDataFrame(
         [(g, c) for g, c in enumerate(coarse)], "grp int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
+    # the build token LAST — readers key their worker-side shard cache on it,
+    # so it must only become visible once the shards it names are complete
+    spark.createDataFrame(
+        [(uuid.uuid4().hex,)], "build string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/build")
     return coarse
 
 
@@ -931,6 +972,13 @@ def ivf_assign_sharded(
     G = np.array([r["centroid"] for r in coarse_rows], dtype=np.float64)
     p = max(1, min(p_probe, G.shape[0]))
     bc = spark.sparkContext.broadcast(G)
+    # per-build token -> executor shard-cache key (pre-token indexes read as
+    # ""; rebuilt-at-same-path indexes then get a fresh key, so reused python
+    # workers can never serve the previous build's shards)
+    try:
+        build = spark.read.parquet(f"{index_path}/build").collect()[0]["build"]
+    except Exception:
+        build = ""
 
     probe_fields = StructType(list(embeddings.schema.fields)).add("grp", IntegerType())
 
@@ -969,7 +1017,7 @@ def ivf_assign_sharded(
             out_d = _np.empty(len(pdf), dtype=_np.float64)
             grps = pdf["grp"].to_numpy()
             for g in _np.unique(grps):
-                cells, Cm = _load_shard(index_path, int(g))
+                cells, Cm = _load_shard(index_path, int(g), build)
                 mask = grps == g
                 X = _np.stack(pdf.loc[mask, vec_col].to_numpy()).astype(_np.float64)
                 d = X @ (-2.0 * Cm.T) + (Cm * Cm).sum(axis=1)
