@@ -1619,13 +1619,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "multimodal_features": q_multimodal_features,
         "rollup_1m_gapfill": q_rollup_1m_gapfill,
-        "rollup_1h_gapfill": q_rollup_1h_gapfill,
-        "rollup_1d": q_rollup_1d,
         "role_mix_1h": q_role_mix_1h,
         "ohlc_1h": q_ohlc_1h,
         "lttb_downsample": q_lttb_downsample,
         "interpolate_1m": q_interpolate_1m,
-        "tool_rates_1d": q_tool_rates_1d,
         "asof_last_at_or_before": q_asof_last_at_or_before,
         "asof_first_at_or_before": q_asof_first_at_or_before,
         "asof_last_in_force_before": q_asof_last_in_force_before,
@@ -1650,7 +1647,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_serving": q_range_serving,
         "frame_sizes": q_frame_sizes,
         "minute_index": q_minute_index,
-        "tfgroup_minute_counts": q_tfgroup_minute_counts,
         "sessionize": q_sessionize,
         "retention_1m": q_retention_1m,
         "rolling_turn_rate": q_rolling_turn_rate,
@@ -1665,6 +1661,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        # round-6 rotation (r5 verdict next #3): the driver window traded
+        # four heavy-overlap rollup-family oracles (rollup_1h_gapfill /
+        # rollup_1d / tool_rates_1d / tfgroup_minute_counts — all exercise
+        # the A1 tfgroup path rollup_1m_gapfill still covers) for the four
+        # newest LLM-pipeline operator families below; the demoted four keep
+        # their identical full oracles in the pytest mirror.
+        "mixture_sample": q_mixture_sample,
+        "dup_span_removal": q_dup_span_removal,
+        "lm_quality": q_lm_quality,
+        "dsir_scores": q_dsir_scores,
         # -- rows-only queries (non-SQL-expressible; pytest-twinned) -------
         # rollup_1m_salted yielded its oracle slot to range_serving: its
         # result is rollup_1m_gapfill's by construction, and the salting
@@ -1687,9 +1693,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_sharded_cells": q_ivf_sharded_cells,
         "semantic_dedup": q_semantic_dedup,
         "incremental_dedup": q_incremental_dedup,
-        # mixture_sample: FULL oracle in the pytest mirror (HUGEINT
-        # integer-plan recomputation, epochs included).
-        "mixture_sample": q_mixture_sample,
+        # rollup_1h_gapfill / rollup_1d / tool_rates_1d /
+        # tfgroup_minute_counts: FULL oracles in the pytest mirror —
+        # demoted from the driver window in round 6 (they overlap
+        # rollup_1m_gapfill's A1 path) to free slots for the four promoted
+        # LLM-pipeline oracles above.
+        "rollup_1h_gapfill": q_rollup_1h_gapfill,
+        "rollup_1d": q_rollup_1d,
+        "tool_rates_1d": q_tool_rates_1d,
+        "tfgroup_minute_counts": q_tfgroup_minute_counts,
         # split_docs: FULL oracle in the pytest mirror (same integer band
         # thresholds as a DuckDB CASE).
         "split_docs": q_split_docs,
@@ -1731,9 +1743,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_novelty: FULL oracle in the pytest mirror (bin()-length
         # integer IDF weights over identical md5 shingles).
         "doc_novelty": q_doc_novelty,
-        # lm_quality: FULL oracle in the pytest mirror (bigram/unigram
-        # count CTEs + the same backoff class CASE; integer columns only).
-        "lm_quality": q_lm_quality,
         # bpe_subword_stats: rows-only by design (iterative trainer);
         # bit-equal to the classic sequential BPE reference in test_bpe.
         "bpe_subword_stats": q_bpe_subword_stats,
@@ -1743,9 +1752,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # heavy_hitters_exactk: FULL oracle in the pytest mirror (exact
         # GROUP BY — the k >> cardinality limit of the same cascade).
         "heavy_hitters_exactk": q_heavy_hitters_exactk,
-        # dup_span_removal: FULL oracle in the pytest mirror (span-hash
-        # coverage union + ordered rebuild restated in DuckDB).
-        "dup_span_removal": q_dup_span_removal,
         # anomaly_1m / seasonal_anomaly_1h / level_shift_1h: FULL oracles
         # in the pytest mirror (exact cross-multiplied integer window
         # predicates).
@@ -1766,9 +1772,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # epoch-MS — ms not us, us gaps overflow int64 squared sums;
         # fano = one division of exact integer products).
         "interarrival_fano": q_interarrival_fano,
-        # dsir_scores: FULL oracle in the pytest mirror (identical md5
-        # bucketing; exact integer kernel inner products).
-        "dsir_scores": q_dsir_scores,
         # corpus_drift: FULL oracle in the pytest mirror (same bucketing;
         # exact cross-multiplied rate contrasts).
         "corpus_drift": q_corpus_drift,
@@ -1782,8 +1785,6 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["rollup_1m_gapfill"] = _gapfill_rollup_sql("minute", f"conv_id IN {_SUBSET_SQL}")
-    o["rollup_1h_gapfill"] = _gapfill_rollup_sql("hour")
-    o["rollup_1d"] = _gapfill_rollup_sql("day")
 
     o["role_mix_1h"] = f"""
 WITH {_T_CTE}
@@ -1791,14 +1792,6 @@ SELECT conv_id, date_trunc('hour', ts) AS bucket, role,
        count(*) AS turns,
        CAST(sum(length(text)) AS BIGINT) AS token_volume
 FROM transcripts GROUP BY conv_id, date_trunc('hour', ts), role
-"""
-
-    o["tool_rates_1d"] = f"""
-WITH {_T_CTE}
-SELECT tool, date_trunc('day', ts) AS bucket,
-       count(*) AS calls, count(DISTINCT conv_id) AS convs
-FROM transcripts WHERE tool IS NOT NULL
-GROUP BY tool, date_trunc('day', ts)
 """
 
     o["ohlc_1h"] = f"""
@@ -2193,16 +2186,6 @@ SELECT conv_id, date_trunc('minute', ts) AS minute,
 FROM f GROUP BY conv_id, date_trunc('minute', ts)
 """
 
-    o["tfgroup_minute_counts"] = f"""
-WITH {_T_CTE},
-t AS (SELECT * FROM transcripts WHERE conv_id IN {_SUBSET_SQL}),
-m AS (SELECT date_trunc('minute', ts) AS minute, count(*) AS n FROM t GROUP BY 1),
-b AS (SELECT min(minute) AS mn, max(minute) AS mx FROM m),
-s AS (SELECT unnest(generate_series(mn, mx, interval 1 minute)) AS minute FROM b)
-SELECT s.minute AS minute, CAST(coalesce(m.n, 0) AS BIGINT) AS n
-FROM s LEFT JOIN m ON s.minute = m.minute
-"""
-
     o["sessionize"] = f"""
 WITH {_T_CTE},
 x AS (
@@ -2447,6 +2430,167 @@ scored AS (
 SELECT vec_id, dot / sqrt(CAST(qn AS DOUBLE) * CAST(vn AS DOUBLE)) AS cosine
 FROM scored
 ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+    # -- round-6 promotions (r5 verdict next #3): the four newest
+    # LLM-pipeline operator families moved INTO the driver window; their
+    # SQL is byte-identical to what the pytest mirror ran in round 5.
+
+    # mixture_sample: the identical integer mixture plan recomputed in
+    # SQL from the same per-lang counts — needed = part*total//10 with
+    # total = 2*min(cnt*10//part); per-row multiplicity = needed//cnt
+    # + (hash60 < (needed%cnt)*2^60//cnt), HUGEINT for the 2^60 scale
+    # (the engine computes the same thresholds in Python big ints; the
+    # fold of exact multiples into a keep-all threshold is multiplicity-
+    # equivalent, see ops/sample.mixture_plan). unnest(range(n))
+    # reproduces the dense epoch ids and drops n=0 rows like the
+    # non-outer explode.
+    o["mixture_sample"] = """
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents
+           WHERE lang IN ('de','en','es','fr','zh') GROUP BY lang),
+w AS (SELECT * FROM (VALUES ('en', 5), ('zh', 2), ('de', 1), ('fr', 1),
+                            ('es', 1)) AS t(lang, part)),
+cw AS (SELECT c.lang, c.cnt, w.part FROM c JOIN w USING (lang)),
+tot AS (SELECT 2 * MIN(cnt * 10 // part) AS total FROM cw),
+plan AS (SELECT lang, cnt, part, (part * total // 10) AS needed,
+                (part * total // 10) // cnt AS copies,
+                CAST((part * total // 10) % cnt AS HUGEINT)
+                  * 1152921504606846976 // cnt AS thr
+         FROM cw, tot),
+mult AS (SELECT d.doc_id, d.lang, p.copies
+           + CASE WHEN CAST(('0x' || substr(md5('11' || chr(31)
+                    || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < p.thr
+                  THEN 1 ELSE 0 END AS n
+         FROM documents d JOIN plan p USING (lang))
+SELECT doc_id, lang, CAST(unnest(range(n)) AS INT) AS epoch FROM mult
+"""
+
+    # dup_span_removal: identical md5 8-word span hashing (1-based
+    # slice i..i+7 == Spark slice(ws, i, 8)), arg_min == min_by
+    # canonical selection (id unique per (h, id) group, so no ties),
+    # coverage union via DISTINCT positions, ordered string_agg ==
+    # sorted-struct concat_ws rebuild.
+    o["dup_span_removal"] = r"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+tk AS (SELECT id, ws, len(ws) AS n FROM toks),
+sp AS (
+  SELECT id, n, i AS pos, md5(array_to_string(ws[i:i+7], ' ')) AS h
+  FROM (SELECT id, ws, n, unnest(generate_series(1, greatest(n - 7, 1))) AS i
+        FROM tk)
+),
+pi AS (SELECT h, id, min(pos) AS minpos FROM sp GROUP BY h, id),
+hi AS (SELECT h, count(*) AS docs, min(id) AS canon_id,
+              arg_min(minpos, id) AS canon_pos
+       FROM pi GROUP BY h),
+rm0 AS (
+  SELECT sp.id AS id,
+         unnest(generate_series(sp.pos, least(sp.pos + 7, sp.n))) AS p
+  FROM sp JOIN hi USING (h)
+  WHERE hi.docs >= 2 AND NOT (sp.id = hi.canon_id AND sp.pos = hi.canon_pos)
+),
+rmd AS (SELECT DISTINCT id, p FROM rm0),
+tok AS (
+  SELECT id, i AS p, ws[i] AS tok
+  FROM (SELECT id, ws, unnest(generate_series(1, len(ws))) AS i FROM tk)
+),
+kept AS (
+  SELECT t.id, t.p, t.tok FROM tok t
+  ANTI JOIN rmd r ON t.id = r.id AND t.p = r.p
+),
+reb AS (SELECT id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY id)
+SELECT tk.id AS doc_id, coalesce(reb.clean_text, '') AS clean_text,
+       CAST(tk.n AS BIGINT) AS n_tokens,
+       CAST(tk.n - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
+FROM tk LEFT JOIN reb USING (id)
+"""
+
+    # lm_quality: bigram/unigram counts over the doc_id % 10 != 0
+    # reference slice, identical "w1 w2" gram keys, and the same
+    # three-way Stupid-Backoff position-class CASE; docs with <2
+    # tokens coalesce to all-zero rows on both engines. The scored set
+    # includes the same three _LM_PLANTED docs (restated literally) so
+    # backoff/oov are non-vacuous on the shared-vocabulary corpus.
+    o["lm_quality"] = r"""
+WITH scored_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    (9000000, 'zzq1 scan zzq2 column zzq3'),
+    (9000010, 'window zzq4 sort zzq5 merge'),
+    (9000020, 'zzq6 zzq7 zzq6')) AS p(doc_id, text)
+),
+toks AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM scored_docs
+),
+pos AS (
+  SELECT id, ws[i] AS ctx, ws[i+1] AS w, ws[i] || ' ' || ws[i+1] AS gram
+  FROM (SELECT id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM toks WHERE len(ws) >= 2)
+),
+uni AS (SELECT w, count(*) AS c1
+        FROM (SELECT unnest(ws) AS w FROM toks WHERE id % 10 <> 0)
+        GROUP BY w),
+big AS (SELECT gram, count(*) AS c2 FROM pos WHERE id % 10 <> 0 GROUP BY gram),
+sc AS (
+  SELECT p.id,
+         count(*) AS n_scored,
+         sum(CASE WHEN b.c2 IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+         sum(CASE WHEN b.c2 IS NULL AND u.c1 IS NOT NULL THEN 1 ELSE 0 END)
+           AS backoffs,
+         sum(CASE WHEN b.c2 IS NULL AND u.c1 IS NULL THEN 1 ELSE 0 END)
+           AS oovs
+  FROM pos p LEFT JOIN big b USING (gram) LEFT JOIN uni u ON u.w = p.w
+  GROUP BY p.id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_scored, 0) AS BIGINT) AS n_scored,
+       CAST(coalesce(s.hits, 0) AS BIGINT) AS hits,
+       CAST(coalesce(s.backoffs, 0) AS BIGINT) AS backoffs,
+       CAST(coalesce(s.oovs, 0) AS BIGINT) AS oovs
+FROM scored_docs d LEFT JOIN sc s ON s.id = d.doc_id
+"""
+
+    # dsir_scores: identical unigram+2-shingle features (the
+    # doc_novelty short-doc convention), identical md5-prefix
+    # bucketing mod 512, exact integer kernel inner products
+    # against the doc_id-%-10 target/raw count tables.
+    o["dsir_scores"] = r"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+uni AS (SELECT id, unnest(ws) AS g FROM toks),
+big AS (
+  SELECT id, array_to_string(ws[i:i+1], ' ') AS g
+  FROM (SELECT id, ws, unnest(generate_series(1, greatest(len(ws) - 1, 1))) AS i
+        FROM toks)
+),
+feats AS (
+  SELECT id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 512 AS f
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+),
+per AS (SELECT id, f, count(*) AS c FROM feats GROUP BY id, f),
+tcnt AS (SELECT f, count(*) AS ct FROM feats WHERE id % 10 = 0 GROUP BY f),
+rcnt AS (SELECT f, count(*) AS cr FROM feats WHERE id % 10 <> 0 GROUP BY f),
+sc AS (
+  SELECT per.id,
+         sum(c) AS n_feats,
+         sum(c * coalesce(ct, 0)) AS dot_target,
+         sum(c * coalesce(cr, 0)) AS dot_raw
+  FROM per LEFT JOIN tcnt USING (f) LEFT JOIN rcnt USING (f)
+  GROUP BY per.id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(s.dot_target AS BIGINT) AS dot_target,
+       CAST(s.dot_raw AS BIGINT) AS dot_raw
+FROM documents d LEFT JOIN sc s ON s.id = d.doc_id
 """
 
     return o
@@ -2718,33 +2862,26 @@ SELECT per.id AS doc_id,
          / CAST(sum(c) AS BIGINT) AS dup_frac
 FROM per JOIN docs USING (h) GROUP BY per.id
 """,
-        # mixture_sample: the identical integer mixture plan recomputed in
-        # SQL from the same per-lang counts — needed = part*total//10 with
-        # total = 2*min(cnt*10//part); per-row multiplicity = needed//cnt
-        # + (hash60 < (needed%cnt)*2^60//cnt), HUGEINT for the 2^60 scale
-        # (the engine computes the same thresholds in Python big ints; the
-        # fold of exact multiples into a keep-all threshold is multiplicity-
-        # equivalent, see ops/sample.mixture_plan). unnest(range(n))
-        # reproduces the dense epoch ids and drops n=0 rows like the
-        # non-outer explode.
-        "mixture_sample": """
-WITH c AS (SELECT lang, count(*) AS cnt FROM documents
-           WHERE lang IN ('de','en','es','fr','zh') GROUP BY lang),
-w AS (SELECT * FROM (VALUES ('en', 5), ('zh', 2), ('de', 1), ('fr', 1),
-                            ('es', 1)) AS t(lang, part)),
-cw AS (SELECT c.lang, c.cnt, w.part FROM c JOIN w USING (lang)),
-tot AS (SELECT 2 * MIN(cnt * 10 // part) AS total FROM cw),
-plan AS (SELECT lang, cnt, part, (part * total // 10) AS needed,
-                (part * total // 10) // cnt AS copies,
-                CAST((part * total // 10) % cnt AS HUGEINT)
-                  * 1152921504606846976 // cnt AS thr
-         FROM cw, tot),
-mult AS (SELECT d.doc_id, d.lang, p.copies
-           + CASE WHEN CAST(('0x' || substr(md5('11' || chr(31)
-                    || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < p.thr
-                  THEN 1 ELSE 0 END AS n
-         FROM documents d JOIN plan p USING (lang))
-SELECT doc_id, lang, CAST(unnest(range(n)) AS INT) AS epoch FROM mult
+        # round-6 demotions: the four rollup-family oracles rotated out of
+        # the driver window (r5 verdict next #3) — identical SQL, identical
+        # rows+schema+bit-value compare, now run by the pytest mirror.
+        "rollup_1h_gapfill": _gapfill_rollup_sql("hour"),
+        "rollup_1d": _gapfill_rollup_sql("day"),
+        "tool_rates_1d": f"""
+WITH {_T_CTE}
+SELECT tool, date_trunc('day', ts) AS bucket,
+       count(*) AS calls, count(DISTINCT conv_id) AS convs
+FROM transcripts WHERE tool IS NOT NULL
+GROUP BY tool, date_trunc('day', ts)
+""",
+        "tfgroup_minute_counts": f"""
+WITH {_T_CTE},
+t AS (SELECT * FROM transcripts WHERE conv_id IN {_SUBSET_SQL}),
+m AS (SELECT date_trunc('minute', ts) AS minute, count(*) AS n FROM t GROUP BY 1),
+b AS (SELECT min(minute) AS mn, max(minute) AS mx FROM m),
+s AS (SELECT unnest(generate_series(mn, mx, interval 1 minute)) AS minute FROM b)
+SELECT s.minute AS minute, CAST(coalesce(m.n, 0) AS BIGINT) AS n
+FROM s LEFT JOIN m ON s.minute = m.minute
 """,
         # split_docs: the identical cumulative band thresholds (computed
         # once in Python from the 0.8/0.1/0.1 fractions; the last band is
@@ -2896,42 +3033,6 @@ SELECT coalesce(ca.f, cb.f) AS f,
          AS contrast
 FROM ca FULL OUTER JOIN cb ON ca.f = cb.f, na, nb
 """,
-        # dsir_scores: identical unigram+2-shingle features (the
-        # doc_novelty short-doc convention), identical md5-prefix
-        # bucketing mod 512, exact integer kernel inner products
-        # against the doc_id-%-10 target/raw count tables.
-        "dsir_scores": r"""
-WITH toks AS (
-  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS ws
-  FROM documents
-),
-uni AS (SELECT id, unnest(ws) AS g FROM toks),
-big AS (
-  SELECT id, array_to_string(ws[i:i+1], ' ') AS g
-  FROM (SELECT id, ws, unnest(generate_series(1, greatest(len(ws) - 1, 1))) AS i
-        FROM toks)
-),
-feats AS (
-  SELECT id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 512 AS f
-  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
-),
-per AS (SELECT id, f, count(*) AS c FROM feats GROUP BY id, f),
-tcnt AS (SELECT f, count(*) AS ct FROM feats WHERE id % 10 = 0 GROUP BY f),
-rcnt AS (SELECT f, count(*) AS cr FROM feats WHERE id % 10 <> 0 GROUP BY f),
-sc AS (
-  SELECT per.id,
-         sum(c) AS n_feats,
-         sum(c * coalesce(ct, 0)) AS dot_target,
-         sum(c * coalesce(cr, 0)) AS dot_raw
-  FROM per LEFT JOIN tcnt USING (f) LEFT JOIN rcnt USING (f)
-  GROUP BY per.id
-)
-SELECT d.doc_id,
-       CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
-       CAST(s.dot_target AS BIGINT) AS dot_target,
-       CAST(s.dot_raw AS BIGINT) AS dot_raw
-FROM documents d LEFT JOIN sc s ON s.id = d.doc_id
-""",
         # interarrival_fano: identical (ts, turn_idx) lag ordering;
         # epoch_ms == Spark unix_millis; the final contrast runs in
         # HUGEINT (== Spark decimal(38,0)) before one double division.
@@ -3008,52 +3109,6 @@ sc AS (SELECT conv_id, bucket, v AS value,
 SELECT conv_id, bucket, value, med, abs(value - med) AS abs_dev
 FROM sc WHERE n = 25
 """,
-        # lm_quality: bigram/unigram counts over the doc_id % 10 != 0
-        # reference slice, identical "w1 w2" gram keys, and the same
-        # three-way Stupid-Backoff position-class CASE; docs with <2
-        # tokens coalesce to all-zero rows on both engines. The scored set
-        # includes the same three _LM_PLANTED docs (restated literally) so
-        # backoff/oov are non-vacuous on the shared-vocabulary corpus.
-        "lm_quality": r"""
-WITH scored_docs AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT * FROM (VALUES
-    (9000000, 'zzq1 scan zzq2 column zzq3'),
-    (9000010, 'window zzq4 sort zzq5 merge'),
-    (9000020, 'zzq6 zzq7 zzq6')) AS p(doc_id, text)
-),
-toks AS (
-  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS ws
-  FROM scored_docs
-),
-pos AS (
-  SELECT id, ws[i] AS ctx, ws[i+1] AS w, ws[i] || ' ' || ws[i+1] AS gram
-  FROM (SELECT id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
-        FROM toks WHERE len(ws) >= 2)
-),
-uni AS (SELECT w, count(*) AS c1
-        FROM (SELECT unnest(ws) AS w FROM toks WHERE id % 10 <> 0)
-        GROUP BY w),
-big AS (SELECT gram, count(*) AS c2 FROM pos WHERE id % 10 <> 0 GROUP BY gram),
-sc AS (
-  SELECT p.id,
-         count(*) AS n_scored,
-         sum(CASE WHEN b.c2 IS NOT NULL THEN 1 ELSE 0 END) AS hits,
-         sum(CASE WHEN b.c2 IS NULL AND u.c1 IS NOT NULL THEN 1 ELSE 0 END)
-           AS backoffs,
-         sum(CASE WHEN b.c2 IS NULL AND u.c1 IS NULL THEN 1 ELSE 0 END)
-           AS oovs
-  FROM pos p LEFT JOIN big b USING (gram) LEFT JOIN uni u ON u.w = p.w
-  GROUP BY p.id
-)
-SELECT d.doc_id,
-       CAST(coalesce(s.n_scored, 0) AS BIGINT) AS n_scored,
-       CAST(coalesce(s.hits, 0) AS BIGINT) AS hits,
-       CAST(coalesce(s.backoffs, 0) AS BIGINT) AS backoffs,
-       CAST(coalesce(s.oovs, 0) AS BIGINT) AS oovs
-FROM scored_docs d LEFT JOIN sc s ON s.id = d.doc_id
-""",
         # heavy_hitters_exactk: at k=64 >> tool cardinality the MG cascade
         # never decrements, so the day sketch equals the exact GROUP BY
         # with err 0 and n_total = the day's total tool calls.
@@ -3065,49 +3120,6 @@ SELECT bucket, key, CAST(cnt AS BIGINT) AS cnt,
        CAST(sum(cnt) OVER (PARTITION BY bucket) AS BIGINT) AS n_total,
        CAST(0 AS BIGINT) AS err
 FROM c
-""",
-        # dup_span_removal: identical md5 8-word span hashing (1-based
-        # slice i..i+7 == Spark slice(ws, i, 8)), arg_min == min_by
-        # canonical selection (id unique per (h, id) group, so no ties),
-        # coverage union via DISTINCT positions, ordered string_agg ==
-        # sorted-struct concat_ws rebuild.
-        "dup_span_removal": r"""
-WITH toks AS (
-  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS ws
-  FROM documents
-),
-tk AS (SELECT id, ws, len(ws) AS n FROM toks),
-sp AS (
-  SELECT id, n, i AS pos, md5(array_to_string(ws[i:i+7], ' ')) AS h
-  FROM (SELECT id, ws, n, unnest(generate_series(1, greatest(n - 7, 1))) AS i
-        FROM tk)
-),
-pi AS (SELECT h, id, min(pos) AS minpos FROM sp GROUP BY h, id),
-hi AS (SELECT h, count(*) AS docs, min(id) AS canon_id,
-              arg_min(minpos, id) AS canon_pos
-       FROM pi GROUP BY h),
-rm0 AS (
-  SELECT sp.id AS id,
-         unnest(generate_series(sp.pos, least(sp.pos + 7, sp.n))) AS p
-  FROM sp JOIN hi USING (h)
-  WHERE hi.docs >= 2 AND NOT (sp.id = hi.canon_id AND sp.pos = hi.canon_pos)
-),
-rmd AS (SELECT DISTINCT id, p FROM rm0),
-tok AS (
-  SELECT id, i AS p, ws[i] AS tok
-  FROM (SELECT id, ws, unnest(generate_series(1, len(ws))) AS i FROM tk)
-),
-kept AS (
-  SELECT t.id, t.p, t.tok FROM tok t
-  ANTI JOIN rmd r ON t.id = r.id AND t.p = r.p
-),
-reb AS (SELECT id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
-               count(*) AS n_kept
-        FROM kept GROUP BY id)
-SELECT tk.id AS doc_id, coalesce(reb.clean_text, '') AS clean_text,
-       CAST(tk.n AS BIGINT) AS n_tokens,
-       CAST(tk.n - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
-FROM tk LEFT JOIN reb USING (id)
 """,
         # anomaly_1m: the identical gap-filled 1m spine + the identical
         # ROWS-frame (60 PRECEDING .. 1 PRECEDING) window, decided by the

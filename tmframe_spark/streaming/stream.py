@@ -274,3 +274,234 @@ def stream_ewma(
     return src.groupBy("conv_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_anomalies(
+    tiers: DataFrame,
+    value_col: str = "turns",
+    window: int = 60,
+    min_n: int = 12,
+    k: int = 3,
+) -> DataFrame:
+    """Streaming rolling-z-score outliers over a live tier feed — the
+    stateful form of ops/anomaly.robust_anomalies (season=None), for the
+    live-monitoring story: feed it stream_rollup's finalized buckets and
+    flagged rows come out as they happen instead of on the next batch scan.
+
+    State per conversation = the ring of the last ``window`` observed
+    bucket values plus their running int64 sum / sum-of-squares — exactly
+    the batch op's PRECEDING-rows frame, so each arriving bucket is decided
+    by the identical cross-multiplied integer predicate
+    ``n >= min_n AND n*(n*v - S)^2 > k^2*(n*SS - S^2)`` and the drained
+    output is bit-identical to the batch operator applied to the same
+    (conv, bucket)-ordered rows (pinned in tests/test_streaming_stateful).
+    Rows are processed in bucket order within each micro-batch; buckets
+    must arrive in order across batches (stream_rollup's append-mode
+    emission — a window finalizes only after the watermark passes — gives
+    exactly that). Same int64 overflow bounds as the batch op.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    src = tiers.select(
+        "conv_id", "bucket", F.col(value_col).cast("long").alias("value")
+    )
+    out_schema = StructType([f for f in src.schema.fields]).add(
+        "n", LongType()
+    ).add("num", LongType()).add("den", LongType())
+    state_schema = StructType(
+        [
+            StructField("i", LongType()),
+            StructField("ring", ArrayType(LongType())),
+            StructField("s", LongType()),
+            StructField("ss", LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            i, ring, s, ss = state.get
+            ring = list(ring) + [0] * (window - len(ring))
+        else:
+            i, ring, s, ss = 0, [0] * window, 0, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("bucket", kind="mergesort")
+            out = []
+            for row_pos, v in zip(pdf.index, pdf["value"]):
+                v = int(v)
+                n = min(i, window)
+                num = n * (n * v - s) * (n * v - s)
+                den = n * ss - s * s
+                if n >= min_n and num > k * k * den:
+                    out.append((row_pos, n, num, den))
+                # push v; evict the ring slot it replaces once full
+                if i >= window:
+                    old = ring[i % window]
+                    s -= old
+                    ss -= old * old
+                ring[i % window] = v
+                s += v
+                ss += v * v
+                i += 1
+            if out:
+                idx = [p for p, *_ in out]
+                flagged = pdf.loc[idx].copy()
+                flagged["n"] = pd.Series(
+                    [n for _, n, _, _ in out], index=idx, dtype="int64"
+                )
+                flagged["num"] = pd.Series(
+                    [x for _, _, x, _ in out], index=idx, dtype="int64"
+                )
+                flagged["den"] = pd.Series(
+                    [d for _, _, _, d in out], index=idx, dtype="int64"
+                )
+                yield flagged
+        state.update((i, ring[: min(i, window)], s, ss))
+
+    return src.groupBy("conv_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_level_shifts(
+    tiers: DataFrame,
+    value_col: str = "turns",
+    window: int = 30,
+    min_n: int = 12,
+    delta: int = 2,
+) -> DataFrame:
+    """Streaming level-shift candidates — the stateful form of
+    ops/anomaly.level_shifts. A changepoint needs ``window`` buckets of
+    AFTER-regime evidence, so the streaming form necessarily trails the
+    feed: each arriving bucket opens a pending candidate (capturing the
+    prev-frame sums at that moment) and joins the next-frames of earlier
+    pending candidates; a candidate is decided — by the identical
+    cross-multiplied integer predicate — the moment its next-frame fills to
+    ``window`` rows. Drained output is bit-identical to the batch operator
+    restricted to rows with a FULL next window (``n_next == window``); the
+    still-pending tail rows are exactly the ones the batch op would
+    re-decide when more data lands. State per conversation is bounded:
+    one ``window``-slot ring + at most ``window`` pending candidates.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    src = tiers.select(
+        "conv_id", "bucket", F.col(value_col).cast("long").alias("value")
+    )
+    out_schema = (
+        StructType([f for f in src.schema.fields])
+        .add("n_prev", LongType())
+        .add("s_prev", LongType())
+        .add("n_next", LongType())
+        .add("s_next", LongType())
+        .add("diff", LongType())
+    )
+    # pending candidates as parallel arrays; bucket kept as epoch-µs int64
+    state_schema = StructType(
+        [
+            StructField("i", LongType()),
+            StructField("ring", ArrayType(LongType())),
+            StructField("s", LongType()),
+            StructField("p_bucket", ArrayType(LongType())),
+            StructField("p_value", ArrayType(LongType())),
+            StructField("p_np", ArrayType(LongType())),
+            StructField("p_sp", ArrayType(LongType())),
+            StructField("p_nn", ArrayType(LongType())),
+            StructField("p_sn", ArrayType(LongType())),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            i, ring, s, pb, pv, pnp, psp, pnn, psn = state.get
+            ring = list(ring) + [0] * (window - len(ring))
+            pending = [list(t) for t in zip(pb, pv, pnp, psp, pnn, psn)]
+        else:
+            i, ring, s, pending = 0, [0] * window, 0, []
+        conv = key[0]
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("bucket", kind="mergesort")
+            rows = []
+            for bucket, v in zip(pdf["bucket"], pdf["value"]):
+                v = int(v)
+                # this bucket joins every open candidate's next-frame
+                # (its own entry below starts the frame AT the row)
+                decided = []
+                for c in pending:
+                    c[4] += 1
+                    c[5] += v
+                    if c[4] == window:
+                        decided.append(c)
+                n_prev = min(i, window)
+                pending.append(
+                    [int(pd.Timestamp(bucket).value // 1000), v, n_prev, s, 1, v]
+                )
+                if pending[-1][4] == window:  # window == 1 degenerate
+                    decided.append(pending[-1])
+                done = {id(c) for c in decided}
+                pending = [c for c in pending if id(c) not in done]
+                for c in decided:
+                    cb, cv, np_, sp_, nn_, sn_ = c
+                    diff = sn_ * np_ - sp_ * nn_
+                    if (
+                        np_ >= min_n
+                        and nn_ >= min_n
+                        and abs(diff) > delta * np_ * nn_
+                    ):
+                        rows.append((cb, cv, np_, sp_, nn_, sn_, diff))
+                if i >= window:
+                    s -= ring[i % window]
+                ring[i % window] = v
+                s += v
+                i += 1
+            if rows:
+                yield pd.DataFrame(
+                    {
+                        "conv_id": [conv] * len(rows),
+                        "bucket": pd.to_datetime(
+                            [b for b, *_ in rows], unit="us"
+                        ),
+                        "value": pd.Series([r[1] for r in rows], dtype="int64"),
+                        "n_prev": pd.Series([r[2] for r in rows], dtype="int64"),
+                        "s_prev": pd.Series([r[3] for r in rows], dtype="int64"),
+                        "n_next": pd.Series([r[4] for r in rows], dtype="int64"),
+                        "s_next": pd.Series([r[5] for r in rows], dtype="int64"),
+                        "diff": pd.Series([r[6] for r in rows], dtype="int64"),
+                    }
+                )
+        state.update(
+            (
+                i,
+                ring[: min(i, window)],
+                s,
+                [c[0] for c in pending],
+                [c[1] for c in pending],
+                [c[2] for c in pending],
+                [c[3] for c in pending],
+                [c[4] for c in pending],
+                [c[5] for c in pending],
+            )
+        )
+
+    return src.groupBy("conv_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
