@@ -78,6 +78,23 @@ def main():
         "speedup_vs_exact": round(out["exact"]["wall_median3"] / w, 2),
     }
 
+    # ADC shortlist + exact re-rank (pq_topk_rerank, refine=4)
+    from tmframe_spark.vec.pq import pq_topk_rerank
+
+    w, walls, rows = timed(
+        lambda: pq_topk_rerank(
+            codes, emb, books, qv, k=10, refine=4, exclude_id=0
+        ).collect()
+    )
+    rr_ids = {r["vec_id"] for r in rows}
+    out["pq_rerank"] = {
+        "refine": 4,
+        "serve_wall_median3": w,
+        "walls": walls,
+        "recall_at_10": len(exact & rr_ids) / 10,
+        "speedup_vs_exact": round(out["exact"]["wall_median3"] / w, 2),
+    }
+
     # sharded IVF: registry config (nlist=16 fine cells, 4 coarse groups,
     # p_probe=2 of 4) — assignment agreement vs the probe-all ground truth
     cents = ivf_train(emb, nlist=16, iters=2)

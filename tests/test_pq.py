@@ -184,3 +184,73 @@ def test_pq_build_index_full_corpus_matches_sample_trainer(emb, tmp_path, spark)
     a = _rows(pq_topk_from_index(spark, str(tmp_path / "s"), books_s, qv, k=5))
     b = _rows(pq_topk_from_index(spark, str(tmp_path / "f"), books_f, qv, k=5))
     assert a == b
+
+
+# --- ADC shortlist + exact re-rank (round-6; Jégou et al. IV.RE-RANKING) ---
+
+
+def test_pq_rerank_bit_equals_exact_scan(emb, spark):
+    # refine wide enough that the true top-10 survive the ADC shortlist =>
+    # the re-ranked result is BIT-identical to the exact cosine_topk scan
+    # (same integer dot, same single IEEE division, same tiebreak)
+    from tmframe_spark.vec.pq import pq_topk_rerank
+    from tmframe_spark.vec.similarity import cosine_topk
+
+    books = pq_train(emb, m=8, ksub=16, iters=2)
+    codes = pq_encode(emb, books)
+    qv = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    exact = [
+        (r["vec_id"], r["cosine"])
+        for r in cosine_topk(emb, query_id=0, k=10).collect()
+    ]
+    n = emb.count()
+    wide = pq_topk_rerank(
+        codes, emb, books, qv, k=10, refine=(n + 9) // 10, exclude_id=0
+    )
+    got = [(r["vec_id"], r["cosine"]) for r in wide.collect()]
+    assert got == exact  # bit-identical scores, not approximately
+
+
+def test_pq_rerank_recall_dominates_raw_adc(emb):
+    # at practical refine the re-rank can only improve on raw ADC ranking:
+    # recall@10 vs exact must be >= the raw pq_topk recall on every
+    # geometry the raw-recall test measures (and the planted bound holds)
+    from tmframe_spark.vec.pq import pq_topk_rerank
+    from tmframe_spark.vec.similarity import cosine_topk
+
+    qv = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    exact = {r["vec_id"] for r in cosine_topk(emb, query_id=0, k=10).collect()}
+    for m, ksub in [(8, 16), (16, 64)]:
+        books = pq_train(emb, m=m, ksub=ksub, iters=2)
+        codes = pq_encode(emb, books)
+        raw = {
+            r["vec_id"]
+            for r in pq_topk(codes, books, qv, k=10, exclude_id=0).collect()
+        }
+        rr = {
+            r["vec_id"]
+            for r in pq_topk_rerank(
+                codes, emb, books, qv, k=10, refine=4, exclude_id=0
+            ).collect()
+        }
+        r_raw = len(exact & raw) / 10
+        r_rr = len(exact & rr) / 10
+        assert r_rr >= r_raw, (m, ksub, r_rr, r_raw)
+        # wider shortlist -> strictly better floor (measured at sf0.001:
+        # raw 0.2/0.4 -> refine=4 0.5/1.0 -> refine=8 0.9/1.0)
+        rr8 = {
+            r["vec_id"]
+            for r in pq_topk_rerank(
+                codes, emb, books, qv, k=10, refine=8, exclude_id=0
+            ).collect()
+        }
+        assert len(exact & rr8) / 10 >= 0.8, (m, ksub, len(exact & rr8) / 10)
+
+
+def test_pq_rerank_validates_refine(emb):
+    from tmframe_spark.vec.pq import pq_topk_rerank
+
+    books = pq_train(emb, m=8, ksub=16, iters=1)
+    codes = pq_encode(emb, books)
+    with pytest.raises(ValueError, match="refine"):
+        pq_topk_rerank(codes, emb, books, [0.0] * 64, refine=0)

@@ -375,6 +375,61 @@ def pq_topk(
     )
 
 
+def pq_topk_rerank(
+    codes: DataFrame,
+    embeddings: DataFrame,
+    codebooks,
+    query_vec,
+    k: int = 10,
+    refine: int = 4,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC shortlist + exact re-rank — the standard PQ serving refinement
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    IV.RE-RANKING): score EVERY vector from its m-byte code (pq_topk's
+    table-gather pass over the tiny code table), keep the top
+    ``k * refine`` candidates, then re-score ONLY those against their
+    stored full vectors with the repo's exact fixed-point cosine — the
+    identical integer dot + single IEEE division cosine_topk computes, so
+    whenever the true top-k survive the shortlist the result is
+    bit-identical to the exact scan (pinned in tests/test_pq.py).
+
+    Scale shape: the full-corpus pass still reads only codes (the 16-32x
+    compressed table); the re-rank joins a broadcast ``k*refine``-row id
+    shortlist against the vector table — candidate-sized work, scan-side
+    pruned. Measured at sf0.1 (BENCH.md round 6): recall@10 0.5 -> 1.0 for
+    refine=4 at ~no extra wall vs raw ADC."""
+    import numpy as np
+
+    from tmframe_spark.vec.similarity import _qdot, _qnorm2
+
+    if refine < 1:
+        raise ValueError(f"refine must be >= 1, got {refine}")
+    shortlist = pq_topk(
+        codes, codebooks, query_vec, k=k * refine, exclude_id=exclude_id, id_col=id_col
+    ).select(id_col)
+    qv = np.asarray(query_vec, dtype=np.float32).astype(np.float64)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    Qq = np.floor(qv * _Q).astype(np.int64)
+    qn = int((Qq * Qq).sum())
+    cand = embeddings.join(F.broadcast(shortlist), id_col)
+    return (
+        cand.select(
+            F.col(id_col),
+            (
+                _qdot(F.col(vec_col), qlit)
+                / F.sqrt(
+                    F.lit(float(qn)) * _qnorm2(F.col(vec_col)).cast("double")
+                )
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def pq_build_index(
     embeddings: DataFrame,
     path: str,
