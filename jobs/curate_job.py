@@ -135,9 +135,23 @@ def main(argv=None) -> int:
     spark = SparkSession.builder.appName("tmframe-curate").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+    # per-stage wall clock on every lineage line (round-6): wall_s is the
+    # seconds since the previous stage line — the profile a scale rehearsal
+    # reads (BENCH.md round-6 curate rehearsal)
+    import time
+
+    _last = [time.monotonic()]
+
+    def emit(obj):
+        now = time.monotonic()
+        obj["wall_s"] = round(now - _last[0], 2)
+        _last[0] = now
+        print(json.dumps(obj))
+
+
     docs = spark.read.parquet(args.input)
     n = docs.count()
-    print(json.dumps({"stage": "read", "input": args.input, "docs": n}))
+    emit({"stage": "read", "input": args.input, "docs": n})
 
     # ---- 1: quality -----------------------------------------------------
     if args.min_tokens is not None or args.min_quality is not None:
@@ -152,8 +166,8 @@ def main(argv=None) -> int:
             "n_chars_calc", "punct_chars", "stopword_hits", "stop_ratio"
         ).localCheckpoint(eager=True)
         kept = docs.count()
-        print(json.dumps({"stage": "quality", "docs_out": kept,
-                          "docs_dropped": n - kept}))
+        emit({"stage": "quality", "docs_out": kept,
+                          "docs_dropped": n - kept})
         n = kept
     if args.max_top2_frac is not None:
         from tmframe_spark.text.analysis import repetition_stats
@@ -162,8 +176,8 @@ def main(argv=None) -> int:
         bad = rep.where(F.col("top2_frac") > args.max_top2_frac).select(args.id_col)
         docs = docs.join(bad, args.id_col, "left_anti").localCheckpoint(eager=True)
         kept = docs.count()
-        print(json.dumps({"stage": "repetition", "max_top2_frac": args.max_top2_frac,
-                          "docs_out": kept, "docs_dropped": n - kept}))
+        emit({"stage": "repetition", "max_top2_frac": args.max_top2_frac,
+                          "docs_out": kept, "docs_dropped": n - kept})
         n = kept
 
     # ---- 1b: LM perplexity filter ---------------------------------------
@@ -186,10 +200,10 @@ def main(argv=None) -> int:
             .localCheckpoint(eager=True)
         )
         kept = docs.count()
-        print(json.dumps({"stage": "lm_quality",
+        emit({"stage": "lm_quality",
                           "min_lm_logprob": args.min_lm_logprob,
                           "ref": args.lm_ref or "self",
-                          "docs_out": kept, "docs_dropped": n - kept}))
+                          "docs_out": kept, "docs_dropped": n - kept})
         n = kept
 
     # ---- 1c: DSIR importance floor --------------------------------------
@@ -217,9 +231,9 @@ def main(argv=None) -> int:
             .localCheckpoint(eager=True)
         )
         kept = docs.count()
-        print(json.dumps({"stage": "dsir", "min_dsir_weight": args.min_dsir_weight,
+        emit({"stage": "dsir", "min_dsir_weight": args.min_dsir_weight,
                           "target": args.dsir_target,
-                          "docs_out": kept, "docs_dropped": n - kept}))
+                          "docs_out": kept, "docs_dropped": n - kept})
         n = kept
 
     # ---- 2: language ----------------------------------------------------
@@ -235,8 +249,8 @@ def main(argv=None) -> int:
             docs = docs.where(F.col("pred_lang").isin(keep))
         docs = docs.localCheckpoint(eager=True)
         kept = docs.count()
-        print(json.dumps({"stage": "lang", "langs": args.langs,
-                          "docs_out": kept, "docs_dropped": n - kept}))
+        emit({"stage": "lang", "langs": args.langs,
+                          "docs_out": kept, "docs_dropped": n - kept})
         n = kept
 
     # ---- 3: decontamination --------------------------------------------
@@ -248,9 +262,9 @@ def main(argv=None) -> int:
             docs, bench, args.contamination_threshold, args.id_col, args.text_col
         ).localCheckpoint(eager=True)
         kept = docs.count()
-        print(json.dumps({"stage": "decontaminate",
+        emit({"stage": "decontaminate",
                           "threshold": args.contamination_threshold,
-                          "docs_out": kept, "docs_dropped": n - kept}))
+                          "docs_out": kept, "docs_dropped": n - kept})
         n = kept
 
     # ---- 4: dedup -------------------------------------------------------
@@ -265,14 +279,14 @@ def main(argv=None) -> int:
             within_batch=True,
         ).localCheckpoint(eager=True)
         kept = docs.count()
-        print(json.dumps({"stage": "dedup", "mode": "incremental",
+        emit({"stage": "dedup", "mode": "incremental",
                           "index": args.index, "docs_out": kept,
-                          "docs_dropped": n - kept}))
+                          "docs_dropped": n - kept})
         n = kept
         if args.update_index:
             meta = minhash_index_append(docs, args.index, args.id_col, args.text_col)
-            print(json.dumps({"stage": "index_append", "index": args.index,
-                              "params": meta}))
+            emit({"stage": "index_append", "index": args.index,
+                              "params": meta})
     elif args.dedup != "off":
         from tmframe_spark.text.dedup import (
             dedup_keep_canonical,
@@ -291,8 +305,8 @@ def main(argv=None) -> int:
                 eager=True
             )
         kept = docs.count()
-        print(json.dumps({"stage": "dedup", "mode": args.dedup,
-                          "docs_out": kept, "docs_dropped": n - kept}))
+        emit({"stage": "dedup", "mode": args.dedup,
+                          "docs_out": kept, "docs_dropped": n - kept})
         n = kept
 
     # ---- 5: span removal ------------------------------------------------
@@ -302,21 +316,27 @@ def main(argv=None) -> int:
         cleaned = remove_duplicate_spans(
             docs, args.id_col, args.text_col,
             w=args.remove_spans, min_docs=args.span_min_docs,
+        ).select(
+            # ONLY the cleaned text + the removal count: the op also emits
+            # its own n_tokens, which collides with stage 1's quality
+            # column at write time (found by the r6 sf0.1 rehearsal)
+            args.id_col,
+            F.col("clean_text").alias(args.text_col),
+            "n_removed",
         )
         docs = (
             docs.drop(args.text_col)
-            .join(cleaned.withColumnRenamed("clean_text", args.text_col),
-                  args.id_col)
+            .join(cleaned, args.id_col)
             .localCheckpoint(eager=True)
         )
         agg = docs.agg(
             F.sum("n_removed").alias("tr"),
             F.sum((F.col("n_removed") > 0).cast("long")).alias("da"),
         ).collect()[0]
-        print(json.dumps({"stage": "span_removal", "w": args.remove_spans,
+        emit({"stage": "span_removal", "w": args.remove_spans,
                           "min_docs": args.span_min_docs,
                           "tokens_removed": int(agg["tr"] or 0),
-                          "docs_affected": int(agg["da"] or 0)}))
+                          "docs_affected": int(agg["da"] or 0)})
 
     # ---- 6: PII redaction ----------------------------------------------
     if args.redact:
@@ -329,7 +349,7 @@ def main(argv=None) -> int:
             .localCheckpoint(eager=True)
         )
         hits = docs.agg(F.sum("pii_hits")).collect()[0][0] or 0
-        print(json.dumps({"stage": "redact", "pii_hits_total": int(hits)}))
+        emit({"stage": "redact", "pii_hits_total": int(hits)})
 
     # ---- 7: mixture -----------------------------------------------------
     if args.mix:
@@ -340,12 +360,12 @@ def main(argv=None) -> int:
             total=args.mix_total, allow_upsample=args.mix_upsample,
         ).localCheckpoint(eager=True)
         kept = docs.count()
-        print(json.dumps({"stage": "mixture", "mix": args.mix,
-                          "rows_out": kept}))
+        emit({"stage": "mixture", "mix": args.mix,
+                          "rows_out": kept})
 
     docs.write.mode("overwrite").parquet(args.output)
-    print(json.dumps({"stage": "write", "output": args.output,
-                      "rows": docs.count()}))
+    emit({"stage": "write", "output": args.output,
+                      "rows": docs.count()})
 
     # ---- 8: sequence packing -------------------------------------------
     if args.pack_budget is not None:
@@ -361,10 +381,10 @@ def main(argv=None) -> int:
             F.count(F.lit(1)).alias("bins"),
             F.sum(F.col("docs")).alias("docs"),
         ).collect()[0]
-        print(json.dumps({"stage": "pack", "output": out,
+        emit({"stage": "pack", "output": out,
                           "budget": args.pack_budget,
                           "bins": int(stats["bins"]),
-                          "docs_packed": int(stats["docs"])}))
+                          "docs_packed": int(stats["docs"])})
     return 0
 
 

@@ -239,3 +239,35 @@ def test_curate_dsir_stage(spark, capsys):
     assert stages["dsir"]["docs_dropped"] == 2
     got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
     assert set(got) == {1} and got[1]["dsir_weight"] == scores[1]
+
+
+def test_curate_quality_plus_span_removal_compose(spark, capsys):
+    """Regression (found by the r6 sf0.1 rehearsal): stage 1's quality
+    columns and stage 5's span-removal join both carried an n_tokens column
+    — the final write failed with COLUMN_ALREADY_EXISTS whenever BOTH
+    stages ran. The span stage must join only (id, clean text, n_removed)."""
+    import tempfile
+
+    boiler = ("this license header is shared across documents exactly "
+              "verbatim in every mirror of the corpus")
+    rows = [
+        (1, boiler + " plus unique tail alpha beta gamma delta epsilon zeta"),
+        (2, "totally different unique leading content here " + boiler),
+        (3, "another fully unique document with no shared spans at all"),
+    ]
+    src = tempfile.mkdtemp(prefix="curate_qspan_src_")
+    out = tempfile.mkdtemp(prefix="curate_qspan_out_")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    rc, stages, _ = _run([
+        "--input", src, "--output", out,
+        "--min-tokens", "3", "--min-quality", "0.0",
+        "--dedup", "off", "--remove-spans", "8",
+    ], capsys)
+    assert rc == 0
+    df = spark.read.parquet(out)
+    assert df.columns.count("n_tokens") == 1
+    assert stages["span_removal"]["docs_affected"] == 1
+    assert {r["doc_id"] for r in df.collect()} == {1, 2, 3}
