@@ -15,7 +15,7 @@
   ~50 registry rows, all 50 with full oracles; 29 tail entries carry
   their full oracles in the pytest mirror instead
   (queries.pytest_only_oracles — the identical rows+schema+bit-value
-  compare, run by tests/test_queries_vs_duckdb.py), and the remaining 14
+  compare, run by tests/test_queries_vs_duckdb.py), and the remaining 15
   are rows-only by documented design, each pytest-twinned against an
   exact reference or bracketed by an oracled exactness limit.
 """

@@ -95,6 +95,35 @@ def main():
         "speedup_vs_exact": round(out["exact"]["wall_median3"] / w, 2),
     }
 
+    # IVF+PQ persisted index (registry config: nlist=8, m=16, ksub=64,
+    # nprobe=2, refine=4, IVFADC-R re-rank against stored vectors)
+    from tmframe_spark.vec.pq import ivfpq_build_index, ivfpq_topk_from_index
+
+    ipath = tempfile.mkdtemp(prefix="ann_bench_ivfpq_")
+    t0 = time.monotonic()
+    ivfpq_build_index(
+        emb, ipath, nlist=8, m=16, ksub=64, iters=2, store_vectors=True
+    )
+    ivfpq_build = round(time.monotonic() - t0, 3)
+    w, walls, rows = timed(
+        lambda: ivfpq_topk_from_index(
+            spark, ipath, qv, k=10, nprobe=2, refine=4, exclude_id=0
+        ).collect()
+    )
+    iv_ids = {r["vec_id"] for r in rows}
+    out["ivfpq"] = {
+        "nlist": 8,
+        "nprobe": 2,
+        "m": 16,
+        "ksub": 64,
+        "refine": 4,
+        "build_wall": ivfpq_build,
+        "serve_wall_median3": w,
+        "walls": walls,
+        "recall_at_10": len(exact & iv_ids) / 10,
+    }
+    shutil.rmtree(ipath, ignore_errors=True)
+
     # sharded IVF: registry config (nlist=16 fine cells, 4 coarse groups,
     # p_probe=2 of 4) — assignment agreement vs the probe-all ground truth
     cents = ivf_train(emb, nlist=16, iters=2)

@@ -254,3 +254,83 @@ def test_pq_rerank_validates_refine(emb):
     codes = pq_encode(emb, books)
     with pytest.raises(ValueError, match="refine"):
         pq_topk_rerank(codes, emb, books, [0.0] * 64, refine=0)
+
+
+# --- persisted IVF+PQ index (round-6; FAISS IVFADC layout) -----------------
+
+
+def test_ivfpq_probe_all_bit_equals_flat_pq(emb, tmp_path, spark):
+    # probing every cell reduces the two-level index to the flat PQ scan —
+    # the composition must change NOTHING about scoring (bit-compare)
+    from tmframe_spark.vec.pq import (
+        ivfpq_build_index,
+        ivfpq_load_meta,
+        ivfpq_topk_from_index,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    cents, books = ivfpq_build_index(emb, path, nlist=8, m=8, ksub=16, iters=2)
+    lc, lb = ivfpq_load_meta(spark, path)
+    assert lc == [[float(x) for x in c] for c in cents] and lb == books
+    qv = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    flat = _rows(pq_topk(pq_encode(emb, books), books, qv, k=10, exclude_id=0))
+    served = _rows(
+        ivfpq_topk_from_index(spark, path, qv, k=10, nprobe=8, exclude_id=0)
+    )
+    assert served == flat
+
+
+def test_ivfpq_pruned_serving_hits_partition_filters(emb, tmp_path, spark):
+    from tmframe_spark.vec.pq import ivfpq_build_index, ivfpq_topk_from_index
+
+    path = str(tmp_path / "ivfpq")
+    ivfpq_build_index(emb, path, nlist=8, m=8, ksub=16, iters=2)
+    qv = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    served = ivfpq_topk_from_index(spark, path, qv, k=10, nprobe=2, exclude_id=0)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    seg = plan.split("PartitionFilters", 1)[1][:300]
+    assert "cell" in seg, seg
+    got = served.collect()
+    assert len(got) == 10
+    cs = [r["cosine"] for r in got]
+    assert cs == sorted(cs, reverse=True)
+
+
+def test_ivfpq_refine_probe_all_bit_equals_exact_scan(emb, tmp_path, spark):
+    # probe-all + wide refine, re-ranking against the index's OWN stored
+    # vectors (IVFADC-R): bit-identical to the exact cosine_topk scan
+    from tmframe_spark.vec.pq import ivfpq_build_index, ivfpq_topk_from_index
+    from tmframe_spark.vec.similarity import cosine_topk
+
+    path = str(tmp_path / "ivfpq")
+    ivfpq_build_index(
+        emb, path, nlist=8, m=8, ksub=16, iters=2, store_vectors=True
+    )
+    qv = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    n = emb.count()
+    exact = [
+        (r["vec_id"], r["cosine"]) for r in cosine_topk(emb, 0, k=10).collect()
+    ]
+    served = ivfpq_topk_from_index(
+        spark, path, qv, k=10, nprobe=8, refine=(n + 9) // 10, exclude_id=0
+    )
+    assert [(r["vec_id"], r["cosine"]) for r in served.collect()] == exact
+
+
+def test_ivfpq_full_corpus_build_matches_sample_build(emb, tmp_path, spark):
+    # sf0.001 corpus <= both trainers' sample/init rules => the distributed
+    # build's quantizers and served results equal the driver-sample build's
+    from tmframe_spark.vec.pq import ivfpq_build_index, ivfpq_topk_from_index
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    ca, ba = ivfpq_build_index(emb, a, nlist=4, m=4, ksub=8, iters=1)
+    cb, bb = ivfpq_build_index(
+        emb, b, nlist=4, m=4, ksub=8, iters=1, full_corpus=True
+    )
+    assert [[float(x) for x in c] for c in ca] == [[float(x) for x in c] for c in cb]
+    assert ba == bb
+    qv = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    ra = _rows(ivfpq_topk_from_index(spark, a, qv, k=5, nprobe=2, exclude_id=0))
+    rb = _rows(ivfpq_topk_from_index(spark, b, qv, k=5, nprobe=2, exclude_id=0))
+    assert ra == rb

@@ -1002,6 +1002,37 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(pq_encode(emb, books), books, qv, k=10, exclude_id=0)
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """Persisted two-level ANN serving (vec/pq.ivfpq_build_index +
+    ivfpq_topk_from_index — FAISS-IVFADC-R layout; reference layout analog:
+    the archive's day/minute two-level seek, archiver/filemgr.go:94-104):
+    IVF cell DIRECTORY pruning (PartitionFilters) over a PQ m-byte code
+    table, ADC shortlist re-ranked exactly against the index's stored
+    vectors. Rows-only (iterative quantizer training + task-side IO);
+    pytest pins probe-all == flat PQ bit-compare, probe-all + wide refine
+    == the exact oracle-verified cosine scan, the PartitionFilters plan,
+    and full-corpus-trained == sample-trained builds (tests/test_pq.py)."""
+    import hashlib
+    import os
+
+    from tmframe_spark.vec.pq import ivfpq_build_index, ivfpq_topk_from_index
+
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    path = os.path.join(
+        os.getcwd(),
+        "spark-warehouse",
+        "ivfpq_" + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10],
+    )
+    ivfpq_build_index(
+        emb, path, nlist=8, m=16, ksub=64, iters=2, store_vectors=True
+    )
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return ivfpq_topk_from_index(
+        spark, path, qv, k=10, nprobe=2, refine=4, exclude_id=0
+    )
+
+
 def q_ivf_sharded_cells(spark, sf_dir):
     """Sharded-centroid IVF assignment (vec/similarity.ivf_shard_centroids
     + ivf_assign_sharded — the BUILT successor past the 1 GiB E-step
@@ -1688,6 +1719,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        # ann_ivfpq_topk: rows-only (iterative quantizers + task-side IO);
+        # probe-all == flat PQ and refine+probe-all == exact scan pinned
+        # bit-for-bit in test_pq.py.
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         # ivf_sharded_cells: rows-only (k-means + task-side shard IO);
         # probe-all == broadcast assignment pinned in test_ivf_sharded.
         "ivf_sharded_cells": q_ivf_sharded_cells,

@@ -249,17 +249,25 @@ def pq_encode(
     codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Encode each vector to its m-byte PQ code (binary column): per
     subspace, the nearest codebook entry by squared L2 (ties to the lowest
     code, matching pq_train's assignment). One numpy matmul-argmin per
     subspace per Arrow batch against the broadcast codebooks — no shuffle,
     bounded batch memory; output rows carry ``id_col`` + ``code`` only
-    (the compression is the point: never re-emit the vector)."""
+    (the compression is the point: never re-emit the vector).
+
+    ``carry_cols``: extra input columns copied through unchanged (e.g. the
+    IVF ``cell`` for a partitioned IVF+PQ index) — still no shuffle, the
+    columns ride the same Arrow batch."""
+    from pyspark.sql.types import BinaryType, StructType
+
     spark = embeddings.sparkSession
     B = _codebook_matrix(codebooks)
     m, ksub, dsub = B.shape
     bc = spark.sparkContext.broadcast(B)
+    carry = tuple(carry_cols)
 
     def encode(batches):
         import numpy as _np
@@ -278,14 +286,21 @@ def pq_encode(
                     Cs * Cs
                 ).sum(axis=1)
                 codes[:, s] = _np.argmin(d2, axis=1)
-            yield _pd.DataFrame(
-                {"_id": pdf[id_col].to_numpy(), "code": [c.tobytes() for c in codes]}
-            )
+            out = {"_id": pdf[id_col].to_numpy(), "code": [c.tobytes() for c in codes]}
+            for c in carry:
+                out[c] = pdf[c].to_numpy()
+            yield _pd.DataFrame(out)
 
-    out = embeddings.select(F.col(id_col), vec_col).mapInPandas(
-        encode, "_id long, code binary"
+    in_fields = {f.name: f for f in embeddings.schema.fields}
+    out_schema = StructType().add("_id", in_fields[id_col].dataType).add(
+        "code", BinaryType()
     )
-    return out.select(F.col("_id").alias(id_col), "code")
+    for c in carry:
+        out_schema = out_schema.add(in_fields[c])
+    out = embeddings.select(F.col(id_col), vec_col, *carry).mapInPandas(
+        encode, out_schema
+    )
+    return out.select(F.col("_id").alias(id_col), "code", *carry)
 
 
 def _adc_tables(codebooks, query_vec):
@@ -468,6 +483,132 @@ def pq_topk_from_index(
     to the inline ``pq_topk`` over the same codes (asserted by tests)."""
     return pq_topk(
         spark.read.parquet(path), codebooks, query_vec, k, exclude_id, id_col
+    )
+
+
+def ivfpq_build_index(
+    embeddings: DataFrame,
+    path: str,
+    nlist: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    full_corpus: bool = False,
+    store_vectors: bool = False,
+):
+    """Build the PERSISTED two-level ANN index — IVF cell pruning over PQ
+    codes, the classic billion-scale serving layout (FAISS IVFADC;
+    reference layout analog: the archive's day/minute two-level seek,
+    archiver/filemgr.go:94-104):
+
+    - ``path/codes``: (id, code) PARTITIONED BY (cell) — a query reads
+      nprobe/nlist of the DIRECTORIES (PartitionFilters), and each row it
+      does read costs m bytes + two table-gathers instead of the vector;
+    - ``path/centroids`` / ``path/codebooks``: the tiny quantizer state,
+      persisted so serving needs only the path (``ivfpq_load_meta``);
+    - ``store_vectors=True`` additionally writes ``path/vectors``
+      (cell-partitioned original vectors) for exact re-ranking without the
+      source table (IVFADC-R) — 4·dim bytes/row, read only candidate-wide.
+
+    ``full_corpus=True`` trains BOTH quantizers distributed
+    (ivf_train_distributed + pq_train_distributed — no driver-bounded
+    stage anywhere). Returns (centroids, codebooks)."""
+    from tmframe_spark.vec.similarity import (
+        ivf_assign,
+        ivf_assign_broadcast,
+        ivf_train,
+        ivf_train_distributed,
+    )
+
+    spark = embeddings.sparkSession
+    if full_corpus:
+        cents = ivf_train_distributed(embeddings, nlist, iters, id_col, vec_col)
+        assigned = ivf_assign_broadcast(embeddings, cents, vec_col)
+        books = pq_train_distributed(embeddings, m, ksub, iters, id_col, vec_col)
+    else:
+        cents = ivf_train(embeddings, nlist, iters, id_col, vec_col)
+        assigned = ivf_assign(embeddings, cents, vec_col)
+        books = pq_train(embeddings, m, ksub, iters, id_col, vec_col)
+    assigned = assigned.localCheckpoint(eager=True)  # feeds 1-2 writes
+    pq_encode(assigned, books, id_col, vec_col, carry_cols=("cell",)).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/codes")
+    if store_vectors:
+        assigned.select(id_col, vec_col, "cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(f"{path}/vectors")
+    spark.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in books[s][c]])
+            for s in range(m)
+            for c in range(ksub)
+        ],
+        "sub int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    return cents, books
+
+
+def ivfpq_load_meta(spark, path: str):
+    """Read back (centroids, codebooks) written by ivfpq_build_index —
+    driver-side, quantizer-sized."""
+    cents = [
+        list(r["centroid"])
+        for r in spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    ]
+    rows = spark.read.parquet(f"{path}/codebooks").orderBy("sub", "code").collect()
+    m = rows[-1]["sub"] + 1
+    books = [[] for _ in range(m)]
+    for r in rows:
+        books[r["sub"]].append(list(r["centroid"]))
+    return cents, books
+
+
+def ivfpq_topk_from_index(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int | None = None,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectors: DataFrame | None = None,
+) -> DataFrame:
+    """Serve top-k from the written IVF+PQ index: driver-side argmin over
+    the tiny centroid table picks the probe cells, ``cell IN (probe)``
+    lands on the partition column (directory pruning, PartitionFilters
+    asserted by tests), and the probed rows are scored by the identical
+    ADC table-gathers as ``pq_topk`` — probe-all serving is bit-identical
+    to the flat pq_topk over the same codes.
+
+    ``refine``: ADC-shortlist k·refine candidates, then exact fixed-point
+    re-rank against ``vectors`` (a vector table; defaults to the index's
+    own ``path/vectors`` when store_vectors was used) — pq_topk_rerank's
+    contract composed with cell pruning."""
+    import numpy as np
+
+    cents, books = ivfpq_load_meta(spark, path)
+    qv = [float(x) for x in np.asarray(query_vec, dtype=np.float32)]
+    dists = [
+        (sum((a - b) ** 2 for a, b in zip(qv, c)), i) for i, c in enumerate(cents)
+    ]
+    probe = [i for _, i in sorted(dists)[: max(1, min(nprobe, len(cents)))]]
+    codes = spark.read.parquet(f"{path}/codes").where(F.col("cell").isin(*probe))
+    if refine is None:
+        return pq_topk(codes, books, qv, k, exclude_id, id_col)
+    if vectors is None:
+        vectors = spark.read.parquet(f"{path}/vectors").where(
+            F.col("cell").isin(*probe)
+        )
+    return pq_topk_rerank(
+        codes, vectors, books, qv, k, refine, exclude_id, id_col, vec_col
     )
 
 
