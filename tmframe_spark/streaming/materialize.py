@@ -75,7 +75,7 @@ def _batch_writer(table_root: str, table: str):
         # eager localCheckpoint, not persist (repo rule): one computation
         # feeds both the write and the count, blocks auto-release on GC
         df = df.localCheckpoint(eager=True)
-        df.withColumn("day", F.to_date("bucket")).write.mode(
+        df.withColumn("day", F.to_date("bucket")).repartition("day").write.mode(
             "overwrite"
         ).partitionBy("day").parquet(batch_dir)
         return {"rows": df.count()}
@@ -193,7 +193,9 @@ def _block_batch_writer(table_root: str, table: str):
         blocks = pack_blocks(pts, ["conv_id", "day"], v0="v0", v1="v1").localCheckpoint(
             eager=True
         )
-        blocks.write.mode("overwrite").partitionBy("day").parquet(batch_dir)
+        blocks.repartition("day").write.mode("overwrite").partitionBy("day").parquet(
+            batch_dir
+        )
         stats = blocks.agg(
             F.count(F.lit(1)).alias("blocks"),
             F.coalesce(F.sum("n_points"), F.lit(0)).alias("points"),
@@ -362,7 +364,7 @@ def _topk_batch_writer(table_root: str, table: str, k: int):
             "n_total", F.sum("cnt").over(Window.partitionBy("bucket"))
         )
         sk = _with_mg_err(_mg_compress(counts, k)).localCheckpoint(eager=True)
-        sk.withColumn("day", F.to_date("bucket")).write.mode(
+        sk.withColumn("day", F.to_date("bucket")).repartition("day").write.mode(
             "overwrite"
         ).partitionBy("day").parquet(batch_dir)
         return {"rows": sk.count()}

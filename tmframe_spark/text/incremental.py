@@ -121,23 +121,32 @@ def minhash_index_write(
     sigs = minhash_signatures(df, id_col, text_col, k, shingle_k).localCheckpoint(
         eager=True
     )
-    sigs.select("*", bcol).withColumn("id_mod", _mod(F.col("id"), nmods)).write.mode(
-        mode
-    ).partitionBy("batch", "id_mod").parquet(os.path.join(path, "sigs"))
+    # repartition ON the partition column before every partitionBy write:
+    # without it each upstream task writes into up to nmods directories —
+    # tasks x nmods tiny files per table (measured: 7,473 files for a
+    # 5.5k-doc index at r6) — the classic small-files explosion that melts
+    # both the filesystem and later probe scans at corpus scale. With it,
+    # each (batch, mod) directory is written by exactly one task: one
+    # batch-sized shuffle buys nmods well-sized files per table.
+    sigs.select("*", bcol).withColumn("id_mod", _mod(F.col("id"), nmods)).repartition(
+        "id_mod"
+    ).write.mode(mode).partitionBy("batch", "id_mod").parquet(
+        os.path.join(path, "sigs")
+    )
     band_rows = sigs.select(
         "id", F.posexplode(band_buckets(F.col("sig"), bands, r)).alias("band", "bucket")
     )
     band_rows.select("*", bcol).withColumn(
         "bucket_mod", _mod(F.col("bucket"), nmods)
-    ).write.mode(mode).partitionBy("batch", "bucket_mod").parquet(
-        os.path.join(path, "bands")
-    )
+    ).repartition("bucket_mod").write.mode(mode).partitionBy(
+        "batch", "bucket_mod"
+    ).parquet(os.path.join(path, "bands"))
     exact = df.select(
         norm_text_md5(F.col(text_col)).alias("h"), F.col(id_col).alias("id")
     )
     exact.select("*", bcol).withColumn(
         "h_mod", _mod(F.xxhash64(F.col("h")), nmods)
-    ).write.mode(mode).partitionBy("batch", "h_mod").parquet(
+    ).repartition("h_mod").write.mode(mode).partitionBy("batch", "h_mod").parquet(
         os.path.join(path, "exact")
     )
     meta = {

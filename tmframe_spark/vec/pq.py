@@ -532,13 +532,14 @@ def ivfpq_build_index(
         assigned = ivf_assign(embeddings, cents, vec_col)
         books = pq_train(embeddings, m, ksub, iters, id_col, vec_col)
     assigned = assigned.localCheckpoint(eager=True)  # feeds 1-2 writes
-    pq_encode(assigned, books, id_col, vec_col, carry_cols=("cell",)).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(f"{path}/codes")
+    # one task per cell directory (the index-write small-files rule)
+    pq_encode(assigned, books, id_col, vec_col, carry_cols=("cell",)).repartition(
+        "cell"
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
     if store_vectors:
-        assigned.select(id_col, vec_col, "cell").write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(f"{path}/vectors")
+        assigned.select(id_col, vec_col, "cell").repartition("cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(f"{path}/vectors")
     spark.createDataFrame(
         [(c, [float(x) for x in v]) for c, v in enumerate(cents)],
         "cell int, centroid array<double>",

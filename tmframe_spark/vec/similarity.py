@@ -486,7 +486,10 @@ def ivf_build_index(
     else:
         cents = ivf_train(embeddings, nlist, iters, id_col, vec_col)
         assigned = ivf_assign(embeddings, cents, vec_col)
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # repartition on the partition column: one task per cell directory
+    # (without it, tasks x nlist tiny files — the small-files explosion
+    # measured on the r6 dedup index; same rule at every index write)
+    assigned.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(path)
     return cents
 
 
@@ -670,9 +673,10 @@ def lsh_build_index(
     buckets via partition (directory) pruning; nothing is recomputed at
     serve time. The hyperplanes are matrix-free (xxhash64-derived), so the
     index carries no sidecar state beyond ``n_planes`` itself."""
-    lsh_buckets(embeddings, vec_col, n_planes).write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(path)
+    # one task per bucket directory (the index-write small-files rule)
+    lsh_buckets(embeddings, vec_col, n_planes).repartition("bucket").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
 
 
 def lsh_topk_from_index(
@@ -923,7 +927,10 @@ def ivf_shard_centroids(
             remap[F.col("grp")].cast("int").alias("grp"), "cell", "centroid"
         )
         coarse = [coarse[g] for g in live]
-    assigned.write.mode("overwrite").partitionBy("grp").parquet(f"{path}/cells")
+    # one task per grp shard directory (the index-write small-files rule)
+    assigned.repartition("grp").write.mode("overwrite").partitionBy("grp").parquet(
+        f"{path}/cells"
+    )
     spark = centroids.sparkSession
     spark.createDataFrame(
         [(g, c) for g, c in enumerate(coarse)], "grp int, centroid array<double>"
