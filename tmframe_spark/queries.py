@@ -1002,6 +1002,20 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(pq_encode(emb, books), books, qv, k=10, exclude_id=0)
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window document chunking (text/analysis.chunk_documents):
+    32-token windows at stride 24 (8-token overlap), tail chunks shorter,
+    sub-window docs yield one whole-text chunk — the embedding-pipeline
+    prep primitive. Pure codegen (split/sequence/slice/array_join), no
+    shuffle. FULL oracle in the pytest mirror."""
+    from tmframe_spark.text.analysis import chunk_documents
+
+    register_tables(spark, sf_dir)
+    return chunk_documents(
+        spark.table("documents"), chunk_tokens=32, stride=24
+    )
+
+
 def q_ann_ivfpq_topk(spark, sf_dir):
     """Persisted two-level ANN serving (vec/pq.ivfpq_build_index +
     ivfpq_topk_from_index — FAISS-IVFADC-R layout; reference layout analog:
@@ -1778,6 +1792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_novelty: FULL oracle in the pytest mirror (bin()-length
         # integer IDF weights over identical md5 shingles).
         "doc_novelty": q_doc_novelty,
+        # doc_chunks: FULL oracle in the pytest mirror (identical 1-based
+        # slice windows + ceil window count restated in DuckDB).
+        "doc_chunks": q_doc_chunks,
         # bpe_subword_stats: rows-only by design (iterative trainer);
         # bit-equal to the classic sequential BPE reference in test_bpe.
         "bpe_subword_stats": q_bpe_subword_stats,
@@ -2917,6 +2934,27 @@ b AS (SELECT min(minute) AS mn, max(minute) AS mx FROM m),
 s AS (SELECT unnest(generate_series(mn, mx, interval 1 minute)) AS minute FROM b)
 SELECT s.minute AS minute, CAST(coalesce(m.n, 0) AS BIGINT) AS n
 FROM s LEFT JOIN m ON s.minute = m.minute
+""",
+        # doc_chunks: identical 1-based inclusive-slice windows; window
+        # count = 1 + (greatest(n - 32, 0) + 23) // 24 (non-negative ints,
+        # so DuckDB's truncating // == floor == the Spark ceil form).
+        "doc_chunks": r"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+t AS (SELECT id, ws, len(ws) AS n FROM toks),
+kk AS (
+  SELECT id, ws, n,
+         unnest(generate_series(CAST(0 AS BIGINT),
+                CAST((greatest(n - 32, 0) + 23) // 24 AS BIGINT))) AS k
+  FROM t
+)
+SELECT id AS doc_id, CAST(k AS BIGINT) AS chunk_idx,
+       CAST(k * 24 + 1 AS BIGINT) AS start_tok,
+       CAST(len(ws[k*24+1 : k*24+32]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(ws[k*24+1 : k*24+32], ' ') AS chunk_text
+FROM kk
 """,
         # split_docs: the identical cumulative band thresholds (computed
         # once in Python from the 0.8/0.1/0.1 fractions; the last band is

@@ -1,0 +1,122 @@
+"""Streaming dedup-ingest: a continuously-landing document stream probed
+against the persisted cross-corpus MinHash index per micro-batch, survivors
+appended to the index and materialized — continuous ingestion that never
+re-pairs the corpus with itself (the streaming composition of
+text/incremental.py; reference analog: the archiver's always-on ingest
+lifecycle, archiver/filemgr.go, applied to the dedup domain).
+
+Exactly-once under foreachBatch's at-least-once replays — the full
+protocol, per batch:
+
+1. survivors = dedup_against_index(batch, index, exclude_batch=token):
+   the probe EXCLUDES the batch's own (deterministic) token, so a replay
+   that runs after step 3 committed still answers as if the batch had
+   never arrived — without this, every replayed doc reads as a duplicate
+   of itself and the survivors directory is rewritten EMPTY (data loss).
+2. survivors overwrite their batch-scoped output directory (idempotent).
+3. minhash_index_append(survivors, index, batch=token): an
+   already-committed token is a no-op; an uncommitted retry vacuums the
+   token's half-written directories first — at-least-once converges to
+   exactly-once (crash-atomicity from the meta.json commit fence).
+4. the batch manifest commits last (_exactly_once_writer) — a clean
+   replay skips the whole batch.
+
+The token is a pure function of (table_root, batch_id), so every replay
+of a micro-batch names the same index batch. Single writer per index
+(the module-wide assumption). Survivors are internally deduped too
+(within_batch=True), so the index only ever holds clean text.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tmframe_spark.streaming.materialize import _exactly_once_writer
+from tmframe_spark.text.incremental import (
+    dedup_against_index,
+    minhash_index_append,
+)
+
+
+def _batch_token(table_root: str, batch_id: int) -> str:
+    """Deterministic per-(stream, micro-batch) index token — stable across
+    at-least-once replays, distinct across streams sharing an index."""
+    return hashlib.md5(f"{table_root}|{batch_id}".encode()).hexdigest()
+
+
+def dedup_ingest_writer(
+    table_root: str,
+    index_path: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "docs",
+):
+    """The foreachBatch function implementing the module protocol (kept
+    separately constructible so tests can drive single batches, replays,
+    and crash windows directly)."""
+
+    def write_fn(df: DataFrame, batch_dir: str) -> dict:
+        token = _batch_token(table_root, int(batch_dir.rsplit("=", 1)[1]))
+        kept = dedup_against_index(
+            df,
+            index_path,
+            threshold,
+            id_col,
+            text_col,
+            within_batch=True,
+            exclude_batch=token,
+        ).localCheckpoint(eager=True)  # feeds the write, the append, the count
+        kept.write.mode("overwrite").parquet(batch_dir)
+        meta = minhash_index_append(kept, index_path, id_col, text_col, batch=token)
+        return {
+            "docs_in": df.count(),
+            "docs_kept": kept.count(),
+            "index_batches": len(meta.get("batches", [])),
+        }
+
+    return _exactly_once_writer(table_root, table, write_fn)
+
+
+def materialize_dedup_ingest(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    table_root: str,
+    index_path: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    max_files: int = 64,
+):
+    """Run (or drain, with availableNow) the dedup-ingest stream: documents
+    landing under ``source_path`` are probed against ``index_path``,
+    survivors appended there and materialized under
+    ``table_root/docs/batch=*``. Returns the StreamingQuery."""
+    checkpoint = checkpoint or os.path.join(table_root, "_docs_checkpoint")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(source_path)
+    )
+    writer = dedup_ingest_writer(table_root, index_path, threshold, id_col, text_col)
+    return (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        if available_now
+        else stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def read_ingested(spark: SparkSession, table_root: str, table: str = "docs"):
+    path = os.path.join(table_root, table)
+    return spark.read.option("basePath", path).parquet(f"{path}/batch=*")

@@ -225,3 +225,61 @@ def shingle_idf_stats(
         )
         .withColumn("mean_idf", F.col("idf_sum") / F.col("n_shingles"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic sliding-window document chunking — the
+    embedding-pipeline primitive that turns long documents into
+    fixed-budget overlapping windows (RAG / embedding-table prep; the
+    text-domain analog of the tier system's fixed-step buckets).
+
+    Whitespace tokens (the repo's ``_words`` normalization: lower + trim +
+    ``\\s+`` split); chunk k covers tokens ``[1 + k*stride, ... + chunk_tokens)``
+    (1-based slice) for k = 0 .. ceil(max(n - chunk_tokens, 0) / stride) —
+    the final chunk may be shorter (the tail), a doc with
+    n <= chunk_tokens yields exactly one chunk (its whole token list: the
+    shingle-family short-doc convention), overlap = chunk_tokens - stride.
+    ``stride`` defaults to ``chunk_tokens`` (disjoint windows).
+
+    Output: (id, chunk_idx, start_tok [1-based], n_chunk_tokens,
+    chunk_text). Pure codegen — split / sequence / transform / slice /
+    array_join, no shuffle, no UDF; chunk identity is a pure function of
+    the text, so the output is partitioning- and engine-independent (FULL
+    DuckDB oracle in the pytest mirror, ``doc_chunks``)."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    stride = chunk_tokens if stride is None else stride
+    if not 1 <= stride <= chunk_tokens:
+        raise ValueError(
+            f"stride must be in [1, chunk_tokens={chunk_tokens}], got {stride}"
+        )
+    ws = _words(F.col(text_col))
+    n = F.size(ws)
+    # number of windows - 1: ceil(max(n - chunk, 0) / stride) as exact ints
+    kmax = F.floor(
+        (F.greatest(n - F.lit(chunk_tokens), F.lit(0)) + F.lit(stride - 1))
+        / F.lit(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), kmax),
+        lambda k: F.struct(
+            k.alias("chunk_idx"),
+            (k * stride + 1).alias("start_tok"),
+            F.slice(ws, k * stride + 1, chunk_tokens).alias("toks"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(chunks).alias("c")
+    ).select(
+        id_col,
+        F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.start_tok").cast("long").alias("start_tok"),
+        F.size("c.toks").cast("long").alias("n_chunk_tokens"),
+        F.array_join("c.toks", " ").alias("chunk_text"),
+    )

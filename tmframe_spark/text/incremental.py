@@ -162,7 +162,11 @@ def minhash_index_write(
 
 
 def minhash_index_append(
-    df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch: str | None = None,
 ) -> dict:
     """Fold a new batch (normally ``dedup_against_index``'s survivors) into
     an existing index, with the index's OWN stored parameters — a caller
@@ -172,16 +176,42 @@ def minhash_index_append(
     and the token is committed into ``meta.json`` (atomic ``os.replace``)
     only after every write succeeded. Probes read committed batches only,
     so a crash at ANY point in here makes the whole batch invisible — never
-    a sigs/bands/exact mix that silently under-detects duplicates. Tokens
-    are never reused; a crashed ingest's directories are garbage until
-    ``minhash_index_vacuum``."""
+    a sigs/bands/exact mix that silently under-detects duplicates.
+
+    ``batch``: an explicit token makes the append IDEMPOTENT under
+    at-least-once replay (the streaming dedup-ingest protocol,
+    streaming/ingest.py): an already-committed token returns the meta
+    unchanged with no write; an uncommitted retry first vacuums the
+    token's half-written directories, then re-appends — so at-least-once
+    callers converge to exactly-once. Without it a fresh random token is
+    used (the one-shot form; a crashed attempt's directories are garbage
+    until ``minhash_index_vacuum``). Single-writer per index assumed, as
+    everywhere in this module."""
     meta = read_index_meta(path)
+    if batch is not None and batch in meta.get("batches", []):
+        return meta  # replay of a committed append: exactly-once no-op
+    if batch is not None:
+        _vacuum_token(path, batch)  # clear a crashed attempt's partial dirs
     params = {x: meta[x] for x in ("k", "bands", "shingle_k", "nmods")}
-    written = minhash_index_write(df, path, id_col, text_col, mode="append", **params)
+    written = minhash_index_write(
+        df, path, id_col, text_col, mode="append", batch=batch, **params
+    )
     new_batch = written["batches"][0]
     committed = dict(meta, batches=meta.get("batches", []) + [new_batch])
     _write_meta(path, committed)
     return committed
+
+
+def _vacuum_token(path: str, token: str) -> None:
+    """Remove one (uncommitted) token's directories from all three tables —
+    the targeted retry-cleanup inside minhash_index_append; the full sweep
+    is minhash_index_vacuum."""
+    import shutil
+
+    for table in ("sigs", "bands", "exact"):
+        d = os.path.join(path, table, f"batch={token}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
 
 
 def minhash_index_vacuum(path: str) -> list[str]:
@@ -203,20 +233,49 @@ def minhash_index_vacuum(path: str) -> list[str]:
     return sorted(removed)
 
 
-def _committed(spark, path: str, table: str, nmods_col: str, mods: list):
+#: the three table write schemas (minhash_index_write), used to answer
+#: probes against a bootstrapped-empty index whose partitioned writes hold
+#: zero parquet files
+_TABLE_SCHEMAS = {
+    "sigs": "id long, sig array<bigint>, batch string, id_mod int",
+    "bands": "id long, band int, bucket bigint, batch string, bucket_mod int",
+    "exact": "h string, id long, batch string, h_mod int",
+}
+
+
+def _committed(
+    spark, path: str, table: str, nmods_col: str, mods: list,
+    exclude_batch: str | None = None,
+):
     """Read one index table pruned to committed batches + the probe's
     touched mod partitions (both are partition columns -> PartitionFilters;
-    an uncommitted batch is never listed into the scan)."""
+    an uncommitted batch is never listed into the scan). ``exclude_batch``
+    drops one committed token — the replay rule: when a crashed ingest is
+    re-run AFTER its own append committed, the probe must answer as if the
+    batch had never arrived, or every replayed doc reads as a duplicate of
+    itself (the streaming dedup-ingest protocol, streaming/ingest.py)."""
     meta = read_index_meta(path)
-    df = spark.read.parquet(os.path.join(path, table))
+    try:
+        df = spark.read.parquet(os.path.join(path, table))
+    except Exception as e:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e) and "PATH_NOT_FOUND" not in str(e):
+            raise
+        # a bootstrapped-EMPTY index (jobs/ingest_job --init-index): the
+        # tables exist but hold zero files (an empty partitioned write
+        # emits no schema-bearing parquet), so answer from the module's
+        # own write schemas — the probe correctly sees an empty corpus
+        df = spark.createDataFrame([], _TABLE_SCHEMAS[table])
     batches = meta.get("batches")
     if batches is not None and "batch" in df.columns:
+        if exclude_batch is not None:
+            batches = [b for b in batches if b != exclude_batch]
         df = df.where(F.col("batch").isin(batches))
     return df.where(F.col(nmods_col).isin(mods))
 
 
 def exact_dups_against_index(
-    df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text",
+    exclude_batch: str | None = None,
 ) -> DataFrame:
     """(id_new, id_corpus) for every batch doc whose normalized text md5
     already exists in the corpus — id_corpus = the lowest matching corpus
@@ -227,7 +286,7 @@ def exact_dups_against_index(
         F.col(id_col).alias("id_new"), norm_text_md5(F.col(text_col)).alias("h")
     ).withColumn("h_mod", _mod(F.xxhash64(F.col("h")), nmods))
     mods = [r[0] for r in probe.select("h_mod").distinct().collect()]
-    idx = _committed(spark, path, "exact", "h_mod", mods).select(
+    idx = _committed(spark, path, "exact", "h_mod", mods, exclude_batch).select(
         "h", F.col("id").alias("id_corpus")
     )
     return (
@@ -243,6 +302,7 @@ def cross_dup_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    exclude_batch: str | None = None,
 ) -> DataFrame:
     """(id_new, id_corpus, est_jaccard) for every (batch doc, corpus doc)
     pair that collides in ≥1 LSH band AND whose MinHash-estimated Jaccard
@@ -262,9 +322,9 @@ def cross_dup_pairs(
         F.posexplode(band_buckets(F.col("sig"), bands, r)).alias("band", "bucket"),
     ).withColumn("bucket_mod", _mod(F.col("bucket"), nmods))
     probed = [r_[0] for r_ in band_new.select("bucket_mod").distinct().collect()]
-    idx = _committed(spark, path, "bands", "bucket_mod", probed).select(
-        "band", "bucket", F.col("id").alias("id_corpus")
-    )
+    idx = _committed(
+        spark, path, "bands", "bucket_mod", probed, exclude_batch
+    ).select("band", "bucket", F.col("id").alias("id_corpus"))
     # candidate-sized from here on; checkpoint before the two driver-visible
     # consumers (mod collect + verify join) so the band join runs once
     cand = (
@@ -279,7 +339,7 @@ def cross_dup_pairs(
         .distinct()
         .collect()
     ]
-    sigs_idx = _committed(spark, path, "sigs", "id_mod", cmods).select(
+    sigs_idx = _committed(spark, path, "sigs", "id_mod", cmods, exclude_batch).select(
         F.col("id").alias("id_corpus"), F.col("sig").alias("sig_corpus")
     )
     est = F.size(
@@ -304,6 +364,7 @@ def dedup_against_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     within_batch: bool = False,
+    exclude_batch: str | None = None,
 ) -> DataFrame:
     """The incremental-ingest dedup step: drop every batch doc that is an
     exact or near duplicate of a corpus doc already in the index; return
@@ -314,8 +375,12 @@ def dedup_against_index(
 
     The full cycle is probe → keep → ``minhash_index_append(kept, path)``;
     jobs/dedup_job.py wires it end to end."""
-    exact = exact_dups_against_index(df, path, id_col, text_col).select("id_new")
-    near = cross_dup_pairs(df, path, threshold, id_col, text_col).select("id_new")
+    exact = exact_dups_against_index(
+        df, path, id_col, text_col, exclude_batch
+    ).select("id_new")
+    near = cross_dup_pairs(
+        df, path, threshold, id_col, text_col, exclude_batch
+    ).select("id_new")
     drop = exact.unionByName(near).distinct().withColumnRenamed("id_new", id_col)
     kept = df.join(drop, id_col, "left_anti")
     if within_batch:
