@@ -1002,6 +1002,27 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(pq_encode(emb, books), books, qv, k=10, exclude_id=0)
 
 
+def q_hash_embed_dims(spark, sf_dir):
+    """Feature-hashing text embeddings (vec/embed.hash_embed — the hashing
+    trick, Weinberger '09): embedding[d] = signed count of tokens hashing
+    to bucket d (portable md5-prefix hash60, ±1 sign from a seeded second
+    hash). Emitted exploded (doc_id, dim_idx, v) with integer v — FULL
+    oracle in the pytest mirror. The baseline embedder feeding the
+    chunk → embed → ANN-index pipeline."""
+    from tmframe_spark.vec.embed import hash_embed
+
+    register_tables(spark, sf_dir)
+    return (
+        hash_embed(spark.table("documents"), dim=64)
+        .select("doc_id", F.posexplode("embedding").alias("dim_idx", "v"))
+        .select(
+            "doc_id",
+            F.col("dim_idx").cast("long").alias("dim_idx"),
+            F.col("v").cast("long").alias("v"),
+        )
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """Sliding-window document chunking (text/analysis.chunk_documents):
     32-token windows at stride 24 (8-token overlap), tail chunks shorter,
@@ -1795,6 +1816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_chunks: FULL oracle in the pytest mirror (identical 1-based
         # slice windows + ceil window count restated in DuckDB).
         "doc_chunks": q_doc_chunks,
+        # hash_embed_dims: FULL oracle in the pytest mirror (identical
+        # md5-prefix bucket/sign hashes; integer signed counts).
+        "hash_embed_dims": q_hash_embed_dims,
         # bpe_subword_stats: rows-only by design (iterative trainer);
         # bit-equal to the classic sequential BPE reference in test_bpe.
         "bpe_subword_stats": q_bpe_subword_stats,
@@ -2934,6 +2958,29 @@ b AS (SELECT min(minute) AS mn, max(minute) AS mx FROM m),
 s AS (SELECT unnest(generate_series(mn, mx, interval 1 minute)) AS minute FROM b)
 SELECT s.minute AS minute, CAST(coalesce(m.n, 0) AS BIGINT) AS n
 FROM s LEFT JOIN m ON s.minute = m.minute
+""",
+        # hash_embed_dims: identical md5-prefix hash60 bucket (% 64) and
+        # seeded sign parity; v = exact integer signed counts; all 64 dims
+        # emitted per doc (zeros included) via the range cross join.
+        "hash_embed_dims": r"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+tok AS (SELECT id, unnest(ws) AS w FROM toks),
+hb AS (
+  SELECT id,
+         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 64 AS b,
+         1 - 2 * (CAST(('0x' || substr(md5('s' || chr(31) || w), 1, 15))
+                       AS BIGINT) % 2) AS s
+  FROM tok
+),
+agg AS (SELECT id, b, CAST(sum(s) AS BIGINT) AS v FROM hb GROUP BY id, b),
+dims AS (SELECT CAST(unnest(range(64)) AS BIGINT) AS d)
+SELECT t.id AS doc_id, dims.d AS dim_idx,
+       CAST(coalesce(agg.v, 0) AS BIGINT) AS v
+FROM toks t CROSS JOIN dims
+LEFT JOIN agg ON agg.id = t.id AND agg.b = dims.d
 """,
         # doc_chunks: identical 1-based inclusive-slice windows; window
         # count = 1 + (greatest(n - 32, 0) + 23) // 24 (non-negative ints,
