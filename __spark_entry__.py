@@ -12,7 +12,7 @@
   oracle-verified exact form); the block round-trip, msgpack decode,
   display render, simhash, bpe counting and multimodal header decode all
   carry full DuckDB value-hash oracles. The driver record holds the first
-  ~50 registry rows, all 50 with full oracles; 29 tail entries carry
+  ~50 registry rows, all 50 with full oracles; 31 tail entries carry
   their full oracles in the pytest mirror instead
   (queries.pytest_only_oracles — the identical rows+schema+bit-value
   compare, run by tests/test_queries_vs_duckdb.py), and the remaining 15

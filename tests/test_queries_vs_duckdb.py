@@ -73,3 +73,19 @@ def test_every_oracled_query_within_driver_record_window():
     # must not shadow a driver oracle (that would silently demote it)
     overlap = set(PYTEST_ONLY) & set(DRIVER_ORACLES)
     assert not overlap, f"pytest-only oracle shadows a driver oracle: {overlap}"
+
+
+def test_entry_docstring_counts_match_registry():
+    """The __spark_entry__ docstring advertises the oracle arithmetic
+    (N driver oracles / M pytest-mirror oracles / K rows-only); pin the
+    numbers to the registry so they cannot drift again (r5 verdict #7 —
+    the mirror count had rotted to a stale value)."""
+    import __spark_entry__ as e
+
+    doc = e.__doc__
+    n_driver = len(DRIVER_ORACLES)
+    n_mirror = len(PYTEST_ONLY)
+    n_rows_only = len(ALL) - n_driver - n_mirror
+    assert f"all {n_driver} with full oracles" in doc, n_driver
+    assert f"{n_mirror} tail entries carry" in doc, n_mirror
+    assert f"remaining {n_rows_only}" in doc, n_rows_only
