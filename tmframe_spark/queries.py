@@ -1060,7 +1060,8 @@ def q_ann_ivfpq_topk(spark, sf_dir):
         "ivfpq_" + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10],
     )
     ivfpq_build_index(
-        emb, path, nlist=8, m=16, ksub=64, iters=2, store_vectors=True
+        emb, path, nlist=8, m=16, ksub=64, iters=2, store_vectors=True,
+        residual=True,  # true IVFADC: rerank recall 1.0 at sf0.1 (BENCH r6)
     )
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
     return ivfpq_topk_from_index(

@@ -400,6 +400,7 @@ def pq_topk_rerank(
     exclude_id: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    shortlist: DataFrame | None = None,
 ) -> DataFrame:
     """ADC shortlist + exact re-rank — the standard PQ serving refinement
     (Jégou et al., "Product Quantization for Nearest Neighbor Search",
@@ -422,9 +423,11 @@ def pq_topk_rerank(
 
     if refine < 1:
         raise ValueError(f"refine must be >= 1, got {refine}")
-    shortlist = pq_topk(
-        codes, codebooks, query_vec, k=k * refine, exclude_id=exclude_id, id_col=id_col
-    ).select(id_col)
+    if shortlist is None:
+        shortlist = pq_topk(
+            codes, codebooks, query_vec, k=k * refine,
+            exclude_id=exclude_id, id_col=id_col,
+        ).select(id_col)
     qv = np.asarray(query_vec, dtype=np.float32).astype(np.float64)
     qlit = F.array(*[F.lit(float(x)) for x in qv])
     Qq = np.floor(qv * _Q).astype(np.int64)
@@ -497,6 +500,7 @@ def ivfpq_build_index(
     vec_col: str = "embedding",
     full_corpus: bool = False,
     store_vectors: bool = False,
+    residual: bool = False,
 ):
     """Build the PERSISTED two-level ANN index — IVF cell pruning over PQ
     codes, the classic billion-scale serving layout (FAISS IVFADC;
@@ -506,11 +510,20 @@ def ivfpq_build_index(
     - ``path/codes``: (id, code) PARTITIONED BY (cell) — a query reads
       nprobe/nlist of the DIRECTORIES (PartitionFilters), and each row it
       does read costs m bytes + two table-gathers instead of the vector;
-    - ``path/centroids`` / ``path/codebooks``: the tiny quantizer state,
-      persisted so serving needs only the path (``ivfpq_load_meta``);
+    - ``path/centroids`` / ``path/codebooks`` / ``path/flags``: the tiny
+      quantizer state, persisted so serving needs only the path
+      (``ivfpq_load_meta``);
     - ``store_vectors=True`` additionally writes ``path/vectors``
       (cell-partitioned original vectors) for exact re-ranking without the
       source table (IVFADC-R) — 4·dim bytes/row, read only candidate-wide.
+
+    ``residual=True`` is the TRUE IVFADC form (Jégou et al. §IV.A): the PQ
+    codebooks are trained on and encode ``vec − centroid[cell]`` — the
+    codes spend their bits on the within-cell detail the coarse quantizer
+    already removed, which is where PQ distortion hurts; serving
+    reconstructs per probed cell (the cell-dependent ADC tables in
+    ``_pq_topk_residual``). Measured recall gain on the bench corpus in
+    BENCH.md round-6.
 
     ``full_corpus=True`` trains BOTH quantizers distributed
     (ivf_train_distributed + pq_train_distributed — no driver-bounded
@@ -526,16 +539,38 @@ def ivfpq_build_index(
     if full_corpus:
         cents = ivf_train_distributed(embeddings, nlist, iters, id_col, vec_col)
         assigned = ivf_assign_broadcast(embeddings, cents, vec_col)
-        books = pq_train_distributed(embeddings, m, ksub, iters, id_col, vec_col)
     else:
         cents = ivf_train(embeddings, nlist, iters, id_col, vec_col)
         assigned = ivf_assign(embeddings, cents, vec_col)
-        books = pq_train(embeddings, m, ksub, iters, id_col, vec_col)
-    assigned = assigned.localCheckpoint(eager=True)  # feeds 1-2 writes
+    assigned = assigned.localCheckpoint(eager=True)  # feeds 1-2 writes + train
+    if residual:
+        # residual = vec − centroid[cell]: a broadcast join against the
+        # nlist-row centroid table + one codegen zip_with — exact float64
+        cdf = spark.createDataFrame(
+            [(c, [float(x) for x in v]) for c, v in enumerate(cents)],
+            "cell int, _cent array<double>",
+        )
+        enc_src = assigned.join(F.broadcast(cdf), "cell").select(
+            id_col,
+            "cell",
+            F.zip_with(
+                F.col(vec_col), F.col("_cent"), lambda x, c: x.cast("double") - c
+            ).alias("_res"),
+        ).localCheckpoint(eager=True)  # feeds train AND encode
+        train = pq_train_distributed if full_corpus else pq_train
+        books = train(enc_src, m, ksub, iters, id_col, "_res")
+        codes = pq_encode(enc_src, books, id_col, "_res", carry_cols=("cell",))
+    else:
+        train = pq_train_distributed if full_corpus else pq_train
+        books = train(embeddings, m, ksub, iters, id_col, vec_col)
+        codes = pq_encode(assigned, books, id_col, vec_col, carry_cols=("cell",))
     # one task per cell directory (the index-write small-files rule)
-    pq_encode(assigned, books, id_col, vec_col, carry_cols=("cell",)).repartition(
-        "cell"
-    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    codes.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/codes"
+    )
+    spark.createDataFrame([(bool(residual),)], "residual boolean").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/flags")
     if store_vectors:
         assigned.select(id_col, vec_col, "cell").repartition("cell").write.mode(
             "overwrite"
@@ -570,6 +605,110 @@ def ivfpq_load_meta(spark, path: str):
     return cents, books
 
 
+def ivfpq_load_flags(spark, path: str) -> dict:
+    """The index's build flags (currently: residual). Pre-flag indexes
+    (round-6 early builds) read as non-residual."""
+    try:
+        return spark.read.parquet(f"{path}/flags").collect()[0].asDict()
+    except Exception:
+        return {"residual": False}
+
+
+def _pq_topk_residual(
+    codes: DataFrame,
+    books,
+    cents,
+    probe: list,
+    query_vec,
+    k: int,
+    exclude_id: int | None,
+    id_col: str,
+) -> DataFrame:
+    """ADC scoring for a RESIDUAL-encoded index: the stored code
+    reconstructs ``centroid[cell] + book[s][code_s]``, so the score
+    decomposes into a per-cell constant plus table-gathers —
+    dot(q, recon) = Qq·Qc + Σ_s dot_lut[s][code_s] and
+    |recon|² = Qc·Qc + Σ_s (2·Qc_s·Qb[s][code_s] + |Qb[s][code_s]|²) —
+    all exact int64 in the repo's floor(x·2^20) space (the reconstruction
+    is DEFINED as the sum of the quantized parts, so summation order and
+    partitioning cannot matter). When every residual is zero the score is
+    the exact fixed-point cosine of the centroid itself — pinned by the
+    zero-residual bit-compare test."""
+    import numpy as np
+
+    spark = codes.sparkSession
+    qv = np.asarray(query_vec, dtype=np.float32).astype(np.float64)
+    B = _codebook_matrix(books)
+    m, ksub, dsub = B.shape
+    if qv.size != m * dsub:
+        raise ValueError(f"query dim {qv.size} != codebook dim {m * dsub}")
+    Qq = np.floor(qv * _Q).astype(np.int64)
+    Qb = np.floor(B * _Q).astype(np.int64)
+    qn2 = int((Qq * Qq).sum())
+    # cell-independent tables
+    dot_lut = np.empty((m, ksub), dtype=np.int64)
+    rnorm_lut = np.empty((m, ksub), dtype=np.int64)
+    for s in range(m):
+        qs = Qq[s * dsub : (s + 1) * dsub]
+        dot_lut[s] = (Qb[s] * qs[None, :]).sum(axis=1)
+        rnorm_lut[s] = (Qb[s] * Qb[s]).sum(axis=1)
+    # per-probed-cell constants + cross tables
+    per_cell = {}
+    for c in probe:
+        Qc = np.floor(np.asarray(cents[c], dtype=np.float64) * _Q).astype(np.int64)
+        cross = np.empty((m, ksub), dtype=np.int64)
+        for s in range(m):
+            cs = Qc[s * dsub : (s + 1) * dsub]
+            cross[s] = 2 * (Qb[s] * cs[None, :]).sum(axis=1)
+        per_cell[int(c)] = (int(Qq @ Qc), int(Qc @ Qc), cross)
+    bc = spark.sparkContext.broadcast((dot_lut, rnorm_lut, per_cell))
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        dl, rl, pc = bc.value
+        m_ = dl.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = _np.frombuffer(b"".join(pdf["code"]), dtype=_np.uint8).reshape(-1, m_)
+            cells = pdf["cell"].to_numpy()
+            dot = _np.zeros(len(C), dtype=_np.int64)
+            xn2 = _np.zeros(len(C), dtype=_np.int64)
+            for c in _np.unique(cells):
+                mask = cells == c
+                cd, cn, cross = pc[int(c)]
+                d = _np.full(mask.sum(), cd, dtype=_np.int64)
+                x = _np.full(mask.sum(), cn, dtype=_np.int64)
+                Cm = C[mask]
+                for s in range(m_):
+                    d += dl[s][Cm[:, s]]
+                    x += cross[s][Cm[:, s]] + rl[s][Cm[:, s]]
+                dot[mask] = d
+                xn2[mask] = x
+            yield _pd.DataFrame(
+                {"_id": pdf[id_col].to_numpy(), "_dot": dot, "_xn2": xn2}
+            )
+
+    scored = codes.select(id_col, "cell", "code").mapInPandas(
+        score, "_id long, _dot long, _xn2 long"
+    )
+    if exclude_id is not None:
+        scored = scored.where(F.col("_id") != exclude_id)
+    return (
+        scored.select(
+            F.col("_id").alias(id_col),
+            (
+                F.col("_dot")
+                / F.sqrt(F.lit(float(qn2)) * F.col("_xn2").cast("double"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivfpq_topk_from_index(
     spark,
     path: str,
@@ -592,24 +731,39 @@ def ivfpq_topk_from_index(
     ``refine``: ADC-shortlist k·refine candidates, then exact fixed-point
     re-rank against ``vectors`` (a vector table; defaults to the index's
     own ``path/vectors`` when store_vectors was used) — pq_topk_rerank's
-    contract composed with cell pruning."""
+    contract composed with cell pruning.
+
+    A residual-built index (ivfpq_build_index(residual=True)) is detected
+    from the persisted flags and scored by ``_pq_topk_residual``'s
+    per-cell reconstruction tables; everything else (probing, pruning,
+    refine) is identical."""
     import numpy as np
 
     cents, books = ivfpq_load_meta(spark, path)
+    residual = bool(ivfpq_load_flags(spark, path).get("residual", False))
     qv = [float(x) for x in np.asarray(query_vec, dtype=np.float32)]
     dists = [
         (sum((a - b) ** 2 for a, b in zip(qv, c)), i) for i, c in enumerate(cents)
     ]
     probe = [i for _, i in sorted(dists)[: max(1, min(nprobe, len(cents)))]]
     codes = spark.read.parquet(f"{path}/codes").where(F.col("cell").isin(*probe))
+
+    def adc(kk):
+        if residual:
+            return _pq_topk_residual(
+                codes, books, cents, probe, qv, kk, exclude_id, id_col
+            )
+        return pq_topk(codes, books, qv, kk, exclude_id, id_col)
+
     if refine is None:
-        return pq_topk(codes, books, qv, k, exclude_id, id_col)
+        return adc(k)
     if vectors is None:
         vectors = spark.read.parquet(f"{path}/vectors").where(
             F.col("cell").isin(*probe)
         )
     return pq_topk_rerank(
-        codes, vectors, books, qv, k, refine, exclude_id, id_col, vec_col
+        codes, vectors, books, qv, k, refine, exclude_id, id_col, vec_col,
+        shortlist=adc(k * refine).select(id_col),
     )
 
 
