@@ -195,3 +195,12 @@ def test_empty_inputs_anomaly_topk_and_removal(spark):
 
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert remove_duplicate_spans(docs, "doc_id").count() == 0
+
+
+def test_empty_inputs_round6_operators(spark):
+    from tmframe_spark.text.analysis import chunk_documents
+    from tmframe_spark.vec.embed import hash_embed
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert chunk_documents(docs, chunk_tokens=8, stride=4).count() == 0
+    assert hash_embed(docs, dim=16).count() == 0

@@ -405,3 +405,22 @@ def test_ivfpq_residual_adc_recall_not_worse_than_plain(emb, tmp_path, spark):
         }
         got[name] = len(exact & ids) / 10
     assert got["residual"] >= got["plain"], got
+
+
+def test_ivfpq_residual_full_corpus_build_matches_sample_build(emb, tmp_path, spark):
+    # residual + full_corpus: BOTH quantizers distributed, residual
+    # codebooks trained by pq_train_distributed over the residual column —
+    # on an in-sample corpus the build equals the driver-sample build
+    from tmframe_spark.vec.pq import ivfpq_build_index, ivfpq_topk_from_index
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    ca, ba = ivfpq_build_index(emb, a, nlist=4, m=4, ksub=8, iters=1, residual=True)
+    cb, bb = ivfpq_build_index(
+        emb, b, nlist=4, m=4, ksub=8, iters=1, residual=True, full_corpus=True
+    )
+    assert [[float(x) for x in c] for c in ca] == [[float(x) for x in c] for c in cb]
+    assert ba == bb
+    qv = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    ra = _rows(ivfpq_topk_from_index(spark, a, qv, k=5, nprobe=2, exclude_id=0))
+    rb = _rows(ivfpq_topk_from_index(spark, b, qv, k=5, nprobe=2, exclude_id=0))
+    assert ra == rb
