@@ -424,3 +424,77 @@ def test_ivfpq_residual_full_corpus_build_matches_sample_build(emb, tmp_path, sp
     ra = _rows(ivfpq_topk_from_index(spark, a, qv, k=5, nprobe=2, exclude_id=0))
     rb = _rows(ivfpq_topk_from_index(spark, b, qv, k=5, nprobe=2, exclude_id=0))
     assert ra == rb
+
+
+# --- incremental append (round-6; the nightly-embedding-ingest form) -------
+
+
+def test_ivfpq_append_serves_like_single_build(emb, tmp_path, spark):
+    # base index on the low-id half, the rest appended with the FROZEN
+    # quantizers: probe-all serving == the flat pq_topk over ALL vectors
+    # encoded with the base books (append changes nothing about scoring)
+    from tmframe_spark.vec.pq import (
+        ivfpq_append,
+        ivfpq_build_index,
+        ivfpq_load_meta,
+        ivfpq_topk_from_index,
+    )
+
+    base = emb.where("vec_id < 300")
+    rest = emb.where("vec_id >= 300")
+    path = str(tmp_path / "ivfpq")
+    ivfpq_build_index(base, path, nlist=8, m=8, ksub=16, iters=2)
+    meta = ivfpq_append(rest, path)
+    assert len(meta["batches"]) == 2
+    _, books = ivfpq_load_meta(spark, path)
+    qv = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    flat = _rows(pq_topk(pq_encode(emb, books), books, qv, k=10, exclude_id=0))
+    served = _rows(
+        ivfpq_topk_from_index(spark, path, qv, k=10, nprobe=8, exclude_id=0)
+    )
+    assert served == flat
+    # appended ids actually serve
+    assert any(i >= 300 for i, _ in served) or all(i < 300 for i, _ in flat)
+
+
+def test_ivfpq_append_crash_and_replay_semantics(emb, tmp_path, spark):
+    import json
+    import os
+
+    from tmframe_spark.vec.pq import (
+        ivfpq_append,
+        ivfpq_build_index,
+        ivfpq_read_meta,
+        ivfpq_topk_from_index,
+        ivfpq_vacuum,
+    )
+
+    base = emb.where("vec_id < 400")
+    rest = emb.where("vec_id >= 400").localCheckpoint(eager=True)
+    n_rest = rest.count()
+    path = str(tmp_path / "ivfpq")
+    ivfpq_build_index(emb.where("vec_id < 400"), path, nlist=4, m=8, ksub=16,
+                      iters=1, residual=True, store_vectors=True)
+    qv = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    before = _rows(ivfpq_topk_from_index(spark, path, qv, k=10, nprobe=4,
+                                         exclude_id=0))
+
+    ivfpq_append(rest, path, batch="tok1")
+    # committed replay: exactly-once no-op
+    meta1 = ivfpq_read_meta(path)
+    assert ivfpq_append(rest, path, batch="tok1")["batches"] == meta1["batches"]
+
+    # simulated crash: un-commit the token (tables written, fence "lost")
+    crashed = dict(meta1, batches=[b for b in meta1["batches"] if b != "tok1"])
+    tmp = os.path.join(path, "meta.json")
+    json.dump(crashed, open(tmp, "w"))
+    # serving must answer exactly as before the append (committed filter)
+    assert _rows(ivfpq_topk_from_index(spark, path, qv, k=10, nprobe=4,
+                                       exclude_id=0)) == before
+    # retried append with the SAME token: vacuum + re-write, ONE copy
+    ivfpq_append(rest, path, batch="tok1")
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    assert codes.where("batch = 'tok1'").count() == n_rest
+    assert len(ivfpq_read_meta(path)["batches"]) == 2
+    # vacuum with everything committed removes nothing
+    assert ivfpq_vacuum(path) == []

@@ -564,17 +564,23 @@ def ivfpq_build_index(
         train = pq_train_distributed if full_corpus else pq_train
         books = train(embeddings, m, ksub, iters, id_col, vec_col)
         codes = pq_encode(assigned, books, id_col, vec_col, carry_cols=("cell",))
-    # one task per cell directory (the index-write small-files rule)
-    codes.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/codes"
-    )
-    spark.createDataFrame([(bool(residual),)], "residual boolean").coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{path}/flags")
+    # batch/cell layout: batch=<token> is the append unit (the dedup-index
+    # crash-atomicity pattern — meta.json commits the token list LAST, so a
+    # crashed build/append is invisible to serving), cell stays a partition
+    # column (PartitionFilters prune on it at any depth). One task per
+    # directory (the index-write small-files rule).
+    import uuid
+
+    token = uuid.uuid4().hex
+    codes.select("*", F.lit(token).alias("batch")).repartition("cell").write.mode(
+        "overwrite"
+    ).partitionBy("batch", "cell").parquet(f"{path}/codes")
     if store_vectors:
-        assigned.select(id_col, vec_col, "cell").repartition("cell").write.mode(
-            "overwrite"
-        ).partitionBy("cell").parquet(f"{path}/vectors")
+        assigned.select(
+            id_col, vec_col, "cell", F.lit(token).alias("batch")
+        ).repartition("cell").write.mode("overwrite").partitionBy(
+            "batch", "cell"
+        ).parquet(f"{path}/vectors")
     spark.createDataFrame(
         [(c, [float(x) for x in v]) for c, v in enumerate(cents)],
         "cell int, centroid array<double>",
@@ -587,6 +593,12 @@ def ivfpq_build_index(
         ],
         "sub int, code int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    _ivfpq_write_meta(path, {
+        "residual": bool(residual),
+        "store_vectors": bool(store_vectors),
+        "nlist": int(nlist), "m": int(m), "ksub": int(ksub),
+        "batches": [token],
+    })  # the commit fence: every table first, meta last
     return cents, books
 
 
@@ -605,13 +617,122 @@ def ivfpq_load_meta(spark, path: str):
     return cents, books
 
 
+def _ivfpq_meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "meta.json")
+
+
+def _ivfpq_write_meta(path: str, meta: dict) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tmp = _ivfpq_meta_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    os.replace(tmp, _ivfpq_meta_path(path))  # atomic: readers see old or new
+
+
+def ivfpq_read_meta(path: str) -> dict:
+    import json
+
+    with open(_ivfpq_meta_path(path)) as f:
+        return json.load(f)
+
+
 def ivfpq_load_flags(spark, path: str) -> dict:
-    """The index's build flags (currently: residual). Pre-flag indexes
-    (round-6 early builds) read as non-residual."""
-    try:
-        return spark.read.parquet(f"{path}/flags").collect()[0].asDict()
-    except Exception:
-        return {"residual": False}
+    """Back-compat alias: the index's build metadata (residual, geometry,
+    committed batches)."""
+    return ivfpq_read_meta(path)
+
+
+def ivfpq_vacuum(path: str) -> list[str]:
+    """Delete UNCOMMITTED batch directories (a crashed append's leftovers)
+    from the codes and vectors tables; returns the removed tokens. Safe
+    alongside serving: probes never read uncommitted batches."""
+    import os
+    import shutil
+
+    committed = set(ivfpq_read_meta(path).get("batches", []))
+    removed = set()
+    for table in ("codes", "vectors"):
+        troot = os.path.join(path, table)
+        if not os.path.isdir(troot):
+            continue
+        for d in os.listdir(troot):
+            if d.startswith("batch=") and d.split("=", 1)[1] not in committed:
+                shutil.rmtree(os.path.join(troot, d))
+                removed.add(d.split("=", 1)[1])
+    return sorted(removed)
+
+
+def ivfpq_append(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch: str | None = None,
+):
+    """Fold a NEW batch of vectors into an existing IVF+PQ index with the
+    index's OWN frozen quantizers (assign to the existing cells, encode
+    with the existing codebooks) — the nightly-embedding-ingest form; the
+    quantizers never drift between batches, so appended codes score
+    exactly as if they had been in the original build (pinned by the
+    append==single-build serve test). Re-training is a rebuild, by design
+    (standard IVF practice; cell drift under a shifted distribution is a
+    monitoring question — see ivf cell-occupancy queries).
+
+    CRASH-ATOMIC + REPLAY-IDEMPOTENT (the dedup-index protocol): the batch
+    lands under ``batch=<token>`` partitions in codes (and vectors, when
+    the index stores them), the token commits into meta.json last; an
+    explicit ``batch`` token makes retries converge (committed -> no-op,
+    uncommitted -> vacuum the token's dirs, re-append). Single writer per
+    index assumed."""
+    import os
+    import shutil
+    import uuid
+
+    from tmframe_spark.vec.similarity import ivf_assign
+
+    meta = ivfpq_read_meta(path)
+    if batch is not None and batch in meta.get("batches", []):
+        return meta  # replay of a committed append: exactly-once no-op
+    token = batch or uuid.uuid4().hex
+    for table in ("codes", "vectors"):
+        d = os.path.join(path, table, f"batch={token}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)  # a crashed attempt's partial write
+    cents, books = ivfpq_load_meta(embeddings.sparkSession, path)
+    spark = embeddings.sparkSession
+    assigned = ivf_assign(embeddings, cents, vec_col).localCheckpoint(eager=True)
+    if meta.get("residual", False):
+        cdf = spark.createDataFrame(
+            [(c, [float(x) for x in v]) for c, v in enumerate(cents)],
+            "cell int, _cent array<double>",
+        )
+        enc_src = assigned.join(F.broadcast(cdf), "cell").select(
+            id_col,
+            "cell",
+            F.zip_with(
+                F.col(vec_col), F.col("_cent"), lambda x, c: x.cast("double") - c
+            ).alias("_res"),
+        )
+        codes = pq_encode(enc_src, books, id_col, "_res", carry_cols=("cell",))
+    else:
+        codes = pq_encode(assigned, books, id_col, vec_col, carry_cols=("cell",))
+    codes.select("*", F.lit(token).alias("batch")).repartition("cell").write.mode(
+        "append"
+    ).partitionBy("batch", "cell").parquet(f"{path}/codes")
+    if meta.get("store_vectors", False):
+        assigned.select(
+            id_col, vec_col, "cell", F.lit(token).alias("batch")
+        ).repartition("cell").write.mode("append").partitionBy(
+            "batch", "cell"
+        ).parquet(f"{path}/vectors")
+    committed = dict(meta, batches=meta.get("batches", []) + [token])
+    _ivfpq_write_meta(path, committed)  # the commit fence
+    return committed
 
 
 def _pq_topk_residual(
@@ -740,13 +861,21 @@ def ivfpq_topk_from_index(
     import numpy as np
 
     cents, books = ivfpq_load_meta(spark, path)
-    residual = bool(ivfpq_load_flags(spark, path).get("residual", False))
+    meta = ivfpq_read_meta(path)
+    residual = bool(meta.get("residual", False))
+    committed = meta.get("batches", [])
     qv = [float(x) for x in np.asarray(query_vec, dtype=np.float32)]
     dists = [
         (sum((a - b) ** 2 for a, b in zip(qv, c)), i) for i, c in enumerate(cents)
     ]
     probe = [i for _, i in sorted(dists)[: max(1, min(nprobe, len(cents)))]]
-    codes = spark.read.parquet(f"{path}/codes").where(F.col("cell").isin(*probe))
+    # both predicates land on partition columns: an uncommitted (crashed)
+    # batch is never listed into the scan, and only nprobe cells are read
+    codes = (
+        spark.read.parquet(f"{path}/codes")
+        .where(F.col("batch").isin(committed))
+        .where(F.col("cell").isin(*probe))
+    )
 
     def adc(kk):
         if residual:
@@ -758,8 +887,10 @@ def ivfpq_topk_from_index(
     if refine is None:
         return adc(k)
     if vectors is None:
-        vectors = spark.read.parquet(f"{path}/vectors").where(
-            F.col("cell").isin(*probe)
+        vectors = (
+            spark.read.parquet(f"{path}/vectors")
+            .where(F.col("batch").isin(committed))
+            .where(F.col("cell").isin(*probe))
         )
     return pq_topk_rerank(
         codes, vectors, books, qv, k, refine, exclude_id, id_col, vec_col,
