@@ -40,6 +40,11 @@ def main(argv=None) -> int:
                    help="run until killed instead of draining what has landed")
     p.add_argument("--init-index", action="store_true",
                    help="bootstrap an empty index at --index if none exists")
+    p.add_argument("--ann-index", default=None,
+                   help="EXISTING IVF+PQ index (ivfpq_build_index): each "
+                        "batch's survivors are hash-embedded and appended "
+                        "(exactly-once, frozen quantizers)")
+    p.add_argument("--embed-dim", type=int, default=64)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -64,6 +69,7 @@ def main(argv=None) -> int:
         spark, args.source, schema, args.root, args.index,
         threshold=args.threshold, id_col=args.id_col, text_col=args.text_col,
         available_now=not args.continuous, max_files=args.max_files,
+        ann_index_path=args.ann_index, embed_dim=args.embed_dim,
     )
     q.awaitTermination()
 
@@ -75,6 +81,8 @@ def main(argv=None) -> int:
         "docs_in": sum(s.get("docs_in", 0) for s in stats),
         "docs_kept": sum(s.get("docs_kept", 0) for s in stats),
         "index_batches": len(read_index_meta(args.index).get("batches", [])),
+        **({"ann_batches": sum(1 for s in stats if "ann_batches" in s)}
+           if args.ann_index else {}),
     }))
     return 0
 

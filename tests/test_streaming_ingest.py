@@ -164,3 +164,58 @@ def test_ingest_job_end_to_end(spark, tmp_path, capsys):
     again = [json.loads(l) for l in capsys.readouterr().out.splitlines()
              if l.startswith("{")][-1]
     assert again["docs_kept"] == 21 and again["index_batches"] == summary["index_batches"]
+
+
+def test_ingest_with_ann_leg_end_to_end_and_replay(spark, tmp_path):
+    """The full continuous pipeline: docs land -> dedup -> survivors enter
+    the doc table AND the (pre-built, frozen-quantizer) IVF+PQ index; the
+    appended vectors are immediately servable, and a crashed replay leaves
+    exactly one ANN copy (the <token>-ann committed no-op)."""
+    import os
+
+    from tmframe_spark.vec.embed import hash_embed
+    from tmframe_spark.vec.pq import (
+        ivfpq_build_index,
+        ivfpq_read_meta,
+        ivfpq_topk_from_index,
+    )
+
+    idx = _mkindex(spark, tmp_path)
+    root = str(tmp_path / "out")
+    ann = str(tmp_path / "ann")
+    # quantizers frozen on the base corpus's embeddings
+    base_emb = hash_embed(
+        spark.createDataFrame(BASE, "doc_id long, text string"), dim=32
+    ).withColumnRenamed("doc_id", "vec_id")
+    ivfpq_build_index(base_emb, ann, nlist=2, m=4, ksub=8, iters=2,
+                      store_vectors=True)
+
+    write_batch = dedup_ingest_writer(root, idx, threshold=0.5,
+                                      ann_index_path=ann, embed_dim=32)
+    df = spark.createDataFrame(
+        [(100, "entirely new content epsilon zeta eta theta"),
+         (101, BASE[3][1])],
+        "doc_id long, text string",
+    )
+    write_batch(df, 0)
+    meta = ivfpq_read_meta(ann)
+    assert len(meta["batches"]) == 2  # build + one ingest batch
+    # the ingested doc 100's embedding is servable: query with its own
+    # vector, expect itself at rank 1 (cosine ~1)
+    qv = [float(x) for x in hash_embed(
+        df.where("doc_id = 100"), dim=32
+    ).collect()[0]["embedding"]]
+    # exact re-rank against the index's stored vectors (the appended
+    # batch's vectors table leg): raw ADC at this tiny geometry can
+    # misrank, the refined result cannot
+    top = ivfpq_topk_from_index(spark, ann, qv, k=3, nprobe=2, refine=5).collect()
+    assert top[0]["vec_id"] == 100 and top[0]["cosine"] > 0.999
+
+    # crashed replay (manifest lost after everything committed): both the
+    # dedup index AND the ANN index must stay exactly-once
+    os.remove(os.path.join(root, "_docs_batches", "batch-0.json"))
+    write_batch(df, 0)
+    assert len(ivfpq_read_meta(ann)["batches"]) == 2
+    codes = spark.read.parquet(os.path.join(ann, "codes"))
+    tok = _batch_token(root, 0) + "-ann"
+    assert codes.where(F.col("batch") == tok).count() == 1  # doc 100 only

@@ -54,10 +54,22 @@ def dedup_ingest_writer(
     id_col: str = "doc_id",
     text_col: str = "text",
     table: str = "docs",
+    ann_index_path: str | None = None,
+    embed_dim: int = 64,
 ):
     """The foreachBatch function implementing the module protocol (kept
     separately constructible so tests can drive single batches, replays,
-    and crash windows directly)."""
+    and crash windows directly).
+
+    ``ann_index_path``: an EXISTING IVF+PQ index (ivfpq_build_index —
+    quantizers frozen at build time, the standard ingest contract): each
+    batch's survivors are hash-embedded (vec/embed, ``embed_dim`` dims)
+    and appended under the batch's own deterministic token
+    (``<token>-ann``) — ivfpq_append's committed-token no-op makes this
+    leg exactly-once under the same replays as the rest of the protocol.
+    The full continuous pipeline: documents land → dedup against the
+    corpus → survivors enter the dedup index, the doc table, AND the
+    ANN-servable vector index, atomically per micro-batch."""
 
     def write_fn(df: DataFrame, batch_dir: str) -> dict:
         token = _batch_token(table_root, int(batch_dir.rsplit("=", 1)[1]))
@@ -69,14 +81,24 @@ def dedup_ingest_writer(
             text_col,
             within_batch=True,
             exclude_batch=token,
-        ).localCheckpoint(eager=True)  # feeds the write, the append, the count
+        ).localCheckpoint(eager=True)  # feeds the write, the appends, the count
         kept.write.mode("overwrite").parquet(batch_dir)
         meta = minhash_index_append(kept, index_path, id_col, text_col, batch=token)
-        return {
+        out = {
             "docs_in": df.count(),
             "docs_kept": kept.count(),
             "index_batches": len(meta.get("batches", [])),
         }
+        if ann_index_path is not None:
+            from tmframe_spark.vec.embed import hash_embed
+            from tmframe_spark.vec.pq import ivfpq_append
+
+            emb = hash_embed(
+                kept, dim=embed_dim, id_col=id_col, text_col=text_col
+            ).withColumnRenamed(id_col, "vec_id")
+            ameta = ivfpq_append(emb, ann_index_path, batch=f"{token}-ann")
+            out["ann_batches"] = len(ameta.get("batches", []))
+        return out
 
     return _exactly_once_writer(table_root, table, write_fn)
 
@@ -93,18 +115,24 @@ def materialize_dedup_ingest(
     checkpoint: str | None = None,
     available_now: bool = True,
     max_files: int = 64,
+    ann_index_path: str | None = None,
+    embed_dim: int = 64,
 ):
     """Run (or drain, with availableNow) the dedup-ingest stream: documents
     landing under ``source_path`` are probed against ``index_path``,
     survivors appended there and materialized under
-    ``table_root/docs/batch=*``. Returns the StreamingQuery."""
+    ``table_root/docs/batch=*`` (and, with ``ann_index_path``, embedded +
+    appended to the IVF+PQ index). Returns the StreamingQuery."""
     checkpoint = checkpoint or os.path.join(table_root, "_docs_checkpoint")
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files)
         .parquet(source_path)
     )
-    writer = dedup_ingest_writer(table_root, index_path, threshold, id_col, text_col)
+    writer = dedup_ingest_writer(
+        table_root, index_path, threshold, id_col, text_col,
+        ann_index_path=ann_index_path, embed_dim=embed_dim,
+    )
     return (
         stream.writeStream.foreachBatch(writer)
         .option("checkpointLocation", checkpoint)
