@@ -240,3 +240,26 @@ def test_append_is_crash_atomic(spark, tmp_path):
         assert toks <= set(meta["batches"])
     # and the vacuumed index still answers identically
     assert {r["doc_id"] for r in dedup_against_index(probe, path, 0.5).collect()} == after
+
+
+def test_index_writes_one_file_per_partition_directory(spark, tmp_path):
+    """Regression lock for the r6 small-files fix: every (batch, mod)
+    directory of every index table holds exactly ONE parquet file (the
+    repartition-before-partitionBy rule) — without it each upstream task
+    writes into every directory (10,864 files measured for a 5.5k-doc
+    index pre-fix)."""
+    import glob
+    import os
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} unique{i} filler alpha beta gamma") for i in range(200)],
+        "doc_id long, text string",
+    ).repartition(16)  # many upstream tasks — the amplification trigger
+    path = str(tmp_path / "idx")
+    minhash_index_write(docs, path)
+    for table in ("sigs", "bands", "exact"):
+        dirs = glob.glob(os.path.join(path, table, "batch=*", "*=*"))
+        assert dirs, table
+        for d in dirs:
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            assert len(files) == 1, (table, d, len(files))

@@ -4,6 +4,7 @@ written-index parity, determinism, and geometry validation."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
 from tmframe_spark.vec.pq import (
@@ -498,3 +499,54 @@ def test_ivfpq_append_crash_and_replay_semantics(emb, tmp_path, spark):
     assert len(ivfpq_read_meta(path)["batches"]) == 2
     # vacuum with everything committed removes nothing
     assert ivfpq_vacuum(path) == []
+
+
+# --- batched multi-query serving (round-6) ----------------------------------
+
+
+def test_pq_topk_batch_bit_equals_per_query_runs(emb, spark):
+    from tmframe_spark.vec.pq import pq_topk_batch
+
+    books = pq_train(emb, m=8, ksub=16, iters=2)
+    codes = pq_encode(emb, books).localCheckpoint(eager=True)
+    qids = [0, 7, 42, 100, 250]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = pq_topk_batch(codes, books, queries, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    for qid in qids:
+        qv = emb.where(f"vec_id = {qid}").collect()[0]["embedding"]
+        single = _rows(pq_topk(codes, books, qv, k=10, exclude_id=qid))
+        assert by_q[qid] == single, qid  # ids AND bit-identical cosines
+
+
+def test_pq_topk_batch_partitioning_invariant_and_caps(emb, spark):
+    from tmframe_spark.vec import pq as pqmod
+    from tmframe_spark.vec.pq import pq_topk_batch
+
+    books = pq_train(emb, m=4, ksub=8, iters=1)
+    queries = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, pq_topk_batch(
+        pq_encode(emb.repartition(2), books), books, queries, k=5).collect()))
+    b = sorted(map(tuple, pq_topk_batch(
+        pq_encode(emb.repartition(13), books), books, queries, k=5).collect()))
+    assert a == b and len(a) == 15
+    # the lut cap is loud
+    import pytest as _pytest
+
+    orig = pqmod.PQ_BATCH_QUERY_CAP
+    try:
+        pqmod.PQ_BATCH_QUERY_CAP = 10
+        with _pytest.raises(ValueError, match="lut entries"):
+            pq_topk_batch(pq_encode(emb, books), books, queries, k=5)
+    finally:
+        pqmod.PQ_BATCH_QUERY_CAP = orig
+    # empty query set -> empty result
+    assert pq_topk_batch(
+        pq_encode(emb, books), books, queries.where("query_id < 0"), k=5
+    ).count() == 0

@@ -390,6 +390,124 @@ def pq_topk(
     )
 
 
+#: cap on the batched-query driver state: Q x m x ksub int64 entries for
+#: each of the two lookup tables (2^22 entries = 64 MiB of luts) — past it,
+#: split the query set; the per-task emission is tasks x Q x k rows, so a
+#: bounded Q also bounds the shuffle.
+PQ_BATCH_QUERY_CAP = 1 << 22
+
+
+def pq_topk_batch(
+    codes: DataFrame,
+    codebooks,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """MANY queries against the code table in ONE scan — the serving shape
+    for query-heavy workloads (similarity sweeps, dedup candidate probes):
+    the per-query ADC tables stack into one broadcast, each Arrow batch of
+    codes is gathered for ALL queries at once (numpy fancy-indexing), and
+    each task emits only its LOCAL top-k per query — tasks x Q x k rows
+    into one final per-query top-k window, instead of Q full scans.
+
+    Scores are the identical exact int64 gathers as ``pq_topk``, and the
+    cosine is the same two IEEE ops (sqrt is correctly rounded in both
+    numpy and the JVM), so each query's result is BIT-identical to its
+    single-query ``pq_topk`` run (pinned by tests). ``exclude_self`` drops
+    ``vec_id == query_id`` (corpus self-queries). Returns
+    (query_id, vec_id, cosine), k rows per query.
+
+    Queries are collected driver-side (Q x dim — the luts are the real
+    footprint, capped by PQ_BATCH_QUERY_CAP with a loud error)."""
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        return codes.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, cosine double"
+        )
+    B = _codebook_matrix(codebooks)
+    m, ksub, dsub = B.shape
+    nq = len(qrows)
+    if nq * m * ksub > PQ_BATCH_QUERY_CAP:
+        raise ValueError(
+            f"pq_topk_batch: {nq} queries x m={m} x ksub={ksub} = "
+            f"{nq * m * ksub} lut entries (cap {PQ_BATCH_QUERY_CAP}); "
+            f"split the query set"
+        )
+    qids = np.array([int(r[query_id_col]) for r in qrows], dtype=np.int64)
+    dls = np.empty((nq, m, ksub), dtype=np.int64)
+    nls = np.empty((nq, m, ksub), dtype=np.int64)
+    qn2s = np.empty(nq, dtype=np.int64)
+    for i, r in enumerate(qrows):
+        qv = np.asarray(r[vec_col], dtype=np.float32).astype(np.float64)
+        dls[i], nls[i], qn2s[i] = _adc_tables(codebooks, qv)
+    spark = codes.sparkSession
+    bc = spark.sparkContext.broadcast((qids, dls, nls, qn2s))
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        qi, dl, nl, qn = bc.value
+        nq_, m_, _ = dl.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = _np.frombuffer(b"".join(pdf["code"]), dtype=_np.uint8).reshape(-1, m_)
+            ids = pdf[id_col].to_numpy()
+            dot = _np.zeros((nq_, len(C)), dtype=_np.int64)
+            xn2 = _np.zeros(len(C), dtype=_np.int64)
+            for s in range(m_):
+                cs = C[:, s]
+                dot += dl[:, s, cs]
+                xn2 += nl[0, s, cs]  # reconstruction norm is query-free
+            # cosine: the same two IEEE ops as pq_topk, per (query, row)
+            cos = dot / _np.sqrt(qn[:, None].astype(_np.float64) * xn2[None, :])
+            out_q, out_id, out_c = [], [], []
+            for i in range(nq_):
+                c = cos[i]
+                idv = ids
+                if exclude_self:
+                    mask = idv != qi[i]
+                    c, idv = c[mask], idv[mask]
+                take = min(k, len(idv))
+                if not take:
+                    continue
+                # local top-k by (cosine desc, id asc): lexsort is stable
+                order = _np.lexsort((idv, -c))[:take]
+                out_q.append(_np.full(take, qi[i], dtype=_np.int64))
+                out_id.append(idv[order])
+                out_c.append(c[order])
+            if out_q:
+                yield _pd.DataFrame(
+                    {
+                        "_qid": _np.concatenate(out_q),
+                        "_id": _np.concatenate(out_id),
+                        "_cos": _np.concatenate(out_c),
+                    }
+                )
+
+    local = codes.select(id_col, "code").mapInPandas(
+        score, "_qid long, _id long, _cos double"
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_cos").desc(), F.col("_id"))
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_id").alias(id_col),
+            F.col("_cos").alias("cosine"),
+        )
+    )
+
+
 def pq_topk_rerank(
     codes: DataFrame,
     embeddings: DataFrame,
