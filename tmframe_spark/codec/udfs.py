@@ -156,9 +156,14 @@ def pack_blocks(
     # explicit partition count: AQE would coalesce this exchange by BYTE
     # size, but the downstream cost is Python work per GROUP — a handful of
     # coalesced partitions would serialize the pack stage (measured: the 1d
-    # tier anti-scaled 9s -> 16s going 4 -> 16 cores before this pin)
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    part = df.repartition(n_part, *[F.col(k) for k in keys]).sortWithinPartitions(*sort_cols)
+    # tier anti-scaled 9s -> 16s going 4 -> 16 cores before this pin).
+    # r7: the pin is scale-adaptive (ops.sizing) — a fixed 64 costs ~15 ms
+    # of Python-worker round-trip per task, which dominates small inputs.
+    from tmframe_spark.ops.sizing import cpu_stage_partitions
+
+    part = df.repartition(
+        cpu_stage_partitions(df), *[F.col(k) for k in keys]
+    ).sortWithinPartitions(*sort_cols)
     return part.mapInPandas(fn, out_schema)
 
 
@@ -333,6 +338,117 @@ def pack_rollup_blocks(
 
     cols = ["conv_id", "grp", "n_points", "ts_first", "ts_last", "raw_nbytes", "frame"]
 
+    def pack_many(conv, ts, a0, a1, cstarts, cends) -> pd.DataFrame:
+        """ALL closed conversations of one Arrow batch in ONE vectorized
+        encode (r7). encode_blocks_gapfilled_batch is per-block independent
+        (its only sequential piece, the Gorilla window scan, resets at
+        every block boundary), so nothing ties one call to one
+        conversation — and at rehearsal scale the per-conv numpy ceremony
+        WAS the pack stage (measured: 1,500 convs x ~1.8 ms/conv = 2.4 s
+        serial, ~7 _scatter_bits calls per conv instead of per batch).
+        Block ids are assigned arithmetically (a data row's block is its
+        calendar group index minus the conv's first group — no per-conv
+        searchsorted), and the >400-rows-per-block dense route keeps the
+        per-conv whole-array encoder, exactly as before. Bytes are
+        asserted identical to gap_fill->pack_blocks by tests/test_pack_fused.
+
+        conv: per-row conv ids (only rows < cstarts[-1] used); ts/a0/a1:
+        CLOSED rows only; cstarts/cends: row ranges of the closed convs."""
+        counts = (cends - cstarts).astype(np.int64)
+        firsts = ts[cstarts]
+        lasts = ts[cends - 1]
+        if unit == "D":
+            g_first = firsts // DAY_NS
+            g_last = lasts // DAY_NS
+        else:
+            g_first = (
+                firsts.astype("datetime64[ns]")
+                .astype(f"datetime64[{unit}]")
+                .astype(np.int64)
+            )
+            g_last = (
+                lasts.astype("datetime64[ns]")
+                .astype(f"datetime64[{unit}]")
+                .astype(np.int64)
+            )
+        nb_c = g_last - g_first + 1
+        conv_vals = conv[cstarts]
+        extra_rows: list = []
+        dense = counts > 400 * nb_c
+        if dense.any():
+            for ci in np.flatnonzero(dense).tolist():
+                s, e = int(cstarts[ci]), int(cends[ci])
+                extra_rows.extend(pack_conv(conv[s], ts[s:e], a0[s:e], a1[s:e]))
+            keep = ~dense
+            sel = np.flatnonzero(np.repeat(keep, counts))
+            ts, a0, a1 = ts[sel], a0[sel], a1[sel]
+            conv_vals = conv_vals[keep]
+            counts, firsts, lasts = counts[keep], firsts[keep], lasts[keep]
+            g_first, nb_c = g_first[keep], nb_c[keep]
+        C = len(counts)
+        if C == 0:
+            out = pd.DataFrame(extra_rows, columns=cols)
+            out["grp"] = pd.to_datetime(out["grp"])
+            return out
+        B = int(nb_c.sum())
+        blk_cum = np.cumsum(nb_c)
+        blk_first = blk_cum - nb_c
+        blk_conv = np.repeat(np.arange(C), nb_c)
+        blk_g = g_first[blk_conv] + (np.arange(B) - blk_first[blk_conv])
+        if unit == "D":
+            grp_starts = blk_g * DAY_NS
+        else:
+            grp_starts = (
+                blk_g.astype(f"datetime64[{unit}]")
+                .astype("datetime64[ns]")
+                .astype(np.int64)
+            )
+        t0_b = firsts[blk_conv]
+        starts_b = np.maximum((grp_starts - t0_b) // step, 0)
+        n_total = (lasts - firsts) // step + 1
+        ends_b = np.empty(B, dtype=np.int64)
+        ends_b[: B - 1] = starts_b[1:]
+        ends_b[blk_cum - 1] = n_total
+        ns_b = ends_b - starts_b
+        row_cid = np.repeat(np.arange(C), counts)
+        data_pos = (ts - firsts[row_cid]) // step
+        if unit == "D":
+            row_g = ts // DAY_NS
+        else:
+            row_g = (
+                ts.astype("datetime64[ns]")
+                .astype(f"datetime64[{unit}]")
+                .astype(np.int64)
+            )
+        row_blk = blk_first[row_cid] + (row_g - g_first[row_cid])
+        local = data_pos - starts_b[row_blk]
+        block_t0s = t0_b + starts_b * step
+        blocks = encode_blocks_gapfilled_batch(
+            block_t0s, step, ns_b, row_blk, local, a0, a1
+        )
+        fr = make_frames(block_t0s.tolist(), [EV_BLOCK] * B, data=blocks)
+        wire = marshal_frames(fr)
+        sizes = frame_num_bytes(fr.prim, fr.ude)
+        offs = np.zeros(B, dtype=np.int64)
+        np.cumsum(sizes[:-1], out=offs[1:])
+        bs, sz = offs.tolist(), sizes.tolist()
+        out = pd.DataFrame(
+            {
+                "conv_id": np.repeat(conv_vals, nb_c),
+                "grp": pd.to_datetime((grp_starts // 1000).astype("datetime64[us]")),
+                "n_points": ns_b,
+                "ts_first": block_t0s,
+                "ts_last": t0_b + (ends_b - 1) * step,
+                "raw_nbytes": 24 * ns_b,
+                "frame": [wire[bs[b] : bs[b] + sz[b]] for b in range(B)],
+            }
+        )
+        if extra_rows:
+            extra = pd.DataFrame(extra_rows, columns=cols)
+            extra["grp"] = pd.to_datetime(extra["grp"])
+            out = pd.concat([out, extra], ignore_index=True)
+        return out
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # carry = the open (possibly batch-spanning) conversation's ROLLUP
         # rows — data-sized and bounded by calendar (a Y-year conversation
@@ -358,13 +474,10 @@ def pack_rollup_blocks(
             ts = pdf["_ts"].to_numpy(np.int64)
             a0 = pdf["_v0"].to_numpy(np.float64)
             a1 = pdf["_v1"].to_numpy(np.int64)
-            rows = []
-            ends = np.append(starts[1:], len(pdf))
-            for s, e in zip(starts[:-1].tolist(), ends[:-1].tolist()):
-                rows.extend(pack_conv(conv[s], ts[s:e], a0[s:e], a1[s:e]))
-            out = pd.DataFrame(rows, columns=cols)
-            out["grp"] = pd.to_datetime(out["grp"])
-            yield out
+            ncl = int(starts[-1])  # closed rows: everything before the carry
+            yield pack_many(
+                conv, ts[:ncl], a0[:ncl], a1[:ncl], starts[:-1], starts[1:]
+            )
         if carry is not None and len(carry):
             out = pd.DataFrame(
                 pack_conv(
@@ -380,12 +493,16 @@ def pack_rollup_blocks(
 
     # explicit partition count — see pack_blocks: the pack cost is Python
     # work per conversation, not bytes; AQE byte-based coalescing must not
-    # shrink this exchange
+    # shrink this exchange. r7: scale-adaptive pin (ops.sizing) — measured
+    # 1.3 s at a fixed 64 vs 0.5 s at the derived ~7 on the sf0.1 1m tier,
+    # pure per-task Python-worker overhead.
+    from tmframe_spark.ops.sizing import cpu_stage_partitions
+
     n_part = int(rolled.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if split_dense_rows is None:
-        part = pts.repartition(n_part, F.col("conv_id")).sortWithinPartitions(
-            "conv_id", "_ts"
-        )
+        part = pts.repartition(
+            cpu_stage_partitions(pts), F.col("conv_id")
+        ).sortWithinPartitions("conv_id", "_ts")
         return part.mapInPandas(fn, out_schema)
 
     # ---- (conv, calendar-chunk) split path (round-4 verdict #3) ---------
@@ -723,11 +840,33 @@ def frame_msgpack_turns(transcripts: DataFrame) -> DataFrame:
     util.go:364-404), with this engine's from-scratch msgpack codec.
 
     Output: one binary ``frame`` column only (the decode side must recover
-    everything from the wire)."""
+    everything from the wire).
+
+    Boundary shape (r7): ``n_chars`` (a CODE-POINT count, = Python
+    ``len(str)``) is computed JVM-side so the exchange below ships ~40 B of
+    metadata per row instead of the raw text (guide idiom: project before
+    the exchange), and the exchange itself is an explicit
+    repartition(shuffle.partitions) — the upstream window exchange is
+    ENSURE_REQUIREMENTS, which AQE's byte-based coalescing collapses to ~1
+    partition on heavy-CPU/tiny-byte inputs, serializing the per-row
+    msgpack encode AND the decode stage that follows it (measured: 3 final
+    partitions on 32 cores before the pin). The pin itself is
+    scale-adaptive (ops.sizing.cpu_stage_partitions)."""
     from tmframe_spark.codec.frames import EV_MSGPACK
     from tmframe_spark.codec.payloads import mp_encode
+    from tmframe_spark.ops.sizing import cpu_stage_partitions
 
     schema = StructType([StructField("frame", BinaryType())])
+    src = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("_n_chars"),
+        "ts_ns",
+    )
+    src = src.repartition(
+        cpu_stage_partitions(src), F.col("conv_id"), F.col("turn_idx")
+    )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -741,11 +880,11 @@ def frame_msgpack_turns(transcripts: DataFrame) -> DataFrame:
                         "conv_id": c,
                         "turn_idx": int(i),
                         "role": r,
-                        "n_chars": len(x) if isinstance(x, str) else 0,
+                        "n_chars": int(nc),
                     }
                 )
-                for c, i, r, x in zip(
-                    pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["text"]
+                for c, i, r, nc in zip(
+                    pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["_n_chars"]
                 )
             ]
             fr = make_frames(ts, [EV_MSGPACK] * n, data=payloads)
@@ -757,7 +896,7 @@ def frame_msgpack_turns(transcripts: DataFrame) -> DataFrame:
                 {"frame": [wire[int(o) : int(o + s)] for o, s in zip(offs, sizes)]}
             )
 
-    return transcripts.mapInPandas(fn, schema)
+    return src.mapInPandas(fn, schema)
 
 
 def decode_msgpack_frames(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
