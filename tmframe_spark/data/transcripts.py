@@ -77,9 +77,48 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
 
 
 def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transcript table derived from the driver's events parquet."""
+    """Transcript table derived from the driver's events parquet.
+
+    Row-identical to ``TRANSCRIPTS_FROM_EVENTS_SQL`` (the cross-engine
+    contract the oracles restate; equivalence pinned by
+    tests/test_transcripts_equiv.py) but built with the turn-numbering
+    window PARTITIONed BY the projected ``conv_id`` attribute instead of
+    ``user_id``. ``conv_id = 'conv-' || user_id`` is a bijection, so the
+    row numbering is unchanged — while the window's exchange now IS a
+    hash partitioning on ``conv_id``, which every downstream conv-keyed
+    window/groupBy (sessionize, count-window dedup, the rollup cascade)
+    reuses instead of inserting a second exchange+sort (verified in the
+    executed plans: 2 Exchanges -> 1 for the sessionize shape). The SQL
+    form couldn't do this: PARTITION BY an expression is extracted into a
+    private attribute that downstream alias matching doesn't unify."""
     register_tables(spark, sf_dir)
-    return spark.sql(TRANSCRIPTS_FROM_EVENTS_SQL.format(events="events"))
+    ev = spark.table("events")
+    role = (
+        F.when(F.col("event_type") == "signup", "system")
+        .when(F.col("event_type") == "view", "user")
+        .when(F.col("event_type") == "click", "user")
+        .when(F.col("event_type") == "purchase", "assistant")
+        .otherwise("tool")
+    )
+    base = ev.select(
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("event_id"),
+        role.alias("role"),
+        F.concat("event_type", F.lit(" "), "props").alias("text"),
+        F.when(
+            F.col("event_type").isin("click", "purchase"), F.col("event_type")
+        ).alias("tool"),
+        F.col("ts"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    return base.select(
+        "conv_id",
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        "role",
+        "text",
+        "tool",
+        "ts",
+    )
 
 
 ROLES = ("user", "assistant", "system", "tool")

@@ -48,7 +48,17 @@ def with_stable_pos(
     count rows per partition (small collect: one row per partition), then
     pos = partition_offset + local row index.
     """
-    n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    if partitions:
+        n = int(partitions)
+    else:
+        # scale-adaptive (r7): the range sort is pure JVM work, so size
+        # partitions by estimated bytes (guide: 64 MB-1 GB per sort
+        # partition) instead of pinning shuffle.partitions — 64 near-empty
+        # sort tasks + a 64-row count collect cost ~0.3 s on a 3 MB input.
+        # Falls back to the conf pin when the estimate is unusable.
+        from tmframe_spark.ops.sizing import cpu_stage_partitions
+
+        n = cpu_stage_partitions(df, per_partition_bytes=64 * 1024 * 1024)
     part = (
         df.repartitionByRange(int(n), *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)

@@ -144,25 +144,43 @@ def gap_fill(rolled: DataFrame, tier: str = "1m") -> DataFrame:
     The shuffle never carries spine-sized data — at a sparse 10^12-turn
     table the spine can be 100x the data, so spine-size shuffles (the naive
     spine LEFT JOIN data plan) are the difference between minutes and hours.
+
+    Single-subtree form (r7): the old base UNION gaps plan made Catalyst
+    instantiate the whole upstream rollup aggregate TWICE (one copy per
+    union branch — two scans, two aggregation exchanges, verified in the
+    executed range-serving plan). Now each data row explodes into
+    [its own bucket] ++ [its trailing gap buckets] in one pass, and the
+    aggregate columns are zeroed on the gap rows with a bucket-equality
+    CASE — same output rows, one scan, one aggregation, no Union. The
+    per-row gap array is timestamps only (exactly what the old gaps
+    branch built), so the extreme-gap memory shape is unchanged.
     """
     from pyspark.sql.window import Window
 
     iv = tier_interval(tier)
     w = Window.partitionBy("conv_id").orderBy("bucket")
     with_next = rolled.withColumn("_next", F.lead("bucket").over(w))
-    gaps = with_next.where(
-        F.col("_next").isNotNull() & (F.col("_next") > F.expr(f"bucket + {iv}"))
-    ).select(
+    gap_buckets = F.when(
+        F.col("_next").isNotNull() & (F.col("_next") > F.expr(f"bucket + {iv}")),
+        F.expr(f"sequence(bucket + {iv}, _next - {iv}, {iv})"),
+    ).otherwise(F.expr("array()"))
+    exploded = with_next.select(
         "conv_id",
+        F.col("bucket").alias("_data_bucket"),
+        *[F.col(c).cast("long").alias(c) for c in AGG_COLS],
         F.explode(
-            F.expr(f"sequence(bucket + {iv}, _next - {iv}, {iv})")
-        ).alias("bucket"),
-        *[F.lit(0).cast("long").alias(c) for c in AGG_COLS],
+            F.concat(F.array(F.col("bucket")), gap_buckets)
+        ).alias("_b"),
     )
-    base = with_next.select(
-        "conv_id", "bucket", *[F.col(c).cast("long").alias(c) for c in AGG_COLS]
+    is_data = F.col("_b") == F.col("_data_bucket")
+    return exploded.select(
+        "conv_id",
+        F.col("_b").alias("bucket"),
+        *[
+            F.when(is_data, F.col(c)).otherwise(F.lit(0)).cast("long").alias(c)
+            for c in AGG_COLS
+        ],
     )
-    return base.unionByName(gaps)
 
 
 def cascade_up(lower: DataFrame, tier: str) -> DataFrame:

@@ -219,13 +219,19 @@ def ewma(
     within 1 of the real-valued EWMA times 2^k at every step.
 
     Scale shape: the recurrence is inherently sequential PER CONVERSATION,
-    so this is the count-window-dedup pattern — repartition by conv, sort
-    within partitions, one streaming mapInPandas whose state is ONE int64
-    per conversation seen in the partition (never a whole-group
-    materialization; rows stream through in Arrow batches). CPU is a
-    per-row python step — fine for tier-sized series (the tiers are
-    already thousands-to-millions of rows per conv-year, not raw turns).
+    so this is a repartition-by-conv + sorted streaming mapInPandas whose
+    carried state is ONE int64 per conversation. r7: the per-row Python
+    step is gone on the common shape — groups are contiguous under the
+    partition sort, so the batch is processed TRANSPOSED: iteration j
+    applies one vectorized numpy step to row j of EVERY group at once
+    (max-group-length iterations of whole-array ops instead of n Python
+    steps). When one group dominates the batch (max group length > n/8,
+    where the transpose would degenerate into per-row vector calls), the
+    original scalar loop runs instead — it doubles as the semantics twin.
+    The recurrence itself is unchanged and exact: arithmetic >> on int64
+    is the same floor shift in numpy and Python.
     """
+    import numpy as _np
     import pandas as _pd
     from pyspark.sql.types import LongType, StructType
 
@@ -241,24 +247,62 @@ def ewma(
     def run(batches):
         state: dict = {}
         for pdf in batches:
-            if not len(pdf):
+            n = len(pdf)
+            if not n:
                 continue
             vals = pdf["value"].to_numpy()
             convs = pdf["conv_id"].to_numpy()
-            out = [0] * len(pdf)
-            for i in range(len(pdf)):
-                c = convs[i]
-                v = int(vals[i]) << shift
-                s = state.get(c)
-                s = v if s is None else s + ((v - s) >> shift)
-                state[c] = s
-                out[i] = s
+            change = _np.empty(n, dtype=bool)
+            change[0] = True
+            _np.not_equal(convs[1:], convs[:-1], out=change[1:])
+            gstarts = _np.flatnonzero(change)
+            lengths = _np.diff(_np.append(gstarts, n))
+            max_len = int(lengths.max())
+            if max_len <= n // 8 or len(gstarts) >= 64:
+                # transposed vector scan (groups in parallel)
+                G = len(gstarts)
+                S = _np.zeros(G, dtype=_np.int64)
+                has = _np.zeros(G, dtype=bool)
+                for g, si in enumerate(gstarts.tolist()):
+                    st = state.get(convs[si])
+                    if st is not None:
+                        S[g], has[g] = st, True
+                out = _np.empty(n, dtype=_np.int64)
+                vq = vals.astype(_np.int64) << shift
+                for j in range(max_len):
+                    act = lengths > j
+                    rows = gstarts[act] + j
+                    v = vq[rows]
+                    sa = S[act]
+                    stepped = sa + ((v - sa) >> shift)
+                    if j == 0:
+                        stepped = _np.where(has[act], stepped, v)
+                    S[act] = stepped
+                    out[rows] = stepped
+                for g, si in enumerate(gstarts.tolist()):
+                    state[convs[si]] = int(S[g])
+            else:
+                # scalar twin: one group dominates; also the reference
+                # semantics in plain python
+                out = [0] * n
+                for i in range(n):
+                    c = convs[i]
+                    v = int(vals[i]) << shift
+                    s = state.get(c)
+                    s = v if s is None else s + ((v - s) >> shift)
+                    state[c] = s
+                    out[i] = s
             pdf = pdf.copy()
             pdf["ewma_q"] = _pd.Series(out, index=pdf.index, dtype="int64")
             yield pdf
 
+    from tmframe_spark.ops.sizing import cpu_stage_partitions
+
+    # explicit, scale-adaptive pin (r7): the old repartition("conv_id")
+    # was REPARTITION_BY_COL, which AQE byte-coalesces — serializing the
+    # scan onto one task for tiny-byte tier series
     smoothed = (
-        src.repartition("conv_id")
+        src.repartition(cpu_stage_partitions(src), "conv_id")
         .sortWithinPartitions("conv_id", "bucket")
         .mapInPandas(run, out_schema)
     )

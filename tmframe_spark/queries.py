@@ -612,13 +612,17 @@ def q_tfgroup_minute_counts(spark, sf_dir):
     clamped to [mn,mx]) with a repartition between the levels: a multi-year
     stream is ~thousands of day rows spread across tasks, each exploding at
     most 1440 minutes — never one task building a multi-million-element
-    array like a single global sequence() would."""
+    array like a single global sequence() would. r7: the spread is a
+    BY-COLUMN repartition (AQE sizes it) instead of a pinned
+    repartition(shuffle.partitions) — 64 near-empty explode tasks cost
+    ~0.25 s on a one-month span, and even a fully serialized 10-year spine
+    is ~5M streamed Generate rows (the per-row sequence() array stays
+    <=1440 elements either way)."""
     t = _t(spark, sf_dir).where(F.col("conv_id").isin(*SUBSET))
     m = t.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
         F.count(F.lit(1)).alias("n")
     )
     bounds = m.agg(F.min("minute").alias("mn"), F.max("minute").alias("mx"))
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     days = bounds.select(
         "mn",
         "mx",
@@ -629,7 +633,7 @@ def q_tfgroup_minute_counts(spark, sf_dir):
                 F.expr("interval 1 day"),
             )
         ).alias("day"),
-    ).repartition(n_part)  # spread day-explodes across tasks
+    ).repartition("day")  # spread day-explodes across tasks (AQE-sized)
     spine = days.select(
         F.explode(
             F.sequence(

@@ -88,10 +88,14 @@ def pack_documents(
             out["bin"] = bins
             yield out
 
-    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    part = keyed.repartition(n_part, "shard").sortWithinPartitions(
-        "shard", "_h", id_col
-    )
+    # scale-adaptive pin (r7, ops.sizing): protects the Python stage from
+    # AQE byte-coalescing without paying 64 worker round-trips on small
+    # corpora; shard count still caps useful parallelism
+    from tmframe_spark.ops.sizing import cpu_stage_partitions
+
+    part = keyed.repartition(
+        min(cpu_stage_partitions(keyed), n_shards), "shard"
+    ).sortWithinPartitions("shard", "_h", id_col)
     return part.mapInPandas(fn, schema)
 
 
