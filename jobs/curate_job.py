@@ -135,6 +135,17 @@ def main(argv=None) -> int:
     spark = SparkSession.builder.appName("tmframe-curate").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+    # stage-boundary checkpoints re-spread their output first (r7): a
+    # checkpoint materializes at whatever partitioning the stage ended
+    # with — often ONE AQE-coalesced partition for these tiny-byte,
+    # heavy-CPU doc frames — so the NEXT stage's tokenize/explode head ran
+    # serial (observed: (0+1)/1 stages throughout the sf0.1 rehearsal).
+    # cpu_stage_partitions derives the spread from the estimated bytes.
+    from tmframe_spark.ops.sizing import cpu_stage_partitions
+
+    def ckpt(df):
+        return df.repartition(cpu_stage_partitions(df)).localCheckpoint(eager=True)
+
     # per-stage wall clock on every lineage line (round-6): wall_s is the
     # seconds since the previous stage line — the profile a scale rehearsal
     # reads (BENCH.md round-6 curate rehearsal)
@@ -164,7 +175,7 @@ def main(argv=None) -> int:
             s = s.where(F.col("quality_score") >= args.min_quality)
         docs = s.drop(
             "n_chars_calc", "punct_chars", "stopword_hits", "stop_ratio"
-        ).localCheckpoint(eager=True)
+        ).transform(ckpt)
         kept = docs.count()
         emit({"stage": "quality", "docs_out": kept,
                           "docs_dropped": n - kept})
@@ -174,7 +185,7 @@ def main(argv=None) -> int:
 
         rep = repetition_stats(docs, args.id_col, args.text_col, ns=(2,))
         bad = rep.where(F.col("top2_frac") > args.max_top2_frac).select(args.id_col)
-        docs = docs.join(bad, args.id_col, "left_anti").localCheckpoint(eager=True)
+        docs = docs.join(bad, args.id_col, "left_anti").transform(ckpt)
         kept = docs.count()
         emit({"stage": "repetition", "max_top2_frac": args.max_top2_frac,
                           "docs_out": kept, "docs_dropped": n - kept})
@@ -197,7 +208,7 @@ def main(argv=None) -> int:
                 | (F.col("avg_logprob") >= args.min_lm_logprob)
             )
             .withColumnRenamed("avg_logprob", "lm_logprob")
-            .localCheckpoint(eager=True)
+            .transform(ckpt)
         )
         kept = docs.count()
         emit({"stage": "lm_quality",
@@ -228,7 +239,7 @@ def main(argv=None) -> int:
                 | (F.col("avg_weight") >= args.min_dsir_weight)
             )
             .withColumnRenamed("avg_weight", "dsir_weight")
-            .localCheckpoint(eager=True)
+            .transform(ckpt)
         )
         kept = docs.count()
         emit({"stage": "dsir", "min_dsir_weight": args.min_dsir_weight,
@@ -247,7 +258,7 @@ def main(argv=None) -> int:
         if args.langs is not None:
             keep = [x.strip() for x in args.langs.split(",")]
             docs = docs.where(F.col("pred_lang").isin(keep))
-        docs = docs.localCheckpoint(eager=True)
+        docs = docs.transform(ckpt)
         kept = docs.count()
         emit({"stage": "lang", "langs": args.langs,
                           "docs_out": kept, "docs_dropped": n - kept})
@@ -260,7 +271,7 @@ def main(argv=None) -> int:
         bench = spark.read.parquet(args.benchmark)
         docs = decontaminate(
             docs, bench, args.contamination_threshold, args.id_col, args.text_col
-        ).localCheckpoint(eager=True)
+        ).transform(ckpt)
         kept = docs.count()
         emit({"stage": "decontaminate",
                           "threshold": args.contamination_threshold,
@@ -269,22 +280,37 @@ def main(argv=None) -> int:
 
     # ---- 4: dedup -------------------------------------------------------
     if args.index:
+        from tmframe_spark.text.dedup import minhash_signatures
         from tmframe_spark.text.incremental import (
             dedup_against_index,
             minhash_index_append,
+            read_index_meta,
         )
 
+        # compute the batch's MinHash signatures ONCE (r7): the probe, the
+        # within-batch pairing AND the index append all consume this one
+        # checkpointed frame instead of re-running the K-permutation pass
+        # three times (bit-identical — signatures are deterministic)
+        imeta = read_index_meta(args.index)
+        sigs = minhash_signatures(
+            docs, args.id_col, args.text_col, imeta["k"], imeta["shingle_k"]
+        ).localCheckpoint(eager=True)
         docs = dedup_against_index(
             docs, args.index, args.threshold, args.id_col, args.text_col,
-            within_batch=True,
-        ).localCheckpoint(eager=True)
+            within_batch=True, sigs=sigs,
+        ).transform(ckpt)
         kept = docs.count()
         emit({"stage": "dedup", "mode": "incremental",
                           "index": args.index, "docs_out": kept,
                           "docs_dropped": n - kept})
         n = kept
         if args.update_index:
-            meta = minhash_index_append(docs, args.index, args.id_col, args.text_col)
+            kept_sigs = sigs.join(
+                docs.selectExpr(f"{args.id_col} as id"), "id", "left_semi"
+            )
+            meta = minhash_index_append(
+                docs, args.index, args.id_col, args.text_col, sigs=kept_sigs
+            )
             emit({"stage": "index_append", "index": args.index,
                               "params": meta})
     elif args.dedup != "off":
@@ -327,7 +353,7 @@ def main(argv=None) -> int:
         docs = (
             docs.drop(args.text_col)
             .join(cleaned, args.id_col)
-            .localCheckpoint(eager=True)
+            .transform(ckpt)
         )
         agg = docs.agg(
             F.sum("n_removed").alias("tr"),
@@ -346,7 +372,7 @@ def main(argv=None) -> int:
             with_redacted_text(docs, args.text_col)
             .drop(args.text_col)
             .withColumnRenamed("text_redacted", args.text_col)
-            .localCheckpoint(eager=True)
+            .transform(ckpt)
         )
         hits = docs.agg(F.sum("pii_hits")).collect()[0][0] or 0
         emit({"stage": "redact", "pii_hits_total": int(hits)})
@@ -358,7 +384,7 @@ def main(argv=None) -> int:
         docs = mixture_sample(
             docs, _parse_mix(args.mix), args.mix_col, [args.id_col],
             total=args.mix_total, allow_upsample=args.mix_upsample,
-        ).localCheckpoint(eager=True)
+        ).transform(ckpt)
         kept = docs.count()
         emit({"stage": "mixture", "mix": args.mix,
                           "rows_out": kept})

@@ -263,3 +263,40 @@ def test_index_writes_one_file_per_partition_directory(spark, tmp_path):
         for d in dirs:
             files = [f for f in os.listdir(d) if f.endswith(".parquet")]
             assert len(files) == 1, (table, d, len(files))
+
+
+def test_sigs_reuse_is_bit_identical(spark, docs, tmp_path):
+    """r7 probe->append signature reuse: passing precomputed
+    minhash_signatures through dedup_against_index / minhash_index_append
+    must leave BOTH the surviving-doc set and the written index tables
+    bit-identical to the recompute path (signatures are deterministic)."""
+    from tmframe_spark.text.dedup import minhash_signatures
+
+    corpus, batch = _split(docs)
+    p_a = str(tmp_path / "idx_recompute")
+    p_b = str(tmp_path / "idx_reuse")
+    minhash_index_write(corpus, p_a)
+    minhash_index_write(corpus, p_b)
+    meta = read_index_meta(p_a)
+
+    kept_a = dedup_against_index(batch, p_a, 0.5, within_batch=True)
+    minhash_index_append(kept_a, p_a)
+
+    sigs = minhash_signatures(
+        batch, "doc_id", "text", meta["k"], meta["shingle_k"]
+    ).localCheckpoint(eager=True)
+    kept_b = dedup_against_index(batch, p_b, 0.5, within_batch=True, sigs=sigs)
+    kept_sigs = sigs.join(kept_b.selectExpr("doc_id as id"), "id", "left_semi")
+    minhash_index_append(kept_b, p_b, sigs=kept_sigs)
+
+    assert sorted(r["doc_id"] for r in kept_a.collect()) == sorted(
+        r["doc_id"] for r in kept_b.collect()
+    )
+    for table in ("sigs", "bands", "exact"):
+        ta = sorted(
+            map(str, spark.read.parquet(f"{p_a}/{table}").drop("batch").collect())
+        )
+        tb = sorted(
+            map(str, spark.read.parquet(f"{p_b}/{table}").drop("batch").collect())
+        )
+        assert ta == tb, table

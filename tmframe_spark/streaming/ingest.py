@@ -72,7 +72,16 @@ def dedup_ingest_writer(
     ANN-servable vector index, atomically per micro-batch."""
 
     def write_fn(df: DataFrame, batch_dir: str) -> dict:
+        from tmframe_spark.text.dedup import minhash_signatures
+        from tmframe_spark.text.incremental import read_index_meta
+
         token = _batch_token(table_root, int(batch_dir.rsplit("=", 1)[1]))
+        # one signature pass per batch (r7): probe, within-batch pairing
+        # and the index append all reuse it (bit-identical — deterministic)
+        imeta = read_index_meta(index_path)
+        sigs = minhash_signatures(
+            df, id_col, text_col, imeta["k"], imeta["shingle_k"]
+        ).localCheckpoint(eager=True)
         kept = dedup_against_index(
             df,
             index_path,
@@ -81,9 +90,15 @@ def dedup_ingest_writer(
             text_col,
             within_batch=True,
             exclude_batch=token,
+            sigs=sigs,
         ).localCheckpoint(eager=True)  # feeds the write, the appends, the count
         kept.write.mode("overwrite").parquet(batch_dir)
-        meta = minhash_index_append(kept, index_path, id_col, text_col, batch=token)
+        kept_sigs = sigs.join(
+            kept.selectExpr(f"{id_col} as id"), "id", "left_semi"
+        )
+        meta = minhash_index_append(
+            kept, index_path, id_col, text_col, batch=token, sigs=kept_sigs
+        )
         out = {
             "docs_in": df.count(),
             "docs_kept": kept.count(),

@@ -435,6 +435,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     shingle_k: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact MinHash-estimate filter.
 
@@ -442,6 +443,12 @@ def minhash_lsh_pairs(
     signature slice matches exactly (bucket join on the band hash — the only
     shuffle is by bucket, never all-pairs). Output: id_a, id_b,
     est_jaccard (= matching minhash fraction).
+
+    ``sigs``: optionally a precomputed (already materialized)
+    ``minhash_signatures(df, id_col, text_col, k, shingle_k)`` frame for
+    EXACTLY ``df``'s rows — signatures are deterministic, so passing them
+    is bit-identical to recomputing (the ingest probe->append reuse path,
+    text/incremental.py).
     """
     r = k // bands
     # eager localCheckpoint, not persist(): the signature projection sits
@@ -451,9 +458,10 @@ def minhash_lsh_pairs(
     # exactly once at the pinned parallelism; blocks are released by the
     # ContextCleaner when this DataFrame is GC'd — nothing leaks across
     # calls (the r1 persist() never unpersisted).
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle_k).localCheckpoint(
-        eager=True
-    )
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, k, shingle_k).localCheckpoint(
+            eager=True
+        )
     band_rows = sigs.select(
         "id",
         F.posexplode(band_buckets(F.col("sig"), bands, r)).alias("band", "bucket"),

@@ -99,11 +99,19 @@ def minhash_index_write(
     nmods: int = INDEX_NMODS,
     mode: str = "overwrite",
     batch: str | None = None,
+    sigs: "DataFrame | None" = None,
 ) -> dict:
     """Build (or, mode='append', extend) the persisted dedup index for a
     corpus. Returns the params manifest. The signature projection is
     eagerly localCheckpoint'd once and feeds all three tables (the repo's
     multi-consumer rule).
+
+    ``sigs`` (r7, the probe->append signature-reuse path): a precomputed
+    ``minhash_signatures(df, id_col, text_col, k, shingle_k)`` frame
+    (columns id, sig) covering EXACTLY ``df``'s rows with THESE params —
+    signatures are deterministic, so reuse is bit-identical to
+    recomputation (pinned by tests); the ingest cycle computes them once
+    in the probe and no longer pays the K-permutation pass again here.
 
     Every write lands under a fresh ``batch=<token>`` partition; the token
     enters ``meta.json``'s committed ``batches`` list only AFTER all three
@@ -118,9 +126,10 @@ def minhash_index_write(
     if batch is None:
         batch = uuid.uuid4().hex
     bcol = F.lit(batch).alias("batch")
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle_k).localCheckpoint(
-        eager=True
-    )
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, k, shingle_k).localCheckpoint(
+            eager=True
+        )
     # repartition ON the partition column before every partitionBy write:
     # without it each upstream task writes into up to nmods directories —
     # tasks x nmods tiny files per table (measured: 7,473 files for a
@@ -167,6 +176,7 @@ def minhash_index_append(
     id_col: str = "doc_id",
     text_col: str = "text",
     batch: str | None = None,
+    sigs: "DataFrame | None" = None,
 ) -> dict:
     """Fold a new batch (normally ``dedup_against_index``'s survivors) into
     an existing index, with the index's OWN stored parameters — a caller
@@ -194,7 +204,7 @@ def minhash_index_append(
         _vacuum_token(path, batch)  # clear a crashed attempt's partial dirs
     params = {x: meta[x] for x in ("k", "bands", "shingle_k", "nmods")}
     written = minhash_index_write(
-        df, path, id_col, text_col, mode="append", batch=batch, **params
+        df, path, id_col, text_col, mode="append", batch=batch, sigs=sigs, **params
     )
     new_batch = written["batches"][0]
     committed = dict(meta, batches=meta.get("batches", []) + [new_batch])
@@ -303,6 +313,7 @@ def cross_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     exclude_batch: str | None = None,
+    sigs: "DataFrame | None" = None,
 ) -> DataFrame:
     """(id_new, id_corpus, est_jaccard) for every (batch doc, corpus doc)
     pair that collides in ≥1 LSH band AND whose MinHash-estimated Jaccard
@@ -314,9 +325,13 @@ def cross_dup_pairs(
     meta = read_index_meta(path)
     k, bands, nmods = meta["k"], meta["bands"], meta["nmods"]
     r = k // bands
-    sigs_new = minhash_signatures(
-        df, id_col, text_col, k, meta["shingle_k"]
-    ).localCheckpoint(eager=True)
+    sigs_new = (
+        sigs
+        if sigs is not None
+        else minhash_signatures(
+            df, id_col, text_col, k, meta["shingle_k"]
+        ).localCheckpoint(eager=True)
+    )
     band_new = sigs_new.select(
         F.col("id").alias("id_new"),
         F.posexplode(band_buckets(F.col("sig"), bands, r)).alias("band", "bucket"),
@@ -365,6 +380,7 @@ def dedup_against_index(
     text_col: str = "text",
     within_batch: bool = False,
     exclude_batch: str | None = None,
+    sigs: "DataFrame | None" = None,
 ) -> DataFrame:
     """The incremental-ingest dedup step: drop every batch doc that is an
     exact or near duplicate of a corpus doc already in the index; return
@@ -379,13 +395,21 @@ def dedup_against_index(
         df, path, id_col, text_col, exclude_batch
     ).select("id_new")
     near = cross_dup_pairs(
-        df, path, threshold, id_col, text_col, exclude_batch
+        df, path, threshold, id_col, text_col, exclude_batch, sigs=sigs
     ).select("id_new")
     drop = exact.unionByName(near).distinct().withColumnRenamed("id_new", id_col)
     kept = df.join(drop, id_col, "left_anti")
     if within_batch:
         kept = exact_dedup(kept, id_col, text_col)
         meta = read_index_meta(path)
+        kept_sigs = None
+        if sigs is not None:
+            # the precomputed sigs cover the WHOLE batch; restrict to the
+            # surviving rows so the within-batch pairing is identical to
+            # recomputing over ``kept``
+            kept_sigs = sigs.join(
+                kept.select(F.col(id_col).alias("id")), "id", "left_semi"
+            )
         pairs = minhash_lsh_pairs(
             kept,
             id_col,
@@ -394,6 +418,7 @@ def dedup_against_index(
             bands=meta["bands"],
             threshold=threshold,
             shingle_k=meta["shingle_k"],
+            sigs=kept_sigs,
         )
         kept = dedup_keep_canonical(kept, pairs, id_col)
     return kept
