@@ -144,7 +144,14 @@ def main(argv=None) -> int:
     from tmframe_spark.ops.sizing import cpu_stage_partitions
 
     def ckpt(df):
-        return df.repartition(cpu_stage_partitions(df)).localCheckpoint(eager=True)
+        # 32 KiB/partition, not the Python-stage default: the stages fed by
+        # these checkpoints are JVM-CPU-heavy text codegen (tokenize /
+        # explode / n-gram) where bytes badly under-state CPU — the minhash
+        # lesson (its K-permutation stage wants the FULL pin). 5k docs at
+        # sf0.1 -> ~19 partitions; any real corpus -> the shuffle cap.
+        return df.repartition(
+            cpu_stage_partitions(df, per_partition_bytes=32 * 1024)
+        ).localCheckpoint(eager=True)
 
     # per-stage wall clock on every lineage line (round-6): wall_s is the
     # seconds since the previous stage line — the profile a scale rehearsal
