@@ -45,6 +45,17 @@ def get_spark(
         # at any scale; measured here it cuts the per-task worker
         # handshake — cold Python-stage walls drop ~2x, steady ~5%
         .config("spark.python.unix.domain.socket.enabled", "true")
+        # let AQE size CACHED plan output too (off by default): a persisted
+        # aggregate otherwise materializes at the full shuffle-partition
+        # count, and every cache consumer then runs that many near-empty
+        # map tasks, each opening reducer-count shuffle streams (measured:
+        # the flagship's two cascade branches burned ~7 s core-time per
+        # exchange writing 100k tiny rows from a 64-partition cache;
+        # flagship 3.1 -> 1.9 s with this on). Correctness-neutral: the
+        # engine never relies on cached partition counts (block bytes are
+        # partitioning-independent by invariant, and Python stages pin
+        # their own exchanges).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         # local mode: keep the driver honest about memory-bounded shuffles
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
