@@ -84,6 +84,8 @@ spark = (
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+    .config("spark.python.unix.domain.socket.enabled", "true")
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 )
